@@ -1,0 +1,133 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+North-rule metric (BASELINE.json): PageRank edges-processed/sec to 1e-6
+convergence + WCC/triangle wall-time on the co-commit-analogue edge table;
+the extras carry edges/sec and parallelism so BENCH/BASELINE.md can derive
+the N-vs-4N scaling efficiency by running this file twice:
+
+    SPARK_GRAFT_CPUS=8  python bench.py
+    SPARK_GRAFT_CPUS=32 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from neo4j_graph_algorithms_spark.operators.lpa import lpa  # noqa: E402
+from neo4j_graph_algorithms_spark.operators.metapath import compute_all_metapaths  # noqa: E402
+from neo4j_graph_algorithms_spark.operators.pagerank import pagerank  # noqa: E402
+from neo4j_graph_algorithms_spark.operators.triangles import triangle_count  # noqa: E402
+from neo4j_graph_algorithms_spark.operators.wcc import wcc  # noqa: E402
+from neo4j_graph_algorithms_spark.session import build_session  # noqa: E402
+from neo4j_graph_algorithms_spark.sources.tpch import (  # noqa: E402
+    coorder_edges,
+    lineseq_edges,
+    typed_graph,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_session(
+        app_name="linkgraph-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- graph build (the co-commit-analogue edge table), cached up front ----
+    co = coorder_edges(spark, sf_dir)
+    co.persist()
+    n_co_edges = timed("build_coorder_graph", co.count)
+
+    seq = lineseq_edges(spark, sf_dir)
+    seq.persist()
+    n_seq_edges = timed("build_lineseq_graph", seq.count)
+
+    # -- PageRank to 1e-6 convergence: the headline edges/sec metric ---------
+    def _pr():
+        res = pagerank(spark, seq, tolerance=1e-6, max_iterations=100)
+        res.state.agg(F.sum("rank")).collect()
+        return res
+
+    pr_res = timed("pagerank_conv_1e6", _pr)
+    extras["pagerank_iterations"] = pr_res.iterations
+    extras["pagerank_edges_per_sec"] = round(
+        n_seq_edges * pr_res.iterations / max(timings["pagerank_conv_1e6"], 1e-9), 1
+    )
+
+    # -- WCC to fixpoint on the co-commit-analogue graph ---------------------
+    def _wcc():
+        res = wcc(spark, co)
+        return res.state.agg(F.countDistinct("comp")).collect()[0][0]
+
+    extras["wcc_components"] = timed("wcc_fixpoint", _wcc)
+
+    # -- triangle count ------------------------------------------------------
+    def _tri():
+        _, total = triangle_count(spark, co)
+        return total
+
+    extras["triangles_total"] = timed("triangle_count", _tri)
+
+    # -- LPA (5 sync iterations) ---------------------------------------------
+    def _lpa():
+        res = lpa(spark, seq, max_iterations=5)
+        return res.state.agg(F.countDistinct("label")).collect()[0][0]
+
+    extras["lpa_labels"] = timed("lpa_5iter", _lpa)
+
+    # -- metapath length<=3 ---------------------------------------------------
+    def _mp():
+        edges, labels = typed_graph(spark, sf_dir)
+        return compute_all_metapaths(spark, edges, labels, length=3).count()
+
+    extras["metapath_rows"] = timed("metapath_len3", _mp)
+
+    total = round(sum(timings.values()), 3)
+    extras["coorder_edges"] = n_co_edges
+    extras["lineseq_edges"] = n_seq_edges
+    extras["parallelism"] = cpus
+
+    co.unpersist()
+    seq.unpersist()
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "linkgraph headline suite (PR conv + WCC + triangles + LPA + metapath)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
