@@ -17,6 +17,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neo4j_graph_algorithms_spark import oracles
+from neo4j_graph_algorithms_spark.pipeline import oracles as pipeline_oracles
+from neo4j_graph_algorithms_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from neo4j_graph_algorithms_spark.pipeline.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    srp_lsh_pairs,
+)
+from neo4j_graph_algorithms_spark.pipeline.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    token_dictionary,
+)
 from neo4j_graph_algorithms_spark.operators.lpa import lpa
 from neo4j_graph_algorithms_spark.operators.metapath import compute_all_metapaths
 from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
@@ -107,6 +126,74 @@ def _q_out_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.groupBy(F.col("outdeg").alias("degree")).agg(F.count("*").alias("n_nodes"))
 
 
+# ---- training-data pipeline queries (documents / embeddings tables) ---------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return fingerprint(docs, token_dictionary(docs))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup(
+        _docs(spark, sf_dir),
+        num_hashes=8,
+        bands=4,
+        threshold=0.8,
+        ngram=3,
+        hash_mode="dict",
+    )
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dedup(
+        _docs(spark, sf_dir), bits=32, max_hamming=2, hash_mode="dict"
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return cosine_topk(embs, embs.filter(F.col("vec_id") < 8), k=5)
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(_embs(spark, sf_dir), threshold=0.5)
+
+
+def _q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srp_lsh_pairs(
+        _embs(spark, sf_dir), threshold=0.4, n_planes=16, bands=4, dim=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "coorder_edges": _q_coorder_edges,
@@ -121,6 +208,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": _q_lpa,
         "metapath_len3": _q_metapath,
         "out_degree_distribution": _q_out_degree_distribution,
+        "doc_token_count": _q_token_count,
+        "doc_language_id": _q_language_id,
+        "doc_quality_score": _q_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_exact_dedup,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash_dedup,
+        "ann_cosine_topk": _q_cosine_topk,
+        "ann_cosine_pairs": _q_cosine_pairs,
+        "ann_srp_lsh_pairs": _q_srp_lsh_pairs,
     }
 
 
@@ -138,4 +236,19 @@ def oracle_sql() -> dict[str, str]:
         "lpa_3iter": oracles.lpa_sql(iterations=3),
         "metapath_len3": oracles.metapath_sql(length=3),
         "out_degree_distribution": oracles.out_degree_distribution_sql(),
+        "doc_token_count": pipeline_oracles.token_count_sql(),
+        "doc_language_id": pipeline_oracles.language_id_sql(),
+        "doc_quality_score": pipeline_oracles.quality_score_sql(),
+        "doc_fingerprint": pipeline_oracles.fingerprint_sql(),
+        "dedup_exact": pipeline_oracles.exact_dedup_sql(),
+        "dedup_ngram_jaccard": pipeline_oracles.ngram_jaccard_sql(n=3, threshold=0.8),
+        "dedup_minhash_lsh": pipeline_oracles.minhash_lsh_sql(
+            num_hashes=8, bands=4, n=3, threshold=0.8
+        ),
+        "dedup_simhash": pipeline_oracles.simhash_dedup_sql(bits=32, max_hamming=2),
+        "ann_cosine_topk": pipeline_oracles.cosine_topk_sql(k=5, max_query_id=8),
+        "ann_cosine_pairs": pipeline_oracles.cosine_pairs_sql(threshold=0.5),
+        "ann_srp_lsh_pairs": pipeline_oracles.srp_lsh_sql(
+            threshold=0.4, n_planes=16, bands=4, dim=64
+        ),
     }

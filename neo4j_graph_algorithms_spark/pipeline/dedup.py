@@ -1,0 +1,296 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale story (the part that matters at 10^12 rows):
+  * exact dedup groups on sha2(text) — 32-byte keys shuffle, never the text;
+  * near-dup NEVER does an all-pairs join: candidates come from LSH band
+    buckets (MinHash) or pigeonhole blocks (SimHash), each a hash-key
+    equi-join whose fan-out is bounded by bucket size, then candidates are
+    verified with the exact measure.  `*_pairs` brute-force variants exist
+    as small-scale baselines/oracles only.
+  * hash_mode='dict' uses universal hashing over the lexicographic token
+    dictionary (engine-independent → DuckDB-oracle-checkable);
+    hash_mode='xxhash' skips the dictionary join for production scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neo4j_graph_algorithms_spark.pipeline.text import (
+    HASH_P,
+    doc_tokens,
+    hash_params,
+    token_dictionary,
+    tokens_col,
+)
+
+# -- exact --------------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, canonical_id, is_duplicate] by full-content hash.
+
+    canonical_id = min id among rows sharing sha2(text, 256).  Shuffles
+    (hash, id) pairs only — content never moves.
+    """
+    hashed = docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("h"))
+    canon = hashed.groupBy("h").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        hashed.join(canon, on="h")
+        .select(
+            F.col(id_col),
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# -- token / n-gram sets -------------------------------------------------------
+
+
+def _shingle_sets(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Exploded distinct [id, shingle] rows; n=1 → tokens, n>1 → word n-grams."""
+    if n <= 1:
+        return doc_tokens(docs, id_col, text_col).distinct()
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col), F.explode(grams).alias("tok")).distinct()
+
+
+def _verify_jaccard(
+    candidates: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate (a,b) pairs via shingle-count join.
+
+    |A∩B| from a shared-shingle equi-join restricted to candidate pairs;
+    |A∪B| = |A|+|B|−|A∩B|.  Candidate sets are LSH-bounded, so the join
+    fan-out is bucket-sized, not corpus-sized.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("a"), "tok")
+    sb = shingles.select(F.col(id_col).alias("b"), "tok")
+    inter = (
+        sa.join(sb, on="tok")
+        .join(candidates, on=["a", "b"], how="left_semi")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), on="a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), on="b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[a, b, jaccard] all pairs (a<b) with n-gram Jaccard ≥ threshold.
+
+    Brute-force baseline: the shared-shingle join enumerates every
+    intersecting pair.  Use `minhash_lsh_dedup` at scale.
+    """
+    sh = _shingle_sets(docs, n, id_col, text_col)
+    pairs = (
+        sh.select(F.col(id_col).alias("a"), "tok")
+        .join(sh.select(F.col(id_col).alias("b"), "tok"), on="tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _verify_jaccard(pairs, sh, id_col, threshold)
+
+
+# -- MinHash + LSH -------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    ngram: int = 1,
+    hash_mode: str = "xxhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """[id, mh_0..mh_{k-1}] MinHash signature columns.
+
+    One explode + one groupBy computing all k minima as parallel agg
+    expressions (single shuffle regardless of k).  h_i(shingle) =
+    (A_i·sid + B_i) mod P over sid = dictionary tid ('dict') or
+    xxhash64 ('xxhash').
+    """
+    sh = _shingle_sets(docs, ngram, id_col, text_col)
+    if hash_mode == "dict":
+        if dictionary is None:
+            # shingle dictionary: dense lexicographic ids over the distinct
+            # shingle vocabulary (engine-independent, oracle-checkable)
+            from pyspark.sql import Window
+
+            dictionary = (
+                sh.select("tok")
+                .distinct()
+                .withColumn("tid", F.dense_rank().over(Window.orderBy("tok")).cast("long"))
+            )
+        sh = sh.join(dictionary, on="tok").withColumn("sid", F.col("tid"))
+    elif hash_mode == "xxhash":
+        sh = sh.withColumn("sid", F.pmod(F.xxhash64("tok"), F.lit(HASH_P)))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    aggs = []
+    for i in range(num_hashes):
+        a, b = hash_params(i)
+        aggs.append(F.min((F.col("sid") * a + b) % HASH_P).alias(f"mh_{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """[a, b] candidate pairs sharing ≥1 LSH band bucket (a<b).
+
+    Band key = concat of the band's rows; per-band groupBy + self-join
+    within bucket.  Union over bands, distinct.
+    """
+    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    k = len(mh_cols)
+    if k % bands != 0:
+        raise ValueError(f"{k} hashes not divisible into {bands} bands")
+    rows = k // bands
+    per_band = None
+    for bi in range(bands):
+        cols = [f"mh_{bi * rows + r}" for r in range(rows)]
+        keyed = signatures.select(
+            F.col(id_col), F.concat_ws("_", F.lit(bi), *cols).alias("bucket")
+        )
+        pairs = (
+            keyed.select(F.col(id_col).alias("a"), "bucket")
+            .join(keyed.select(F.col(id_col).alias("b"), "bucket"), on="bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        per_band = pairs if per_band is None else per_band.unionByName(pairs)
+    return per_band.distinct()
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    ngram: int = 1,
+    hash_mode: str = "xxhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[a, b, jaccard] near-duplicate pairs: LSH candidates verified by
+    exact Jaccard ≥ threshold.  The standard shingle→minhash→band→
+    bucket-join→verify pipeline; only bucket-mates are ever compared.
+    """
+    sigs = minhash_signatures(docs, num_hashes, ngram, hash_mode, id_col, text_col)
+    cands = minhash_lsh_candidates(sigs, bands, id_col)
+    sh = _shingle_sets(docs, ngram, id_col, text_col)
+    return _verify_jaccard(cands, sh, id_col, threshold)
+
+
+# -- SimHash -------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 64,
+    hash_mode: str = "xxhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """[id, simhash] Charikar fingerprint over distinct tokens.
+
+    Bit j = sign of Σ_tokens (±1), where the ±1 is bit j of h_j(token)
+    (independent universal hashes in 'dict' mode, xxhash64 bit j in
+    'xxhash' mode).  One explode + one groupBy with `bits` sum-aggregates;
+    the signed sums collapse to a single BIGINT column.
+    """
+    sh = doc_tokens(docs, id_col, text_col).distinct()
+    if hash_mode == "dict":
+        dictionary = dictionary if dictionary is not None else token_dictionary(docs, text_col)
+        sh = sh.join(dictionary, on="tok")
+        bit = lambda j: ((F.col("tid") * hash_params(j)[0] + hash_params(j)[1]) % HASH_P) % 2  # noqa: E731
+    elif hash_mode == "xxhash":
+        sh = sh.withColumn("h", F.xxhash64("tok"))
+        bit = lambda j: F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    aggs = [
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s_{j}") for j in range(bits)
+    ]
+    sums = sh.groupBy(id_col).agg(*aggs)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    hash_mode: str = "xxhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[a, b, hamming] pairs with simhash Hamming distance ≤ max_hamming.
+
+    Pigeonhole LSH: split the fingerprint into (max_hamming+1) blocks — any
+    pair within distance d shares at least one exact block.  Block-key
+    equi-join generates candidates; XOR+bit_count verifies.  No all-pairs.
+    """
+    sigs = simhash(docs, bits, hash_mode, id_col, text_col)
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    per_block = None
+    for bi in range(n_blocks):
+        lo = bi * width
+        w = width if bi < n_blocks - 1 else bits - lo
+        block = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1))
+        keyed = sigs.select(
+            F.col(id_col), F.col("simhash"), F.concat_ws("_", F.lit(bi), block).alias("bucket")
+        )
+        pairs = (
+            keyed.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "bucket")
+            .join(
+                keyed.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "bucket"),
+                on="bucket",
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sh_a", "sh_b")
+        )
+        per_block = pairs if per_block is None else per_block.unionByName(pairs)
+    return (
+        per_block.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,270 @@
+"""DuckDB oracle SQL for the pipeline operators (driver correctness gate).
+
+Each builder mirrors the matching Spark operator exactly — same hash
+constants (imported from text.py / similarity.py, single source of truth),
+same rounding (6 decimals), same tie-breaks — over the pre-registered
+`documents` / `embeddings` views.  Hash-dependent operators are checked in
+their 'dict' mode (lexicographic shingle dictionary → engine-independent);
+the xxhash production mode is covered by pytest equivalence tests instead.
+"""
+
+from __future__ import annotations
+
+from neo4j_graph_algorithms_spark.pipeline.similarity import srp_hyperplanes
+from neo4j_graph_algorithms_spark.pipeline.text import HASH_P, LANG_MARKERS, hash_params
+
+# tokens CTE: identical to text.tokens_col (split on ' ', drop empties)
+DOCS_CTE = """docs AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents)"""
+
+
+def token_count_sql() -> str:
+    return f"""WITH {DOCS_CTE}
+SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars FROM docs"""
+
+
+def _score_expr(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"CASE WHEN len(toks) > 0 THEN "
+        f"len(list_filter(toks, t -> t IN ({markers}))) * 1.0 / len(toks) "
+        f"ELSE 0.0 END"
+    )
+
+
+def language_id_sql(min_ratio: float = 0.01) -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n  ".join(f"{_score_expr(lg)} AS score_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""WITH {DOCS_CTE},
+scored AS (SELECT doc_id, {scores} FROM docs),
+ranked AS (SELECT doc_id, {best} AS best, * FROM scored)
+SELECT doc_id,
+       CASE WHEN best >= {min_ratio} THEN {pred} ELSE 'und' END AS lang_pred,
+       round(best, 6) AS lang_score
+FROM ranked"""
+
+
+def quality_score_sql() -> str:
+    all_markers = ", ".join(
+        f"'{m}'" for m in sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    )
+    return f"""WITH {DOCS_CTE},
+m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         CASE WHEN len(toks) > 0
+              THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> t IN ({all_markers}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS alpha_ratio
+  FROM docs)
+SELECT doc_id,
+       n AS n_tokens,
+       round(mean_len, 6) AS mean_token_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       (CASE WHEN n >= 10 AND n <= 100000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN alpha_ratio >= 0.5 THEN 0.25 ELSE 0.0 END) AS quality
+FROM m"""
+
+
+TOKEN_DICT_CTES = """tokpos AS (
+  SELECT doc_id, i, toks[i + 1] AS tok
+  FROM docs, unnest(range(len(toks))) t(i)),
+dict AS (
+  SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT unnest(toks) AS tok FROM docs))"""
+
+
+def fingerprint_sql() -> str:
+    return f"""WITH {DOCS_CTE},
+{TOKEN_DICT_CTES},
+seqs AS (
+  SELECT doc_id, list(tid ORDER BY i) AS tids
+  FROM tokpos JOIN dict USING (tok) GROUP BY doc_id)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), tids),
+                   (acc, x) -> (acc * 31 + x) % {HASH_P}) AS fingerprint
+FROM seqs"""
+
+
+def exact_dedup_sql() -> str:
+    return """WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
+c AS (SELECT h, min(doc_id) AS canonical_id FROM h GROUP BY h)
+SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_duplicate
+FROM h JOIN c USING (h)"""
+
+
+def _gram_ctes(n: int) -> str:
+    """Distinct (doc_id, gram) word n-grams, mirroring _shingle_sets."""
+    if n == 1:
+        return f"""{DOCS_CTE},
+gd AS (SELECT DISTINCT doc_id, unnest(toks) AS gram FROM docs)"""
+    return f"""{DOCS_CTE},
+gd AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + {n}], ' ') AS gram
+  FROM docs, unnest(range(greatest(len(toks) - {n} + 1, 0))) t(i))"""
+
+
+_VERIFY_SQL = """sz AS (SELECT doc_id, count(*) AS sz FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cands c
+  JOIN gd ga ON ga.doc_id = c.a
+  JOIN gd gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+  GROUP BY c.a, c.b),
+verified AS (
+  SELECT i.a, i.b, round(i.ni / (sa.sz + sb.sz - i.ni), 6) AS jaccard
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.a
+  JOIN sz sb ON sb.doc_id = i.b)"""
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.8) -> str:
+    return f"""WITH {_gram_ctes(n)},
+cands AS (
+  SELECT DISTINCT ga.doc_id AS a, gb.doc_id AS b
+  FROM gd ga JOIN gd gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id),
+{_VERIFY_SQL}
+SELECT a, b, jaccard FROM verified WHERE jaccard >= {threshold}"""
+
+
+def minhash_lsh_sql(
+    num_hashes: int = 8, bands: int = 4, n: int = 3, threshold: float = 0.8
+) -> str:
+    mins = []
+    for i in range(num_hashes):
+        a, b = hash_params(i)
+        mins.append(f"min((tid * {a} + {b}) % {HASH_P}) AS mh_{i}")
+    rows = num_hashes // bands
+    band_selects = []
+    for bi in range(bands):
+        cols = ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, concat_ws('_', {bi}, {cols}) AS bucket FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""WITH {_gram_ctes(n)},
+gramdict AS (
+  SELECT gram, CAST(dense_rank() OVER (ORDER BY gram) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT gram FROM gd)),
+gt AS (SELECT doc_id, tid FROM gd JOIN gramdict USING (gram)),
+sig AS (SELECT doc_id, {', '.join(mins)} FROM gt GROUP BY doc_id),
+banded AS ({banded}),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+{_VERIFY_SQL}
+SELECT a, b, jaccard FROM verified WHERE jaccard >= {threshold}"""
+
+
+def simhash_dedup_sql(bits: int = 32, max_hamming: int = 2) -> str:
+    sums = []
+    for j in range(bits):
+        a, b = hash_params(j)
+        sums.append(
+            f"sum(CASE WHEN ((tid * {a} + {b}) % {HASH_P}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS s_{j}"
+        )
+    fp = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    block_selects = []
+    for bi in range(n_blocks):
+        lo = bi * width
+        w = width if bi < n_blocks - 1 else bits - lo
+        mask = (1 << w) - 1
+        block_selects.append(
+            f"SELECT doc_id, simhash, concat_ws('_', {bi}, (simhash >> {lo}) & {mask}) AS bucket FROM sh"
+        )
+    blocked = " UNION ALL ".join(block_selects)
+    return f"""WITH {DOCS_CTE},
+toksets AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM docs),
+dict AS (
+  SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT tok FROM toksets)),
+tt AS (SELECT doc_id, tid FROM toksets JOIN dict USING (tok)),
+sums AS (SELECT doc_id, {', '.join(sums)} FROM tt GROUP BY doc_id),
+sh AS (SELECT doc_id, {fp} AS simhash FROM sums),
+blocked AS ({blocked}),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, x.simhash AS sh_a, y.doc_id AS b, y.simhash AS sh_b
+  FROM blocked x JOIN blocked y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+SELECT a, b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+
+
+EMB_NORM_CTE = """e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"""
+
+
+def cosine_topk_sql(k: int = 5, max_query_id: int = 8) -> str:
+    return f"""WITH {EMB_NORM_CTE},
+q AS (SELECT * FROM n WHERE vec_id < {max_query_id}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+  FROM n c, q WHERE q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}"""
+
+
+def cosine_pairs_sql(threshold: float = 0.5) -> str:
+    return f"""WITH {EMB_NORM_CTE}
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {threshold}"""
+
+
+def srp_lsh_sql(
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    planes = srp_hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(x) for x in p)
+        terms.append(
+            f"CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        )
+    sig = " + ".join(terms)
+    width = n_planes // bands
+    block_selects = []
+    for bi in range(bands):
+        mask = (1 << width) - 1
+        block_selects.append(
+            f"SELECT vec_id, concat_ws('_', {bi}, (srp_sig >> {bi * width}) & {mask}) AS bucket FROM sigs"
+        )
+    blocked = " UNION ALL ".join(block_selects)
+    return f"""WITH {EMB_NORM_CTE},
+sigs AS (SELECT vec_id, {sig} AS srp_sig FROM e),
+blocked AS ({blocked}),
+cands AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM blocked x JOIN blocked y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT c.a, c.b,
+       round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
+FROM cands c JOIN n na ON na.vec_id = c.a JOIN n nb ON nb.vec_id = c.b
+WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= {threshold}"""

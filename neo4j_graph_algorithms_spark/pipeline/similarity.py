@@ -1,0 +1,295 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers, mirroring the engine's correctness-first/scale-path split:
+  * brute-force cosine top-k / threshold pairs — exact baseline; the
+    corpus×query join broadcasts the (small) query side, dot products run
+    as JVM higher-order functions (zip_with + aggregate), no Python;
+  * SRP-LSH (signed random projections): deterministic hyperplanes → bit
+    signature → bucket equi-join candidates → exact cosine verify.  At
+    10^12 rows only bucket-mates are compared.
+All cosines computed in float64 from the float32 inputs; results rounded
+to 6 decimals (engine-independent given sequential summation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_norm(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return embs.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[query_id, neighbor_id, rank, cosine] exact top-k by brute force.
+
+    Query side is broadcast (ANN query batches are small relative to the
+    corpus); scan side streams once.  rank is deterministic: ties broken
+    by neighbor id.  Self-matches excluded.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_pairs(
+    embs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[a, b, cosine] all pairs (a<b) with cosine ≥ threshold — brute-force
+    baseline for embedding near-dup; use `srp_lsh_pairs` at scale."""
+    e = with_norm(embs, vec_col)
+    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"))
+    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine", F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+# -- SRP-LSH (scale path) ------------------------------------------------------
+
+
+def srp_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG over (i, j, seed)).
+
+    Plain Python floats in [-0.5, 0.5): embedded as literals into the plan
+    (and into any SQL oracle), so every engine sees identical planes.
+    """
+    planes = []
+    for i in range(n_planes):
+        row = []
+        state = (seed * 1_103_515_245 + i * 12_345 + 6_789) % (2**31)
+        for _ in range(dim):
+            state = (state * 1_103_515_245 + 12_345) % (2**31)
+            row.append(state / float(2**31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(
+    embs: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[id, srp_sig] sign-bit signature: bit i = (v · plane_i) >= 0."""
+    planes = srp_hyperplanes(dim, n_planes, seed)
+    sig = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        term = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return embs.select(F.col(id_col), sig.alias("srp_sig"))
+
+
+def srp_lsh_pairs(
+    embs: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[a, b, cosine] near-dup pairs: SRP band-bucket candidates verified by
+    exact cosine ≥ threshold.  Pairs agreeing on all bits of ≥1 band are
+    candidates (per-band equi-join; no all-pairs)."""
+    sigs = srp_signature(embs, n_planes, dim, seed, id_col, vec_col)
+    width = n_planes // bands
+    cands = None
+    for bi in range(bands):
+        block = F.shiftrightunsigned(F.col("srp_sig"), bi * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        keyed = sigs.select(F.col(id_col), F.concat_ws("_", F.lit(bi), block).alias("bucket"))
+        pairs = (
+            keyed.select(F.col(id_col).alias("a"), "bucket")
+            .join(keyed.select(F.col(id_col).alias("b"), "bucket"), on="bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    e = with_norm(embs, vec_col)
+    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"))
+    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"))
+    return (
+        cands.join(a, on="a")
+        .join(b, on="b")
+        .withColumn(
+            "cosine", F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+# -- IVF (coarse-quantized ANN, scale path for top-k) -------------------------
+
+
+def ivf_build(
+    embs: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids [cid, centroid], assignments [id, cid]) — k-means coarse
+    quantizer, Lloyd iterations as DataFrame ops.
+
+    Deterministic init: centroids = the `n_centroids` lowest-id vectors.
+    Assignment = argmin squared L2 via a broadcast centroid join; update =
+    element-wise mean (posexplode + groupBy(cid, dim)).  Driver holds only
+    the k centroid vectors.
+    """
+    cents = (
+        embs.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.monotonically_increasing_id().alias("_i"), F.col(vec_col))
+        .withColumn("cid", F.row_number().over(Window.orderBy("_i")) - 1)
+        .select("cid", F.col(vec_col).cast("array<double>").alias("centroid"))
+    )
+    for _ in range(iterations):
+        assigned = _ivf_assign(embs, cents, id_col, vec_col)
+        per_dim = (
+            assigned.join(embs, on=id_col)
+            .select("cid", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        cents = (
+            per_dim.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+            .select("cid", F.transform("s", lambda e: e["m"]).alias("centroid"))
+        )
+        cents = cents.localCheckpoint(eager=True)  # truncate iterative lineage
+    return cents, _ivf_assign(embs, cents, id_col, vec_col)
+
+
+def _ivf_assign(embs: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"), lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = embs.crossJoin(F.broadcast(cents)).withColumn("_d2", d2)
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), "cid")
+    )
+
+
+def ivf_search(
+    embs: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[query_id, neighbor_id, rank, cosine] ANN top-k probing the
+    `n_probes` nearest centroid cells per query — the scan touches only
+    probed cells (partition pruning by cid at scale)."""
+    q_assign = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("centroid"),
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("cid")))
+        )
+        .filter(F.col("_rn") <= n_probes)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    probe_corpus = (
+        assignments.join(q_assign, on="cid")
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    c = with_norm(embs, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    scored = (
+        probe_corpus.join(c, on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
+        .withColumn(
+            "cosine", F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

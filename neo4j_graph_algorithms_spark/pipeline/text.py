@@ -1,0 +1,181 @@
+"""Text analysis operators: tokenization, counting, language id, quality,
+fingerprinting.
+
+All pure column expressions (whole-stage codegen, no Python in the hot
+path).  The deterministic hash pieces use universal hashing over a token
+dictionary (`token_dictionary`) so results are engine-independent and
+oracle-checkable; the scale path swaps the dictionary join for xxhash64
+(`hash_mode='xxhash'`) with identical plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Universal-hash constants: h_i(x) = (A_i * x + B_i) mod P.  P prime; A,B
+# derived from small odd multipliers so (A*x+B) stays < 2^62 for x < 2^40.
+HASH_P = 1_000_003
+
+
+def hash_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) pair for the i-th universal hash function."""
+    return (2 * i + 3) * 2_654_435_761 % HASH_P or 1, (i * 40_503 + 17) % HASH_P
+
+
+TOKEN_SPLIT = " "  # corpus text is space-delimited; swap for \W+ regex corpora
+
+
+def tokens_col(text_col: str = "text"):
+    """Array-of-tokens column expression (empty tokens removed)."""
+    return F.filter(F.split(F.col(text_col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, n_tokens, n_chars] — whitespace token count + char count."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+# -- language id ---------------------------------------------------------------
+
+# Marker-token sets per language (tiny stopword lists — the classic n-gram /
+# stopword-ratio heuristic).  Scores are marker-hit ratios; argmax wins,
+# ties broken by language code; below `min_ratio` → 'und'.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "es": ("el", "de", "que", "los", "las", "una", "es"),
+    "de": ("der", "die", "und", "das", "ein", "ist", "nicht"),
+}
+
+
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ratio: float = 0.01,
+) -> DataFrame:
+    """[id, lang_pred, lang_score] stopword-ratio language classifier.
+
+    score(lang) = |tokens ∩ markers(lang)| / |tokens|; predicted language is
+    the argmax (ties → lexicographically smallest code), or 'und' when the
+    best ratio is below `min_ratio`.  One pass, no shuffle: per-row array
+    expressions only.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    scores = [
+        (
+            F.when(n > 0, F.size(F.filter(toks, lambda t: t.isin(*m))) / n).otherwise(F.lit(0.0))
+        ).alias(f"score_{lang}")
+        for lang, m in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select(F.col(id_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs]
+    )  # first (lexicographic) argmax wins
+    return scored.select(
+        F.col(id_col),
+        F.when(best >= min_ratio, pred).otherwise(F.lit("und")).alias("lang_pred"),
+        F.round(best, 6).alias("lang_score"),
+    )
+
+
+# -- quality scoring -----------------------------------------------------------
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio, quality].
+
+    Heuristic quality in [0,1]: length band + mean-word-length band +
+    stopword presence + alphabetic ratio — the standard cheap pre-filter
+    ahead of model-based scoring.  Pure column expressions.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    stop_ratio = F.when(n > 0, F.size(F.filter(toks, lambda t: t.isin(*all_markers))) / n).otherwise(F.lit(0.0))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+        / F.greatest(F.length(text_col), F.lit(1))
+    )
+    mean_len = F.when(
+        n > 0, (F.length(text_col) - (n - 1)) / n  # total chars minus separators
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n >= 10) & (n <= 100_000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(alpha_ratio >= 0.5, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        quality.alias("quality"),
+    )
+
+
+# -- token dictionary + fingerprint -------------------------------------------
+
+
+def token_dictionary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """[tok, tid] dense ids by lexicographic rank over the corpus vocabulary.
+
+    Engine-independent (no hash seeds), so DuckDB/any SQL engine derives the
+    identical mapping — the oracle-parity mode for MinHash/SimHash/fingerprints.
+    Vocabulary is Zipf-bounded (≪ corpus size), so the dense_rank sort is
+    cheap relative to the corpus scan; the scale path replaces tid with
+    xxhash64(tok) and skips this entirely.
+    """
+    toks = docs.select(F.explode(tokens_col(text_col)).alias("tok")).distinct()
+    return toks.withColumn("tid", F.dense_rank().over(Window.orderBy("tok")).cast("long"))
+
+
+def doc_tokens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", with_pos: bool = False
+) -> DataFrame:
+    """Exploded [id, tok] (+pos) rows."""
+    if with_pos:
+        return docs.select(
+            F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+        )
+    return docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+
+
+def fingerprint(
+    docs: DataFrame,
+    dictionary: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, fingerprint] order-sensitive rolling polynomial hash.
+
+    fp = fold(tokens, acc = (acc * 31 + tid) mod P).  With a dictionary the
+    value is engine-independent; without one, tid = xxhash64(tok) (scale
+    mode).  Computed per-row via F.aggregate after collecting tids back
+    into document order — one explode + one shuffle by (id, pos).
+    """
+    per_tok = doc_tokens(docs, id_col, text_col, with_pos=True)
+    if dictionary is not None:
+        per_tok = per_tok.join(dictionary, on="tok")
+    else:
+        per_tok = per_tok.withColumn("tid", F.pmod(F.xxhash64("tok"), F.lit(HASH_P)))
+    seq = per_tok.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("seq")
+    )
+    fp = F.aggregate(
+        F.col("seq"),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x["tid"]) % HASH_P,
+    )
+    return seq.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,130 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Oracle strategy: brute-force pure-Python Jaccard / Hamming over the same
+tiny corpora; LSH candidate generation is additionally checked for recall
+on documents constructed to be near-duplicates."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from neo4j_graph_algorithms_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+# doc 1 = doc 0 duplicate; doc 2 = doc 0 with one word changed (high overlap);
+# doc 3 disjoint vocabulary; doc 4 exact copy of doc 3.
+DOCS = [
+    (0, " ".join(WORDS)),
+    (1, " ".join(WORDS)),
+    (2, " ".join(WORDS[:-1] + ["omega"])),
+    (3, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+    (4, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+]
+
+
+def py_jaccard(a: str, b: str) -> float:
+    sa, sb = set(a.split()), set(b.split())
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    got = {r.doc_id: (r.canonical_id, r.is_duplicate) for r in exact_dedup(docs).collect()}
+    assert got == {
+        0: (0, False),
+        1: (0, True),
+        2: (2, False),
+        3: (3, False),
+        4: (3, True),
+    }
+
+
+def test_ngram_jaccard_pairs_match_python(spark, docs):
+    got = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, n=1, threshold=0.5).collect()}
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = py_jaccard(ta, tb)
+        if j >= 0.5:
+            want[(ia, ib)] = round(j, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert got[(0, 2)] == pytest.approx(round(9 / 11, 6))
+
+
+def test_trigram_jaccard(spark, docs):
+    got = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    # identical docs share all 8 trigrams; doc2 differs in last word -> 7/9
+    assert got[(0, 1)] == 1.0
+    assert got[(3, 4)] == 1.0
+    assert got[(0, 2)] == pytest.approx(round(7 / 9, 6))
+
+
+@pytest.mark.parametrize("hash_mode", ["dict", "xxhash"])
+def test_minhash_identical_docs_identical_sigs(spark, docs, hash_mode):
+    sigs = minhash_signatures(docs, num_hashes=16, hash_mode=hash_mode).collect()
+    by_id = {r.doc_id: tuple(r)[1:] for r in sigs}
+    assert by_id[0] == by_id[1]
+    assert by_id[3] == by_id[4]
+    assert by_id[0] != by_id[3]
+
+
+def test_minhash_similarity_estimate(spark, docs):
+    """Fraction of agreeing minhashes ≈ Jaccard (law of the estimator)."""
+    sigs = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(docs, num_hashes=64).collect()}
+    agree = sum(x == y for x, y in zip(sigs[0], sigs[2])) / 64
+    assert abs(agree - 9 / 11) < 0.2
+
+
+def test_minhash_lsh_recall_and_verify(spark, docs):
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in minhash_lsh_dedup(docs, num_hashes=16, bands=8, threshold=0.5).collect()
+    }
+    # near-dup pairs all recovered (identical docs collide in every band)
+    assert (0, 1) in got and (3, 4) in got and (0, 2) in got
+    # disjoint-vocab pairs never pass verification
+    assert all(not (a in (0, 1, 2) and b in (3, 4)) for a, b in got)
+
+
+def test_lsh_candidates_subset_of_bucket_joins(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=16)
+    cands = {(r.a, r.b) for r in minhash_lsh_candidates(sigs, bands=8).collect()}
+    assert (0, 1) in cands and (3, 4) in cands
+    assert all(a < b for a, b in cands)
+
+
+@pytest.mark.parametrize("hash_mode", ["dict", "xxhash"])
+def test_simhash_properties(spark, docs, hash_mode):
+    sh = {r.doc_id: r.simhash for r in simhash(docs, bits=32, hash_mode=hash_mode).collect()}
+    assert sh[0] == sh[1] and sh[3] == sh[4]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far  # similar docs closer in Hamming space
+
+
+def test_simhash_dedup_finds_duplicates(spark, docs):
+    got = {(r.a, r.b): r.hamming for r in simhash_dedup(docs, bits=32, max_hamming=3).collect()}
+    assert got[(0, 1)] == 0 and got[(3, 4)] == 0
+    for a, b in got:
+        assert not (a in (0, 1, 2) and b in (3, 4))
+
+
+def test_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty).count() == 0
+    assert minhash_lsh_dedup(empty, num_hashes=8, bands=4).count() == 0

@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests: schema, mapInPandas kernels, stub behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+    _decode_bytes,
+    encode_fake_image,
+    extract_features,
+    frame_sample,
+    resize,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media(spark, n=16, width=8, height=8)
+
+
+def test_fake_codec_roundtrip():
+    payload = encode_fake_image(5, 4, 3)
+    arr = _decode_bytes(payload, "image/fake")
+    assert arr.shape == (3, 4) and arr.dtype == np.uint8
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        _decode_bytes(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_extract_features_matches_local_decode(spark, media):
+    got = {r.media_id: r for r in extract_features(media).collect()}
+    assert len(got) == 16
+    for mid in range(16):
+        arr = _decode_bytes(encode_fake_image(mid, 8, 8), "image/fake")
+        assert got[mid].mean_intensity == int(arr.mean())
+        assert got[mid].max_intensity == int(arr.max())
+
+
+def test_resize_preserves_schema_and_shape(spark, media):
+    out = resize(media, 4, 4)
+    assert out.schema == media.schema
+    rows = out.collect()
+    for r in rows:
+        arr = _decode_bytes(bytes(r.media), r.media_type)
+        assert arr.shape == (4, 4)
+        assert r.meta.width == 4 and r.meta.height == 4
+
+
+def test_frame_sample_metadata(spark, media):
+    out = frame_sample(media, every_n=2).collect()
+    for r in out:
+        assert r.meta.n_frames == 1  # ceil(1/2) = 1
+    # same columns and types (nullability may tighten when rebuilding the struct)
+    assert frame_sample(media, every_n=1).schema.simpleString() == media.schema.simpleString()
+
+
+def test_feature_extraction_distributed(spark):
+    """Kernel runs per Arrow batch across partitions (no driver collect)."""
+    m = synthesize_media(spark, n=64).repartition(4)
+    assert extract_features(m).count() == 64

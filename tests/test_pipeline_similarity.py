@@ -1,0 +1,117 @@
+"""Similarity-search tests: brute-force cosine vs numpy oracle, SRP-LSH
+recall on planted near-duplicates, IVF recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from neo4j_graph_algorithms_spark.pipeline.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_build,
+    ivf_search,
+    srp_lsh_pairs,
+    srp_signature,
+)
+
+DIM = 8
+N = 40
+
+
+def make_vectors(plant_dup: bool):
+    """Deterministic cluster structure: 4 centers, 10 vectors each, small
+    per-vector perturbation; optionally vec 1 := near-copy of vec 0."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, DIM))
+    vecs = []
+    for i in range(N):
+        c = centers[i % 4]
+        noise = rng.normal(scale=0.05, size=DIM)
+        vecs.append((c + noise).astype(np.float32))
+    if plant_dup:
+        vecs[1] = (vecs[0] + rng.normal(scale=0.001, size=DIM).astype(np.float32)).astype(
+            np.float32
+        )
+    return vecs
+
+
+VECS = make_vectors(plant_dup=True)
+VECS_CLEAN = make_vectors(plant_dup=False)
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(VECS)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def np_cosine(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    queries = embs.filter("vec_id < 3")
+    got = cosine_topk(embs, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    for q in range(3):
+        sims = [(round(np_cosine(VECS[q], VECS[j]), 6), j) for j in range(N) if j != q]
+        want = sorted(sims, key=lambda t: (-t[0], t[1]))[:5]
+        got_q = sorted(by_q[q])
+        for (rank, nid, cos), (wcos, wid) in zip(got_q, want):
+            assert nid == wid and cos == pytest.approx(wcos, abs=2e-6)
+
+
+def test_cosine_pairs_threshold(spark, embs):
+    got = {(r.a, r.b): r.cosine for r in cosine_pairs(embs, threshold=0.999).collect()}
+    assert (0, 1) in got  # the planted near-duplicate
+    for (a, b), c in got.items():
+        assert np_cosine(VECS[a], VECS[b]) >= 0.999 - 1e-5
+        assert a < b
+
+
+def test_srp_signature_similar_vectors_share_bits(spark, embs):
+    sigs = {r.vec_id: r.srp_sig for r in srp_signature(embs, n_planes=16, dim=DIM).collect()}
+    assert sigs[0] == sigs[1]  # near-identical vectors -> same half-spaces
+    same_cluster = bin(sigs[0] ^ sigs[4]).count("1")   # 0 and 4 share center
+    diff_cluster = bin(sigs[0] ^ sigs[5]).count("1")   # different centers
+    assert same_cluster <= diff_cluster
+
+
+def test_srp_lsh_pairs_finds_planted_dup(spark, embs):
+    got = {(r.a, r.b) for r in srp_lsh_pairs(embs, threshold=0.999, n_planes=16, bands=4, dim=DIM).collect()}
+    assert (0, 1) in got
+    brute = {(r.a, r.b) for r in cosine_pairs(embs, threshold=0.999).collect()}
+    assert got.issubset(brute)  # verification never admits a false positive
+
+
+@pytest.fixture(scope="module")
+def embs_clean(spark):
+    """No planted duplicate: the first-k init then seeds one centroid per
+    planted cluster (ids 0..3 are one draw from each)."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(VECS_CLEAN)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_recovers_cluster_structure(spark, embs_clean):
+    cents, assign = ivf_build(embs_clean, n_centroids=4, iterations=4)
+    a = {r.vec_id: r.cid for r in assign.collect()}
+    # members of the same planted cluster land in the same cell
+    for base in range(4):
+        cells = {a[i] for i in range(base, N, 4)}
+        assert len(cells) == 1, (base, cells)
+
+
+def test_ivf_search_recall_vs_brute(spark, embs_clean):
+    embs = embs_clean
+    cents, assign = ivf_build(embs, n_centroids=4, iterations=4)
+    queries = embs.filter("vec_id < 4")
+    got = ivf_search(embs, cents, assign, queries, k=3, n_probes=1).collect()
+    brute = cosine_topk(embs, queries, k=3).collect()
+    got_set = {(r.query_id, r.neighbor_id) for r in got}
+    brute_set = {(r.query_id, r.neighbor_id) for r in brute}
+    # with tight planted clusters, probing the home cell recovers the true top-3
+    assert got_set == brute_set

@@ -1,0 +1,79 @@
+"""Text-analysis operator tests: token counting, language id, quality,
+dictionary, fingerprint — hand-computed expectations on tiny corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_graph_algorithms_spark.pipeline.text import (
+    HASH_P,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    token_dictionary,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "le chat est sur le tapis et la table"),
+    (2, "zzz qqq xxx"),
+    (3, "the the the a a of and to in is"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r.doc_id: (r.n_tokens, r.n_chars) for r in token_count(docs).collect()}
+    assert got[0] == (6, len(DOCS[0][1]))
+    assert got[2] == (3, 11)
+
+
+def test_language_id(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "fr"
+    assert got[2] == "und"  # no marker tokens at all
+    assert got[3] == "en"
+
+
+def test_language_score_is_marker_ratio(spark, docs):
+    got = {r.doc_id: r.lang_score for r in language_id(docs).collect()}
+    assert got[0] == pytest.approx(2 / 6)  # 'the' twice
+    assert got[3] == pytest.approx(1.0)
+
+
+def test_quality_score(spark, docs):
+    got = {r.doc_id: r for r in quality_score(docs).collect()}
+    # doc 2: only 3 tokens (<10) -> loses length band; no stopwords
+    assert got[2].quality == pytest.approx(0.5)  # alpha + mean_len bands only
+    assert got[3].quality == pytest.approx(1.0)
+    assert got[0].stopword_ratio == pytest.approx(round(2 / 6, 6))  # 'the' twice
+
+
+def test_dictionary_is_lexicographic(spark, docs):
+    d = {r.tok: r.tid for r in token_dictionary(docs).collect()}
+    toks = sorted(d)
+    assert [d[t] for t in toks] == list(range(1, len(toks) + 1))
+
+
+def test_fingerprint_matches_hand_rolled(spark, docs):
+    d = {r.tok: r.tid for r in token_dictionary(docs).collect()}
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(docs, token_dictionary(docs)).collect()}
+    for doc_id, text in DOCS:
+        acc = 0
+        for t in text.split():
+            acc = (acc * 31 + d[t]) % HASH_P
+        assert fps[doc_id] == acc, doc_id
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs2 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha")], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(docs2, token_dictionary(docs2)).collect()}
+    assert fps[0] != fps[1]
