@@ -43,6 +43,9 @@ from neo4j_graph_algorithms_spark.operators.triangles import (
     clustering_coefficients,
     triangle_count,
 )
+from neo4j_graph_algorithms_spark.operators.msbfs import closeness, harmonic
+from neo4j_graph_algorithms_spark.operators.paths import sssp
+from neo4j_graph_algorithms_spark.operators.scc import scc
 from neo4j_graph_algorithms_spark.operators.wcc import wcc, wcc_stats
 from neo4j_graph_algorithms_spark.sources.tpch import (
     coorder_edges,
@@ -124,6 +127,35 @@ def _q_out_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = lineseq_edges(spark, sf_dir)
     od = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     return od.groupBy(F.col("outdeg").alias("degree")).agg(F.count("*").alias("n_nodes"))
+
+
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = lineseq_edges(spark, sf_dir).filter((F.col("src") < 400) & (F.col("dst") < 400))
+    return scc(spark, e)
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sssp(spark, lineseq_edges(spark, sf_dir), source=0)
+
+
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = lineseq_edges(spark, sf_dir)
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+
+    ef = EdgeFrame(e)
+    srcs = ef.vertices().filter(F.col("vid") < 32)
+    res = closeness(spark, ef, sources=srcs, max_depth=8)
+    return res.select("vid", F.round("centrality", 6).alias("centrality"))
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = lineseq_edges(spark, sf_dir)
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+
+    ef = EdgeFrame(e)
+    srcs = ef.vertices().filter(F.col("vid") < 32)
+    res = harmonic(spark, ef, sources=srcs, max_depth=8)
+    return res.select("vid", F.round("centrality", 6).alias("centrality"))
 
 
 # ---- training-data pipeline queries (documents / embeddings tables) ---------
@@ -208,6 +240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": _q_lpa,
         "metapath_len3": _q_metapath,
         "out_degree_distribution": _q_out_degree_distribution,
+        "scc_components": _q_scc,
+        "sssp_from_0": _q_sssp,
+        "closeness_sampled": _q_closeness,
+        "harmonic_sampled": _q_harmonic,
         "doc_token_count": _q_token_count,
         "doc_language_id": _q_language_id,
         "doc_quality_score": _q_quality,
@@ -236,6 +272,10 @@ def oracle_sql() -> dict[str, str]:
         "lpa_3iter": oracles.lpa_sql(iterations=3),
         "metapath_len3": oracles.metapath_sql(length=3),
         "out_degree_distribution": oracles.out_degree_distribution_sql(),
+        "scc_components": oracles.scc_sql(max_vid=400),
+        "sssp_from_0": oracles.sssp_sql(source=0, rounds=10),
+        "closeness_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
+        "harmonic_sampled": oracles.harmonic_sql(n_sources=32, max_depth=8),
         "doc_token_count": pipeline_oracles.token_count_sql(),
         "doc_language_id": pipeline_oracles.language_id_sql(),
         "doc_quality_score": pipeline_oracles.quality_score_sql(),

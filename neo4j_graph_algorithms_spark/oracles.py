@@ -220,3 +220,100 @@ def out_degree_distribution_sql() -> str:
     return f"""WITH {LINESEQ_CTES},
 od AS (SELECT src, count(*) AS outdeg FROM lineseq GROUP BY src)
 SELECT outdeg AS degree, count(*) AS n_nodes FROM od GROUP BY 1"""
+
+
+# ---- SCC / shortest paths / MS-BFS centralities -----------------------------
+
+SCC_SUB_CTES = """g AS (
+  SELECT DISTINCT src, dst FROM lineseq
+  WHERE src < {max_vid} AND dst < {max_vid} AND src <> dst),
+gverts AS (SELECT src AS vid FROM g UNION SELECT dst AS vid FROM g)"""
+
+
+def scc_sql(max_vid: int = 400) -> str:
+    """Transitive-closure SCC oracle on the size-capped line-seq subgraph:
+    comp(v) = min(v, {u : u↝v and v↝u}) via a recursive reachability CTE."""
+    sub = SCC_SUB_CTES.format(max_vid=max_vid)
+    return f"""WITH RECURSIVE {LINESEQ_CTES},
+{sub},
+reach(s, v) AS (
+  SELECT src, dst FROM g
+  UNION
+  SELECT r.s, g.dst FROM reach r JOIN g ON g.src = r.v),
+mutual AS (
+  SELECT r1.s AS u, r1.v AS v FROM reach r1 JOIN reach r2 ON r1.s = r2.v AND r1.v = r2.s)
+SELECT vv.vid, CAST(least(vv.vid, coalesce(min(m.u), vv.vid)) AS BIGINT) AS comp
+FROM gverts vv LEFT JOIN mutual m ON m.v = vv.vid
+GROUP BY vv.vid"""
+
+
+def sssp_sql(source: int = 0, rounds: int = 10) -> str:
+    """Unrolled Bellman-Ford (min-plus) rounds over line-seq (weight 1.0);
+    `rounds` must cover the source eccentricity (measured 4 at sf0.01)."""
+    parts = [
+        LINESEQ_CTES,
+        "e AS (SELECT src, dst, 1.0 AS w FROM (SELECT DISTINCT src, dst FROM lineseq))",
+        f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS vid, CAST(0.0 AS DOUBLE) AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT vid, min(dist) AS dist FROM (
+    SELECT e.dst AS vid, d.dist + e.w AS dist FROM d{k - 1} d JOIN e ON e.src = d.vid
+    UNION ALL SELECT vid, dist FROM d{k - 1}) x GROUP BY vid)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, dist FROM d{rounds}"
+
+
+def _bfs_dist_ctes(edges_cte: str, n_sources: int, max_depth: int) -> str:
+    """s0..sK: per-(source, vertex) BFS min hop distance, sources = vid < n."""
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        edges_cte,
+        f"s0 AS MATERIALIZED (SELECT vid AS s, vid AS v, 0 AS d FROM verts WHERE vid < {n_sources})",
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT s, v, min(d) AS d FROM (
+    SELECT p.s, b.dst AS v, p.d + 1 AS d FROM s{k - 1} p JOIN bfse b ON b.src = p.v
+    UNION ALL SELECT s, v, d FROM s{k - 1}) x GROUP BY s, v)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def closeness_sql(n_sources: int = 32, max_depth: int = 8) -> str:
+    """Sampled/capped closeness (MSClosenessCentrality semantics):
+    centrality = (n-1)/farness over the source sample, 0 if untouched.
+    BFS direction OUTGOING."""
+    edges_cte = "bfse AS (SELECT DISTINCT src, dst FROM lineseq)"
+    body = _bfs_dist_ctes(edges_cte, n_sources, max_depth)
+    return (
+        body
+        + f""",
+farness AS (SELECT v AS vid, sum(d) AS farness FROM s{max_depth} GROUP BY v),
+n AS (SELECT count(*) AS n FROM verts)
+SELECT verts.vid,
+       round(CASE WHEN coalesce(f.farness, 0) > 0
+                  THEN (n.n - 1) * 1.0 / f.farness ELSE 0.0 END, 6) AS centrality
+FROM verts LEFT JOIN farness f ON f.vid = verts.vid CROSS JOIN n"""
+    )
+
+
+def harmonic_sql(n_sources: int = 32, max_depth: int = 8) -> str:
+    """Sampled/capped harmonic centrality: Σ 1/d / (n-1), BFS over BOTH."""
+    edges_cte = (
+        "bfse AS (SELECT src, dst FROM (SELECT src, dst FROM lineseq "
+        "UNION SELECT dst AS src, src AS dst FROM lineseq))"
+    )
+    body = _bfs_dist_ctes(edges_cte, n_sources, max_depth)
+    return (
+        body
+        + f""",
+inv AS (SELECT v AS vid, sum(1.0 / d) AS inv FROM s{max_depth} WHERE d > 0 GROUP BY v),
+n AS (SELECT count(*) AS n FROM verts)
+SELECT verts.vid,
+       round(coalesce(i.inv, 0.0) / (n.n - 1), 6) AS centrality
+FROM verts LEFT JOIN inv i ON i.vid = verts.vid CROSS JOIN n"""
+    )
