@@ -43,6 +43,7 @@ def wcc(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    extremum: str = "min",
 ) -> SuperstepResult:
     """Return SuperstepResult whose state is [vid, comp] (comp = min member id).
 
@@ -51,7 +52,12 @@ def wcc(
     `vertices`: optional [vid] frame; isolated vertices become their own
     singleton components (reference includes every loaded node,
     DisjointSetStruct.java:42-58).
+    `extremum='max'` is the MSColoring variant (algo.unionFind.mscoloring,
+    impl/MSColoring.java:66-121): component id = MAX member id.
     """
+    if extremum not in ("min", "max"):
+        raise ValueError(f"extremum must be 'min' or 'max', got {extremum!r}")
+    agg_fn = F.min if extremum == "min" else F.max
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     if threshold is not None:
         ef = ef.filter_weight(threshold)
@@ -77,10 +83,11 @@ def wcc(
         cand = (
             nbr.unionByName(state.select(VID, COMP))
             .groupBy(VID)
-            .agg(F.min(COMP).alias(COMP))
+            .agg(agg_fn(COMP).alias(COMP))
         )
         # 2. pointer jump: comp'(v) = comp(cand(v)); comp values are node ids
-        #    so the mapping lives in `cand` itself.  comp(cand) <= cand always.
+        #    so the mapping lives in `cand` itself.  comp(cand) is always at
+        #    least as extreme as cand, so jumping only accelerates.
         mapping = cand.select(F.col(VID).alias("_m_vid"), F.col(COMP).alias("_m_comp"))
         jumped = (
             cand.join(mapping, cand[COMP] == F.col("_m_vid"), "left")

@@ -1,0 +1,108 @@
+"""Named-graph cache: algo.graph.load / info / remove.
+
+The reference stores loaded graphs in a static ConcurrentHashMap so
+algorithms can reference `graph:'<name>'` without reloading
+(LoadGraphProc.java:50-148, core/loadgraph/LoadGraphFactory.java:30-79).
+Spark analogue: persist the EdgeFrame (MEMORY_AND_DISK) under a name;
+`load_graph(name)` resolves it; `remove_graph` unpersists.  `list_procedures`
+is the algo.list surface (ListProc.java:42).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from neo4j_graph_algorithms_spark.graph import EdgeFrame
+
+
+@dataclass
+class _Entry:
+    graph: EdgeFrame
+    stats: dict = field(default_factory=dict)
+
+
+class GraphRegistry:
+    """Session-scoped named-graph cache (LoadGraphFactory semantics)."""
+
+    def __init__(self) -> None:
+        self._graphs: dict[str, _Entry] = {}
+
+    def load(self, name: str, edges: EdgeFrame | DataFrame) -> dict:
+        """Persist + register under `name`; returns load stats
+        (LoadGraphProc.load yields name/nodes/relationships,
+        LoadGraphProc.java:83-108).  Reloading a name replaces it."""
+        ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+        if name in self._graphs:
+            self.remove(name)
+        ef.persist()
+        n_rels = ef.df.count()
+        n_nodes = ef.vertices().count()
+        stats = {"name": name, "nodes": n_nodes, "relationships": n_rels}
+        self._graphs[name] = _Entry(graph=ef, stats=stats)
+        return stats
+
+    def get(self, name: str) -> EdgeFrame:
+        """Resolve `graph:'<name>'` (LoadGraphFactory.java:40-43)."""
+        if name not in self._graphs:
+            raise KeyError(f"no graph loaded under name {name!r}")
+        return self._graphs[name].graph
+
+    def info(self, name: str) -> dict:
+        """algo.graph.info row; `exists` flag like the reference."""
+        if name not in self._graphs:
+            return {"name": name, "exists": False}
+        return {**self._graphs[name].stats, "exists": True}
+
+    def remove(self, name: str) -> bool:
+        """algo.graph.remove: unpersist + forget (LoadGraphProc.java:120-148)."""
+        entry = self._graphs.pop(name, None)
+        if entry is None:
+            return False
+        entry.graph.unpersist()
+        return True
+
+    def names(self) -> list[str]:
+        return sorted(self._graphs)
+
+
+# The procedure catalogue for algo.list (ListProc.java:42): operator name →
+# import path of the implementing callable.
+PROCEDURES: dict[str, str] = {
+    "algo.pageRank": "neo4j_graph_algorithms_spark.operators.pagerank.pagerank",
+    "algo.unionFind": "neo4j_graph_algorithms_spark.operators.wcc.wcc",
+    "algo.unionFind.mscoloring": "neo4j_graph_algorithms_spark.operators.wcc.wcc",
+    "algo.labelPropagation": "neo4j_graph_algorithms_spark.operators.lpa.lpa",
+    "algo.triangleCount": "neo4j_graph_algorithms_spark.operators.triangles.triangle_count",
+    "algo.triangle.stream": "neo4j_graph_algorithms_spark.operators.triangles.triangle_stream",
+    "algo.scc": "neo4j_graph_algorithms_spark.operators.scc.scc",
+    "algo.shortestPath": "neo4j_graph_algorithms_spark.operators.paths.sssp",
+    "algo.shortestPath.deltaStepping": "neo4j_graph_algorithms_spark.operators.paths.delta_stepping",
+    "algo.shortestPaths": "neo4j_graph_algorithms_spark.operators.paths.shortest_paths",
+    "algo.closeness": "neo4j_graph_algorithms_spark.operators.msbfs.closeness",
+    "algo.harmonic": "neo4j_graph_algorithms_spark.operators.msbfs.harmonic",
+    "algo.computeAllMetaPaths": "neo4j_graph_algorithms_spark.operators.metapath.compute_all_metapaths",
+    "algo.computeAllMetaPathsBetweenTypes": "neo4j_graph_algorithms_spark.operators.metapath.compute_all_metapaths",
+    "algo.computeAllMetaPathsForInstances": "neo4j_graph_algorithms_spark.operators.metapath.compute_all_metapaths",
+    "algo.GetSchema": "neo4j_graph_algorithms_spark.operators.metapath.get_schema",
+    "algo.filterMetaPaths": "neo4j_graph_algorithms_spark.operators.metapath.filter_metapaths",
+    "algo.graphReducer": "neo4j_graph_algorithms_spark.operators.reducer.graph_reducer",
+    "algo.graph.load": "neo4j_graph_algorithms_spark.registry.GraphRegistry.load",
+    "algo.graph.info": "neo4j_graph_algorithms_spark.registry.GraphRegistry.info",
+    "algo.graph.remove": "neo4j_graph_algorithms_spark.registry.GraphRegistry.remove",
+    "algo.isFinite": "neo4j_graph_algorithms_spark.functions.is_finite",
+    "algo.isInfinite": "neo4j_graph_algorithms_spark.functions.is_infinite",
+    "algo.Infinity": "neo4j_graph_algorithms_spark.functions.infinity",
+}
+
+
+def list_procedures(filter_substr: str | None = None) -> list[dict]:
+    """algo.list rows: [{name, implementation}] (ListProc.java:42-60)."""
+    out = [
+        {"name": k, "implementation": v}
+        for k, v in sorted(PROCEDURES.items())
+        if filter_substr is None or filter_substr in k
+    ]
+    return out
