@@ -1,0 +1,150 @@
+"""Betweenness centrality — Brandes and RA-Brandes sampled
+(algo.betweenness / algo.betweenness.sampled,
+impl/betweenness/BetweennessCentrality.java, RABrandesBetweennessCentrality.
+java:154-235, selection strategies RandomSelectionStrategy /
+RandomDegreeSelectionStrategy).
+
+Semantics reproduced:
+  * unweighted shortest paths over the chosen direction (default OUTGOING;
+    fixture BetweennessCentralityTest.java:159-163 — line graph a..e gives
+    b=3, c=4, d=3, no halving for the directed default);
+  * sampled variant scales every dependency by f = nodeCount / |sample|
+    (RABrandesBetweennessCentrality.java:177);
+  * `max_depth` bounds the forward BFS like the reference's maxDepth task.
+
+Dataflow form: all sampled sources run TOGETHER, state keyed (s, v) —
+forward level-synchronous BFS accumulating path counts σ, then the Brandes
+backward sweep level by level: δ(v) = Σ_succ σ(v)/σ(w)·(1+δ(w)).  Each
+level is one join + one aggregation; levels are kept as materialized
+frames so the backward sweep revisits them without recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
+
+
+def betweenness(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    sources: DataFrame | None = None,
+    direction: str = "OUTGOING",
+    max_depth: int = 100,
+) -> DataFrame:
+    """[vid, centrality] Brandes betweenness.
+
+    `sources=None`: exact (every vertex a source, f=1).  Otherwise the
+    RA-Brandes estimate over the given [vid] sample, scaled by n/|sample|.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    e = ef.with_direction(direction).df.select(SRC, DST).distinct()
+    e.persist()
+    verts = ef.vertices().localCheckpoint(eager=True)
+    n = verts.count()
+
+    src_df = sources.select(VID) if sources is not None else verts
+    k = src_df.count()
+    f = float(n) / float(k) if k else 0.0
+
+    # ---- forward: levels[d] = (s, vid, sigma) discovered at depth d --------
+    level0 = src_df.select(
+        F.col(VID).alias("s"), F.col(VID), F.lit(1).cast("double").alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [level0]
+    visited = level0.select("s", VID).localCheckpoint(eager=True)
+    for _d in range(max_depth):
+        frontier = levels[-1]
+        pushed = (
+            frontier.join(e.withColumnRenamed(SRC, VID), on=VID)
+            .groupBy("s", F.col(DST).alias(VID))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = pushed.join(visited, on=["s", VID], how="left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.rdd.isEmpty():
+            break
+        levels.append(new)
+        visited = visited.unionByName(new.select("s", VID)).localCheckpoint(eager=True)
+
+    # ---- backward: δ sweep from the deepest level --------------------------
+    delta_parts: list[DataFrame] = []
+    # delta of the deepest level is 0
+    delta_next = levels[-1].select("s", VID, F.lit(0.0).alias("delta"))
+    for d in range(len(levels) - 2, -1, -1):
+        succ = delta_next.join(levels[d + 1], on=["s", VID]).select(
+            "s",
+            F.col(VID).alias(DST),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            levels[d]
+            .join(e, levels[d][VID] == e[SRC])
+            .join(succ, on=["s", DST])
+            .select(
+                "s",
+                levels[d][VID].alias(VID),
+                (
+                    F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("c"),
+            )
+            .groupBy("s", VID)
+            .agg(F.sum("c").alias("delta"))
+        )
+        # every member of level d gets its delta (0 when no successors)
+        delta_cur = (
+            levels[d]
+            .select("s", VID)
+            .join(contrib, on=["s", VID], how="left")
+            .select("s", VID, F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        delta_parts.append(delta_cur.filter(F.col("s") != F.col(VID)))
+        delta_next = delta_cur
+
+    if delta_parts:
+        all_delta = delta_parts[0]
+        for p in delta_parts[1:]:
+            all_delta = all_delta.unionByName(p)
+        bc = all_delta.groupBy(VID).agg((F.lit(f) * F.sum("delta")).alias("centrality"))
+    else:
+        bc = spark.createDataFrame([], f"{VID} long, centrality double")
+    out = verts.join(bc, on=VID, how="left").select(
+        VID, F.coalesce("centrality", F.lit(0.0)).alias("centrality")
+    )
+    e.unpersist()
+    return out
+
+
+def betweenness_sampled(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    strategy: str = "random",
+    fraction: float = 0.3,
+    k: int | None = None,
+    seed: int = 42,
+    direction: str = "OUTGOING",
+    max_depth: int = 100,
+) -> DataFrame:
+    """RA-Brandes with the reference's two selection strategies:
+    'random' (RandomSelectionStrategy: Bernoulli sample of vertices) or
+    'degree' (RandomDegreeSelectionStrategy: top-k by degree — the hub-
+    biased estimator)."""
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    verts = ef.vertices()
+    if strategy == "random":
+        src = verts.sample(fraction=fraction, seed=seed)
+        # guarantee non-empty sample (reference falls back to >=1 node)
+        if src.rdd.isEmpty():
+            src = verts.orderBy(VID).limit(1)
+    elif strategy == "degree":
+        kk = k if k is not None else max(1, int(verts.count() * fraction))
+        src = (
+            ef.degrees("BOTH").orderBy(F.desc("degree"), F.asc(VID)).limit(kk).select(VID)
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return betweenness(spark, ef, sources=src, direction=direction, max_depth=max_depth)
