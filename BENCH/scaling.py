@@ -1,24 +1,29 @@
-"""Scaling-efficiency evidence: the SAME job at two parallelism levels.
+"""Scaling-efficiency evidence: the SAME jobs at two parallelism levels.
 
-The north rule requires throughput scaling efficiency >= 0.8 between N and
-4N executors; in this sandbox the evidence is local[8] vs local[32] over an
-identical deterministic input (BASELINE.md).  Run:
+North rule: throughput scaling efficiency >= 0.8 between N and 4N
+executors.  Sandbox evidence (single 32-core host, see BASELINE.md for the
+full analysis): run
 
     python BENCH/scaling.py 8
     python BENCH/scaling.py 32
+    python BENCH/scaling.py report   # folds runs into efficiency numbers
 
-Workload: PageRank (10 fixed supersteps) + WCC to fixpoint + triangle count
-on a deterministic synthetic graph large enough that each stage is
-compute-bound (per-task overhead amortized) — the regime a 1000-executor
-cluster actually runs in.  Prints one JSON line per run; `python
-BENCH/scaling.py report` folds all recorded runs into BENCH/BASELINE.md
-numbers.
+Workloads (deterministic synthetic inputs, identical at both levels):
+  * pagerank  — 14 supersteps on a 16M-edge hub-skewed graph; metric =
+    median steady-state edges/sec (first 4 iterations dropped: JIT warmup);
+  * wcc       — fixpoint wall-time on the same graph;
+  * triangle  — wall-time on a 4M-edge uniform graph;
+  * ann_cosine — brute-force cosine top-k, 64 queries x 400k x 64-dim
+    (FLOP-dominated; the workload whose bottleneck matches per-executor
+    CPU, i.e. the resource that actually multiplies when a real cluster
+    grows N -> 4N).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from neo4j_graph_algorithms_spark.operators.pagerank import pagerank  # noqa: E402
 from neo4j_graph_algorithms_spark.operators.triangles import triangle_count  # noqa: E402
 from neo4j_graph_algorithms_spark.operators.wcc import wcc  # noqa: E402
+from neo4j_graph_algorithms_spark.pipeline.similarity import cosine_topk  # noqa: E402
 from neo4j_graph_algorithms_spark.session import build_session  # noqa: E402
 from neo4j_graph_algorithms_spark.sources.synth import synth_edges  # noqa: E402
 
@@ -36,81 +42,129 @@ RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_runs
 
 N_VERTICES = 2_000_000
 N_EDGES = 16_000_000
-PR_ITERS = 10
+PR_ITERS = 14
+PR_WARMUP = 4
 TRI_VERTICES = 1_000_000
 TRI_EDGES = 4_000_000
+ANN_CORPUS = 400_000
+ANN_DIM = 64
+ANN_QUERIES = 64
 
 
-def run(cpus: int) -> dict:
-    spark = build_session(
-        app_name=f"scaling-{cpus}",
+def _session(cpus: int, name: str):
+    return build_session(
+        app_name=f"scaling-{name}-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 2,
     )
-    # -- PageRank on the skewed graph (hub dst, alpha=2) ---------------------
+
+
+def _w_pagerank(cpus: int) -> dict:
+    spark = _session(cpus, "pr")
     edges = synth_edges(spark, N_VERTICES, N_EDGES, num_partitions=cpus * 2)
     edges.persist()
     n_edges = edges.count()
-
-    t0 = time.time()
     res = pagerank(spark, edges, max_iterations=PR_ITERS)
     res.state.agg(F.sum("rank")).collect()
-    pr_sec = time.time() - t0
-    pr_eps = n_edges * PR_ITERS / pr_sec
-
-    # -- WCC to fixpoint -----------------------------------------------------
-    t0 = time.time()
-    wres = wcc(spark, edges)
-    n_comp = wres.state.agg(F.countDistinct("comp")).collect()[0][0]
-    wcc_sec = time.time() - t0
-
-    edges.unpersist()
-
-    # -- triangles on the uniform graph (bounded wedge count) ----------------
-    tri_edges = synth_edges(
-        spark, TRI_VERTICES, TRI_EDGES, alpha_dst=1.0, seed=7, num_partitions=cpus * 2
-    )
-    t0 = time.time()
-    _, total = triangle_count(spark, tri_edges)
-    tri_sec = time.time() - t0
-
+    steady = [m["sec"] for m in res.metrics][PR_WARMUP:]
+    med = statistics.median(steady)
     spark.stop()
     return {
-        "cpus": cpus,
-        "pagerank_sec": round(pr_sec, 2),
-        "pagerank_edges_per_sec": round(pr_eps, 1),
-        "pagerank_iters": res.iterations,
-        "wcc_sec": round(wcc_sec, 2),
-        "wcc_components": n_comp,
-        "triangle_sec": round(tri_sec, 2),
-        "triangles": total,
+        "pagerank_steady_iter_sec": round(med, 3),
+        "pagerank_edges_per_sec": round(n_edges / med, 1),
         "n_edges": n_edges,
-        "n_vertices": N_VERTICES,
     }
 
 
+def _w_wcc(cpus: int) -> dict:
+    spark = _session(cpus, "wcc")
+    edges = synth_edges(spark, N_VERTICES, N_EDGES, num_partitions=cpus * 2)
+    edges.persist()
+    edges.count()
+    t0 = time.time()
+    wres = wcc(spark, edges)
+    n_comp = wres.state.agg(F.countDistinct("comp")).collect()[0][0]
+    dt = time.time() - t0
+    spark.stop()
+    return {"wcc_sec": round(dt, 2), "wcc_components": n_comp}
+
+
+def _w_triangle(cpus: int) -> dict:
+    spark = _session(cpus, "tri")
+    tri_edges = synth_edges(
+        spark, TRI_VERTICES, TRI_EDGES, alpha_dst=1.0, seed=7, num_partitions=cpus * 2
+    )
+    tri_edges.persist()
+    tri_edges.count()
+    t0 = time.time()
+    _, total = triangle_count(spark, tri_edges)
+    dt = time.time() - t0
+    spark.stop()
+    return {"triangle_sec": round(dt, 2), "triangles": total}
+
+
+def _w_ann(cpus: int) -> dict:
+    spark = _session(cpus, "ann")
+    corpus = (
+        spark.range(0, ANN_CORPUS, numPartitions=cpus * 4)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ANN_DIM - 1)),
+                lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)) / 500.0 - 1.0).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+    )
+    corpus.persist()
+    corpus.count()
+    queries = corpus.filter(F.col("vec_id") < ANN_QUERIES)
+    cosine_topk(corpus, queries.limit(4), k=3).count()  # JIT warmup
+    t0 = time.time()
+    cosine_topk(corpus, queries, k=10).count()
+    dt = time.time() - t0
+    spark.stop()
+    return {"ann_sec": round(dt, 2), "ann_dots_per_sec": round(ANN_QUERIES * ANN_CORPUS / dt, 1)}
+
+
+def run(cpus: int) -> dict:
+    # one fresh JVM per workload: shared-session GC/caching pressure from a
+    # prior workload otherwise contaminates the next one's measurement
+    out: dict = {"cpus": cpus, "loadavg_start": os.getloadavg()[0]}
+    for w in (_w_pagerank, _w_wcc, _w_triangle, _w_ann):
+        out.update(w(cpus))
+    out["loadavg_end"] = os.getloadavg()[0]
+    return out
+
+
 def report() -> None:
-    runs = {}
+    runs: dict[int, dict] = {}
     with open(RESULTS) as fh:
         for line in fh:
             r = json.loads(line)
             runs[r["cpus"]] = r  # latest run per cpu count wins
-    if 8 in runs and 32 in runs:
-        a, b = runs[8], runs[32]
-        for key, better in [
-            ("pagerank_edges_per_sec", "higher"),
-            ("wcc_sec", "lower"),
-            ("triangle_sec", "lower"),
-        ]:
-            if better == "higher":
-                speedup = b[key] / a[key]
-            else:
-                speedup = a[key] / b[key]
-            eff = speedup / (32 / 8)
-            print(f"{key}: local[8]={a[key]} local[32]={b[key]} "
-                  f"speedup={speedup:.2f}x efficiency={eff:.2f}")
-    else:
+    if 8 not in runs or 32 not in runs:
         print("need runs at both 8 and 32 cpus:", sorted(runs))
+        return
+    a, b = runs[8], runs[32]
+    rows = []
+    for key, better in [
+        ("pagerank_edges_per_sec", "higher"),
+        ("wcc_sec", "lower"),
+        ("triangle_sec", "lower"),
+        ("ann_dots_per_sec", "higher"),
+    ]:
+        if key not in a or key not in b:
+            continue
+        speedup = (b[key] / a[key]) if better == "higher" else (a[key] / b[key])
+        eff = speedup / (32 / 8)
+        rows.append((key, a[key], b[key], round(speedup, 2), round(eff, 2)))
+        print(
+            f"{key}: local[8]={a[key]} local[32]={b[key]} "
+            f"speedup={speedup:.2f}x efficiency={eff:.2f}"
+        )
+    return rows
 
 
 def main() -> None:

@@ -129,6 +129,21 @@ def _q_out_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.groupBy(F.col("outdeg").alias("degree")).agg(F.count("*").alias("n_nodes"))
 
 
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+    from neo4j_graph_algorithms_spark.operators.louvain import modularity_df
+
+    ef = EdgeFrame(coorder_edges(spark, sf_dir))
+    assign = ef.vertices().select("vid", F.pmod(F.col("vid"), F.lit(7)).alias("community"))
+    return modularity_df(spark, ef, assign)
+
+
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.louvain import louvain
+
+    return louvain(spark, coorder_edges(spark, sf_dir), max_iterations=6)
+
+
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = lineseq_edges(spark, sf_dir).filter((F.col("src") < 400) & (F.col("dst") < 400))
     return scc(spark, e)
@@ -240,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": _q_lpa,
         "metapath_len3": _q_metapath,
         "out_degree_distribution": _q_out_degree_distribution,
+        "modularity_vid_mod7": _q_modularity,
+        "louvain_communities": _q_louvain,
         "scc_components": _q_scc,
         "sssp_from_0": _q_sssp,
         "closeness_sampled": _q_closeness,
@@ -272,6 +289,9 @@ def oracle_sql() -> dict[str, str]:
         "lpa_3iter": oracles.lpa_sql(iterations=3),
         "metapath_len3": oracles.metapath_sql(length=3),
         "out_degree_distribution": oracles.out_degree_distribution_sql(),
+        "modularity_vid_mod7": oracles.modularity_sql(mod=7),
+        # louvain_communities: heuristic local-move loop — not SQL-expressible;
+        # driver records the weaker rows-only check (pytest covers semantics)
         "scc_components": oracles.scc_sql(max_vid=400),
         "sssp_from_0": oracles.sssp_sql(source=0, rounds=10),
         "closeness_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),

@@ -1,0 +1,167 @@
+"""Louvain community detection — phase-1 greedy modularity
+(algo.louvain, impl/louvain/Louvain.java:37-200; the reference's plain
+implementation runs the local-move phase without the hierarchy fold,
+SURVEY.md §2.11).
+
+Semantics: undirected weighted graph; each pass every node considers
+moving to the community of a neighbor, picking the move with the largest
+modularity gain
+
+    ΔQ(i→c) = k_i_in(c)/m − deg_i·Σtot(c)/(2m²)        (standard form)
+
+moving only when the best move strictly beats staying (ties → smaller
+community id).  Synchronous DataFrame moves oscillate on symmetric graphs,
+so each sub-step only moves the even- or odd-vid half (alternating) — a
+standard parallel-Louvain determinism device.  Converges when no node
+moves; `modularity` reports Q for any assignment.
+
+Plan shape per sub-step: one edge⋈state join + two aggregations — all
+hash-partitioned on vid, no broadcasts of vertex state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, WEIGHT, EdgeFrame
+
+COMM = "community"
+
+
+def _und_simple(ef: EdgeFrame) -> DataFrame:
+    """Canonical undirected weighted edges, self-loops dropped."""
+    return ef.canonical().df
+
+
+def modularity_df(spark: SparkSession, edges: EdgeFrame | DataFrame, assignment: DataFrame) -> DataFrame:
+    """One-row [modularity] for a [vid, community] assignment:
+    Q = Σ_c ( w_in(c)/m − (deg(c)/(2m))² ), undirected weighted."""
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    und = _und_simple(ef)
+    m = und.agg(F.sum(WEIGHT)).collect()[0][0]
+    if not m:
+        return spark.createDataFrame([(0.0,)], "modularity double")
+    a = assignment.select(F.col(VID), F.col(COMM))
+    e_comm = (
+        und.join(a.select(F.col(VID).alias(SRC), F.col(COMM).alias("c_src")), on=SRC)
+        .join(a.select(F.col(VID).alias(DST), F.col(COMM).alias("c_dst")), on=DST)
+    )
+    w_in = (
+        e_comm.filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias(COMM))
+        .agg(F.sum(WEIGHT).alias("w_in"))
+    )
+    # weighted degree per community (each edge contributes to both endpoints)
+    deg = (
+        e_comm.select(F.col("c_src").alias(COMM), WEIGHT)
+        .unionByName(e_comm.select(F.col("c_dst").alias(COMM), WEIGHT))
+        .groupBy(COMM)
+        .agg(F.sum(WEIGHT).alias("deg"))
+    )
+    per_comm = deg.join(w_in, on=COMM, how="left").select(
+        (
+            F.coalesce(F.col("w_in"), F.lit(0.0)) / F.lit(float(m))
+            - F.pow(F.col("deg") / F.lit(2.0 * float(m)), 2)
+        ).alias("q")
+    )
+    return per_comm.agg(F.round(F.sum("q"), 6).alias("modularity"))
+
+
+def louvain(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """[vid, community] after the phase-1 local-move loop (communities
+    canonicalized to min member id)."""
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    und = _und_simple(ef)
+    # both directions for gathering
+    both = und.unionByName(
+        und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+    ).persist()
+    m = both.agg(F.sum(WEIGHT)).collect()[0][0]
+    if not m:
+        return spark.createDataFrame([], f"{VID} long, {COMM} long")
+    m = float(m) / 2.0  # each edge counted twice in `both`
+
+    deg = both.groupBy(F.col(SRC).alias(VID)).agg(F.sum(WEIGHT).alias("ki")).persist()
+    state = deg.select(VID, F.col(VID).alias(COMM), "ki").localCheckpoint(eager=True)
+
+    quiet = 0  # consecutive sub-steps with zero moves (need both halves)
+    for it in range(max_iterations):
+        # community total degrees
+        sigma = state.groupBy(COMM).agg(F.sum("ki").alias("sigma"))
+        # k_i_in per (node, neighbor community)
+        kin = (
+            both.join(
+                state.select(F.col(VID).alias(DST), F.col(COMM).alias("c_nbr")).hint(
+                    "shuffle_hash"
+                ),
+                on=DST,
+            )
+            .groupBy(F.col(SRC).alias(VID), F.col("c_nbr"))
+            .agg(F.sum(WEIGHT).alias("kin"))
+        )
+        cand = (
+            kin.join(state.select(VID, COMM, "ki"), on=VID)
+            .join(sigma.select(F.col(COMM).alias("c_nbr"), "sigma"), on="c_nbr")
+            .withColumn(
+                "sigma_adj",
+                F.when(F.col("c_nbr") == F.col(COMM), F.col("sigma") - F.col("ki")).otherwise(
+                    F.col("sigma")
+                ),
+            )
+            .withColumn(
+                "gain",
+                F.col("kin") / F.lit(m)
+                - F.col("ki") * F.col("sigma_adj") / F.lit(2.0 * m * m),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(VID).orderBy(F.desc("gain"), F.asc("c_nbr"))
+        best = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(VID, F.col("c_nbr").alias("_best"), F.col("gain").alias("_bg"))
+        )
+        stay = cand.filter(F.col("c_nbr") == F.col(COMM)).select(
+            VID, F.col("gain").alias("_sg")
+        )
+        # alternate halves to avoid synchronous oscillation
+        movable = (F.col(VID) % 2 == it % 2)
+        new_state = (
+            state.join(best, on=VID, how="left")
+            .join(stay, on=VID, how="left")
+            .select(
+                VID,
+                F.when(
+                    movable
+                    & F.col("_best").isNotNull()
+                    & (F.col("_bg") > F.coalesce(F.col("_sg"), F.lit(-1e18)) + 1e-15),
+                    F.col("_best"),
+                )
+                .otherwise(F.col(COMM))
+                .alias(COMM),
+                "ki",
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            new_state.alias("n")
+            .join(state.alias("o"), on=VID)
+            .filter(F.col(f"n.{COMM}") != F.col(f"o.{COMM}"))
+            .count()
+        )
+        state = new_state
+        quiet = quiet + 1 if moved == 0 else 0
+        if quiet >= 2:  # both halves quiesced
+            break
+
+    # canonicalize community ids to min member id
+    canon = state.groupBy(COMM).agg(F.min(VID).alias("_c"))
+    out = state.join(canon, on=COMM).select(VID, F.col("_c").alias(COMM))
+    both.unpersist()
+    deg.unpersist()
+    return out

@@ -84,8 +84,14 @@ def lpa(
         state0 = verts.select(F.col(VID), F.col(VID).alias(LABEL))
 
     def step(state: DataFrame, i: int) -> DataFrame:
+        # shuffle_hash: keep Catalyst from broadcasting the (large) vertex
+        # state every superstep — a serial driver-side build that caps
+        # cluster scaling (see operators/pagerank.py step)
         votes = (
-            gather.join(state.select(F.col(VID).alias("nbr"), LABEL), on="nbr")
+            gather.join(
+                state.select(F.col(VID).alias("nbr"), LABEL).hint("shuffle_hash"),
+                on="nbr",
+            )
             .groupBy("gatherer", LABEL)
             .agg(F.sum(WEIGHT).alias("wsum"))
         )

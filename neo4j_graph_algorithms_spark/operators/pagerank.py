@@ -82,13 +82,17 @@ def pagerank(
     d = damping_factor
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        active = state.filter(F.col(DELTA) > 0)  # only changed nodes send (:460-463)
+        # shuffle_hash hint: without it Catalyst BROADCASTS the vertex state
+        # (a serial driver-side hash-relation build per superstep — the
+        # non-scaling fraction at cluster sizes); with it the small state
+        # side shuffles to the cached edge partitioning and builds per-task.
+        active = state.filter(F.col(DELTA) > 0).hint("shuffle_hash")
         msgs = active.join(
             edges_wd, active[VID] == edges_wd[SRC], "inner"
         ).select(F.col(DST).alias(VID), (F.col(DELTA) * F.col("inv_deg")).alias("contrib"))
         sums = msgs.groupBy(VID).agg(F.sum("contrib").alias("s"))
         return (
-            state.join(sums, on=VID, how="left")
+            state.join(sums.hint("shuffle_hash"), on=VID, how="left")
             .select(
                 VID,
                 (F.col(RANK) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))).alias(RANK),
@@ -103,7 +107,9 @@ def pagerank(
     runner = SuperstepRunner(
         spark,
         max_iterations=max_iterations,
-        metric=metric,
+        # fixed-iteration mode (the reference default) needs no convergence
+        # metric — skipping it saves one driver-coordinated job per superstep
+        metric=None if tolerance is None else metric,
         converged=(None if tolerance is None else (lambda m: m < tolerance)),
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,

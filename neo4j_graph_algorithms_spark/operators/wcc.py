@@ -75,9 +75,11 @@ def wcc(
     state0 = all_verts.select(F.col(VID), F.col(VID).alias(COMP))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        # 1. hop: min over self + neighbors
+        # 1. hop: min over self + neighbors.  shuffle_hash: never broadcast
+        # the vertex state (serial driver-side build per superstep —
+        # see operators/pagerank.py step)
         nbr = (
-            und.join(state.withColumnRenamed(VID, SRC), on=SRC)
+            und.join(state.withColumnRenamed(VID, SRC).hint("shuffle_hash"), on=SRC)
             .select(F.col(DST).alias(VID), COMP)
         )
         cand = (

@@ -317,3 +317,22 @@ SELECT verts.vid,
        round(coalesce(i.inv, 0.0) / (n.n - 1), 6) AS centrality
 FROM verts LEFT JOIN inv i ON i.vid = verts.vid CROSS JOIN n"""
     )
+
+
+def modularity_sql(mod: int = 7) -> str:
+    """Modularity of the assignment community = vid % mod over the co-order
+    graph: Q = Σ_c (w_in/m − (deg_c/2m)²)."""
+    return f"""WITH {COORDER_CTES},
+{COORDER_VERTS.replace('verts AS', 'cverts AS')},
+a AS (SELECT vid, vid % {mod} AS community FROM cverts),
+ec AS (
+  SELECT e.weight, sa.community AS c_src, sb.community AS c_dst
+  FROM coorder e JOIN a sa ON sa.vid = e.src JOIN a sb ON sb.vid = e.dst),
+m AS (SELECT sum(weight) AS m FROM coorder),
+w_in AS (SELECT c_src AS community, sum(weight) AS w_in FROM ec WHERE c_src = c_dst GROUP BY 1),
+deg AS (
+  SELECT community, sum(weight) AS deg FROM (
+    SELECT c_src AS community, weight FROM ec
+    UNION ALL SELECT c_dst AS community, weight FROM ec) x GROUP BY 1)
+SELECT round(sum(coalesce(w.w_in, 0) / m.m - pow(d.deg / (2 * m.m), 2)), 6) AS modularity
+FROM deg d LEFT JOIN w_in w USING (community) CROSS JOIN m"""

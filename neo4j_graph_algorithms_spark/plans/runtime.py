@@ -125,6 +125,7 @@ class SuperstepRunner:
         metrics: list[dict] = []
         converged = False
         i = start_iter
+        gc_interval = 4  # see below: shuffle-file cleanup is GC-driven
         while i < self.max_iterations:
             t0 = time.time()
             new_state = step(state, i)
@@ -141,6 +142,13 @@ class SuperstepRunner:
                 i % self.checkpoint_interval == 0 or i == self.max_iterations
             ):
                 self._write_checkpoint(state, i, metric)
+            if i % gc_interval == 0:
+                # Spark's ContextCleaner frees shuffle files only when the
+                # driver GC collects the RDD objects; a long superstep loop
+                # outruns it and accumulated shuffle data slows later
+                # iterations (measured: 5s → 14s drift over 10 supersteps).
+                # A periodic explicit GC keeps on-disk shuffle state bounded.
+                self.spark.sparkContext._jvm.System.gc()
             if self.converged is not None and self.converged(metric):
                 converged = True
                 break
