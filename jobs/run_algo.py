@@ -1,0 +1,100 @@
+"""Generic spark-submit entry point: run any catalogue algorithm by name.
+
+    spark-submit --py-files linkgraph.zip jobs/run_algo.py \
+        --algo wcc --edges <path> --output <path> [--config '{"threshold": 2.0}']
+
+Algorithms: pagerank, wcc, mscoloring, lpa, louvain, triangles,
+clustering_coefficients, scc, sssp, delta_stepping, closeness, harmonic,
+betweenness, mst, metapath (needs typed edges + labels tables).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--algo", required=True)
+    p.add_argument("--edges", required=True)
+    p.add_argument("--labels", help="node-labels table for metapath (vid, labels)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--config", default="{}", help="JSON config map (reference key names)")
+    args = p.parse_args()
+    cfg = json.loads(args.config)
+
+    spark = SparkSession.builder.appName(f"linkgraph-{args.algo}").getOrCreate()
+    import importlib
+
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+
+    # operators/__init__ re-exports FUNCTIONS under the submodule names, so
+    # `import pkg.operators.wcc as m` (which resolves via getattr) would bind
+    # the function; importlib fetches the real modules from sys.modules
+    def _mod(name: str):
+        return importlib.import_module(f"neo4j_graph_algorithms_spark.operators.{name}")
+
+    _b, _lv, _l, _m, _c, _t = (
+        _mod("betweenness"), _mod("louvain"), _mod("lpa"),
+        _mod("metapath"), _mod("msbfs"), _mod("mst"),
+    )
+    _p, _pa, _s, _tr, _w = (
+        _mod("pagerank"), _mod("paths"), _mod("scc"), _mod("triangles"), _mod("wcc")
+    )
+
+    edges = EdgeFrame(spark.read.parquet(args.edges))
+    algo = args.algo
+
+    if algo == "pagerank":
+        out = _p.pagerank(
+            spark,
+            edges,
+            damping_factor=cfg.get("dampingFactor", 0.85),
+            max_iterations=cfg.get("iterations", 20),
+            tolerance=cfg.get("tolerance"),
+        ).state
+    elif algo in ("wcc", "unionfind"):
+        out = _w.wcc(spark, edges, threshold=cfg.get("threshold")).state
+    elif algo == "mscoloring":
+        out = _w.wcc(spark, edges, extremum="max").state
+    elif algo == "lpa":
+        out = _l.lpa(spark, edges, max_iterations=cfg.get("iterations", 1)).state
+    elif algo == "louvain":
+        out = _lv.louvain(spark, edges, max_iterations=cfg.get("iterations", 20))
+    elif algo == "triangles":
+        out, _total = _tr.triangle_count(spark, edges)
+    elif algo == "clustering_coefficients":
+        out = _tr.clustering_coefficients(spark, edges)
+    elif algo == "scc":
+        out = _s.scc(spark, edges)
+    elif algo == "sssp":
+        out = _pa.sssp(spark, edges, source=int(cfg["source"]))
+    elif algo == "delta_stepping":
+        out = _pa.delta_stepping(
+            spark, edges, source=int(cfg["source"]), delta=cfg.get("delta", 3.0)
+        )
+    elif algo == "closeness":
+        out = _c.closeness(spark, edges)
+    elif algo == "harmonic":
+        out = _c.harmonic(spark, edges)
+    elif algo == "betweenness":
+        out = _b.betweenness(spark, edges)
+    elif algo == "mst":
+        out = _t.mst(spark, edges)
+    elif algo == "metapath":
+        labels = spark.read.parquet(args.labels)
+        typed = spark.read.parquet(args.edges)  # keeps the `type` column
+        out = _m.compute_all_metapaths(spark, typed, labels, length=cfg.get("length", 3))
+    else:
+        raise SystemExit(f"unknown algo {algo!r}")
+
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"{algo} done -> {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
