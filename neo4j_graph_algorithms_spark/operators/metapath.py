@@ -127,6 +127,128 @@ def compute_all_metapaths(
     return out
 
 
+def metapath_between(
+    spark: SparkSession,
+    edges: DataFrame,
+    node_labels: DataFrame,
+    start_vid: int,
+    end_vid: int,
+    length: int,
+    max_paths: int = 1_000_000,
+) -> DataFrame:
+    """algo.metaPath / algo.metaPath.stream (impl/metapath/MetaPathAlgorithm.
+    java): metapaths between two specific node INSTANCES — the ForInstances
+    loop seeded at `start_vid`, recording only states sitting on `end_vid`."""
+    und = _undirected_typed(edges).persist()
+    prim = _primary_labels(node_labels).persist()
+    seeds = (
+        node_labels.filter(F.col(VID) == int(start_vid))
+        .select(VID, F.explode("labels").alias("label"))
+    )
+    state = seeds.select(
+        F.col("label").cast("string").alias(PATH), F.col(VID), F.lit(1).cast("long").alias(CNT)
+    )
+
+    def _record(st: DataFrame) -> DataFrame:
+        return (
+            st.filter(F.col(VID) == int(end_vid)).groupBy(PATH).agg(F.sum(CNT).alias(CNT))
+        )
+
+    results = [_record(state)]
+    for _level in range(1, length):
+        state = state.localCheckpoint(eager=True)
+        state = (
+            state.join(und.withColumnRenamed(SRC, VID), on=VID)
+            .join(prim.select(F.col(VID).alias(DST), "label"), on=DST)
+            .select(
+                F.concat_ws("|", F.col(PATH), F.col(TYPE).cast("string"), F.col("label")).alias(PATH),
+                F.col(DST).alias(VID),
+                F.col(CNT),
+            )
+            .groupBy(PATH, VID)
+            .agg(F.sum(CNT).alias(CNT))
+        )
+        n_paths = state.select(PATH).distinct().count()
+        if n_paths > max_paths:
+            raise RuntimeError(f"metapath state explosion: {n_paths} paths")
+        results.append(_record(state))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    out = out.groupBy(PATH).agg(F.sum(CNT).alias(CNT))
+    und.unpersist()
+    prim.unpersist()
+    return out
+
+
+def precompute_high_degree_metapaths(
+    spark: SparkSession,
+    edges: DataFrame,
+    node_labels: DataFrame,
+    length: int,
+    ratio: float = 0.1,
+    output_path: str | None = None,
+) -> DataFrame:
+    """algo.metaPathPrecomputeHighDegreeNodes
+    (impl/metapath/MetaPathPrecomputeHighDegreeNodes.java): metapath counts
+    seeded only from the top-`ratio` highest-degree nodes (the reference's
+    hub mitigation — precompute what everyone will ask about), optionally
+    persisted for `read_precomputed_metapaths`.  Returns [path, cnt]."""
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+
+    deg = EdgeFrame(edges.select(SRC, DST)).degrees("BOTH")
+    n = deg.count()
+    k = max(1, int(n * ratio))
+    hubs = deg.orderBy(F.desc("degree"), F.asc(VID)).limit(k).select(VID)
+    out = compute_all_metapaths(
+        spark, edges, node_labels, length=length, seed_vertices=hubs
+    )
+    if output_path:
+        out.write.mode("overwrite").parquet(output_path)
+    return out
+
+
+def read_precomputed_metapaths(spark: SparkSession, path: str) -> DataFrame:
+    """algo.readPrecomputedMetaPaths (ReadPrecomputedMetaPathsProc.java:27)."""
+    return spark.read.parquet(path)
+
+
+def compute_metapaths_schema_full(
+    spark: SparkSession,
+    edges: DataFrame,
+    node_labels: DataFrame,
+    length: int,
+) -> DataFrame:
+    """algo.computeAllMetaPathsSchemaFull
+    (impl/metapath/ComputeAllMetaPathsSchemaFull.java): enumerate metapaths
+    over the SCHEMA graph (label-level, no instance counts).  The schema is
+    tiny, so the BFS runs driver-side over the collected `get_schema` rows
+    and the result parallelizes back.  Returns [path] rows."""
+    schema_rows = get_schema(spark, edges, node_labels).collect()
+    adj: dict[int, list[tuple[int, int]]] = {}
+    labels = set()
+    for r in schema_rows:
+        a, t, b = int(r["src_label"]), int(r["type"]), int(r["dst_label"])
+        adj.setdefault(a, []).append((t, b))
+        labels.add(a)
+        labels.add(b)
+        if a != b:
+            adj.setdefault(b, []).append((t, a))
+    paths: set[str] = set()
+    frontier = [(str(lb), lb) for lb in sorted(labels)]
+    paths.update(p for p, _ in frontier)
+    for _ in range(1, length):
+        nxt = []
+        for p, lb in frontier:
+            for t, nb in sorted(adj.get(lb, [])):
+                np_ = f"{p}|{t}|{nb}"
+                if np_ not in paths:
+                    paths.add(np_)
+                    nxt.append((np_, nb))
+        frontier = nxt
+    return spark.createDataFrame([(p,) for p in sorted(paths)], f"{PATH} string")
+
+
 def get_schema(spark: SparkSession, edges: DataFrame, node_labels: DataFrame) -> DataFrame:
     """Derive the label-graph schema from the instance graph
     (algo.GetSchema, impl/metapath/getSchema/GetSchema.java:19-60):
