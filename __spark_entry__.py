@@ -129,6 +129,28 @@ def _q_out_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.groupBy(F.col("outdeg").alias("degree")).agg(F.count("*").alias("n_nodes"))
 
 
+def _q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+
+    ef = EdgeFrame(coorder_edges(spark, sf_dir))
+    # pass the full vertex set: nodes isolated by the threshold filter stay
+    # as singleton components (reference loads every node)
+    res = wcc(spark, ef, vertices=ef.vertices(), threshold=2.0)
+    return res.state.select("vid", "comp")
+
+
+def _q_mscoloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wcc(spark, coorder_edges(spark, sf_dir), extremum="max").state.select(
+        "vid", "comp"
+    )
+
+
+def _q_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.triangles import triangle_stream
+
+    return triangle_stream(spark, coorder_edges(spark, sf_dir))
+
+
 def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.graph import EdgeFrame
     from neo4j_graph_algorithms_spark.operators.louvain import modularity_df
@@ -255,6 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": _q_lpa,
         "metapath_len3": _q_metapath,
         "out_degree_distribution": _q_out_degree_distribution,
+        "wcc_threshold2": _q_wcc_threshold,
+        "wcc_mscoloring": _q_mscoloring,
+        "triangle_stream": _q_triangle_stream,
         "modularity_vid_mod7": _q_modularity,
         "louvain_communities": _q_louvain,
         "scc_components": _q_scc,
@@ -289,6 +314,9 @@ def oracle_sql() -> dict[str, str]:
         "lpa_3iter": oracles.lpa_sql(iterations=3),
         "metapath_len3": oracles.metapath_sql(length=3),
         "out_degree_distribution": oracles.out_degree_distribution_sql(),
+        "wcc_threshold2": oracles.wcc_threshold_sql(threshold=2.0),
+        "wcc_mscoloring": oracles.mscoloring_sql(rounds=12),
+        "triangle_stream": oracles.triangle_stream_sql(),
         "modularity_vid_mod7": oracles.modularity_sql(mod=7),
         # louvain_communities: heuristic local-move loop — not SQL-expressible;
         # driver records the weaker rows-only check (pytest covers semantics)

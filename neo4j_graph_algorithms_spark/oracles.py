@@ -336,3 +336,31 @@ deg AS (
     UNION ALL SELECT c_dst AS community, weight FROM ec) x GROUP BY 1)
 SELECT round(sum(coalesce(w.w_in, 0) / m.m - pow(d.deg / (2 * m.m), 2)), 6) AS modularity
 FROM deg d LEFT JOIN w_in w USING (community) CROSS JOIN m"""
+
+
+def wcc_threshold_sql(threshold: float, rounds: int = 12) -> str:
+    """Weighted unionFind: union only edges with weight >= threshold
+    (GraphUnionFind.java:90 — compare is >=); singletons keep comp = vid."""
+    base = _wcc_rounds_ctes(rounds).replace(
+        "und AS (SELECT src, dst FROM coorder UNION ALL SELECT dst AS src, src AS dst FROM coorder)",
+        f"""und AS (SELECT src, dst FROM coorder WHERE weight >= {threshold}
+  UNION ALL SELECT dst AS src, src AS dst FROM coorder WHERE weight >= {threshold})""",
+    )
+    return base + f"\nSELECT vid, comp FROM c{rounds}"
+
+
+def mscoloring_sql(rounds: int = 12) -> str:
+    """MSColoring variant: component id = MAX member id
+    (impl/MSColoring.java:96-112)."""
+    base = _wcc_rounds_ctes(rounds).replace("min(comp)", "max(comp)")
+    return base + f"\nSELECT vid, comp FROM c{rounds}"
+
+
+def triangle_stream_sql() -> str:
+    """Each triangle once as (a, b, c), a<b<c by vid
+    (algo.triangle.stream, impl/TriangleStream.java)."""
+    return f"""WITH {TRIANGLE_CTES}
+SELECT least(a, b, c) AS a,
+       a + b + c - least(a, b, c) - greatest(a, b, c) AS b,
+       greatest(a, b, c) AS c
+FROM tri"""
