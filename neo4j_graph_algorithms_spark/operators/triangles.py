@@ -70,7 +70,12 @@ def triangle_stream(spark: SparkSession, edges: EdgeFrame | DataFrame) -> DataFr
         | ((F.col("y_key.d") == F.col("z_key.d")) & (F.col("y_key.v") < F.col("z_key.v")))
     )
     closing = dag.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-    tris = wedges.join(closing, on=["y", "z"], how="left_semi").select("lo", "y", "z")
+    # shuffle_hash: the default sort-merge semi-join SORTS the wedge stream
+    # (quadratic-ish intermediate, the big memory hog at 32 threads); a
+    # shuffled hash join builds on the edge set and streams wedges through
+    tris = wedges.join(
+        closing.hint("shuffle_hash"), on=["y", "z"], how="left_semi"
+    ).select("lo", "y", "z")
     # present with a<b<c by vid, as the reference streams them
     return tris.select(
         F.least("lo", "y", "z").alias("a"),
