@@ -31,9 +31,11 @@ def _msbfs_contribs(
     edges: DataFrame,
     batch_sources: DataFrame,
     max_depth: int,
+    keep_mask: bool = False,
 ) -> DataFrame:
     """[vid, depth, n_sources] rows: how many of this batch's sources reach
-    vid at BFS depth `depth` (first visit).  edges: [src, dst] directed."""
+    vid at BFS depth `depth` (first visit).  edges: [src, dst] directed.
+    With `keep_mask`, also carries the frontier bitmask (for APSP decode)."""
     seeds = batch_sources.select(
         VID, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))").alias("mask")
     )
@@ -65,9 +67,10 @@ def _msbfs_contribs(
             F.col("visited").bitwiseOR(F.col("new")).alias("visited"),
             F.col("new").alias("frontier"),
         ).localCheckpoint(eager=True)
-        contrib = state.filter(F.col("frontier") != 0).select(
-            VID, F.lit(depth).alias("depth"), F.bit_count("frontier").alias("n_sources")
-        )
+        cols = [VID, F.lit(depth).alias("depth"), F.bit_count("frontier").alias("n_sources")]
+        if keep_mask:
+            cols.append(F.col("frontier").alias("mask"))
+        contrib = state.filter(F.col("frontier") != 0).select(*cols)
         out.append(contrib.localCheckpoint(eager=True))
         if state.filter(F.col("frontier") != 0).rdd.isEmpty():
             break
@@ -107,6 +110,52 @@ def msbfs_depths(
     for p in parts[1:]:
         res = res.unionByName(p)
     res = res.groupBy(VID, "depth").agg(F.sum("n_sources").alias("n_sources"))
+    e.unpersist()
+    return res
+
+
+def all_shortest_paths(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    sources: DataFrame | None = None,
+    direction: str = "BOTH",
+    max_depth: int = 64,
+) -> DataFrame:
+    """[source, vid, depth] unweighted shortest hop distances — the
+    algo.allShortestPaths.stream MS-BFS variant
+    (impl/MSBFSAllShortestPaths.java): one row per reached (source, target)
+    pair, decoded from the per-batch frontier bitmasks.  Self rows (depth 0)
+    are omitted, matching the reference's stream of discovered pairs."""
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    e = ef.with_direction(direction).df.select(SRC, DST).distinct()
+    e.persist()
+    e.count()
+    src_df = sources.select(VID) if sources is not None else ef.vertices()
+    from pyspark.sql import Window
+
+    ranked = src_df.withColumn(
+        "_rk", F.row_number().over(Window.orderBy(VID)) - 1
+    ).select(
+        VID, (F.col("_rk") / OMEGA).cast("int").alias("batch"), (F.col("_rk") % OMEGA).alias("bit")
+    ).localCheckpoint(eager=True)
+    n_batches = ranked.agg(F.max("batch")).collect()[0][0]
+    parts = []
+    for b in range(int(n_batches) + 1):
+        batch = ranked.filter(F.col("batch") == b).select(VID, "bit")
+        contribs = _msbfs_contribs(spark, e, batch, max_depth, keep_mask=True)
+        # decode mask bits back to source vids via the batch's bit table
+        bits = batch.select(F.col(VID).alias("source"), "bit")
+        decoded = (
+            contribs.join(
+                F.broadcast(bits),
+                F.expr("shiftrightunsigned(mask, CAST(bit AS INT)) & 1") == 1,
+            )
+            .select("source", VID, "depth")
+        )
+        parts.append(decoded)
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
     e.unpersist()
     return res
 

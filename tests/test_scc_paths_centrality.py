@@ -140,3 +140,29 @@ def test_msbfs_many_sources_multi_batch(spark):
     got = [r.centrality for r in closeness(spark, edges, max_depth=80).collect()]
     assert len(got) == n
     assert max(got) == pytest.approx(min(got))  # symmetric ring
+
+
+def test_all_shortest_paths_path_graph(spark):
+    from neo4j_graph_algorithms_spark.operators.msbfs import all_shortest_paths
+
+    got = {
+        (r.source, r.vid): r.depth
+        for r in all_shortest_paths(spark, _path_edges(spark)).collect()
+    }
+    # undirected path 0-1-2-3-4: d(0,4)=4, d(1,3)=2, symmetric
+    assert got[(0, 4)] == 4 and got[(4, 0)] == 4
+    assert got[(1, 3)] == 2 and got[(2, 3)] == 1
+    assert (0, 0) not in got  # self rows omitted
+    assert len(got) == 20  # 5*4 ordered pairs
+
+
+def test_all_shortest_paths_directed_sources_subset(spark):
+    from neo4j_graph_algorithms_spark.operators.msbfs import all_shortest_paths
+
+    edges = edge_df(spark, [(0, 1), (1, 2)])
+    srcs = spark.createDataFrame([(0,)], "vid long")
+    got = {
+        (r.source, r.vid): r.depth
+        for r in all_shortest_paths(spark, edges, sources=srcs, direction="OUTGOING").collect()
+    }
+    assert got == {(0, 1): 1, (0, 2): 2}
