@@ -83,6 +83,16 @@ PROCEDURES: dict[str, str] = {
     "algo.shortestPaths": "neo4j_graph_algorithms_spark.operators.paths.shortest_paths",
     "algo.closeness": "neo4j_graph_algorithms_spark.operators.msbfs.closeness",
     "algo.harmonic": "neo4j_graph_algorithms_spark.operators.msbfs.harmonic",
+    "algo.allShortestPaths.stream": "neo4j_graph_algorithms_spark.operators.msbfs.all_shortest_paths",
+    "algo.betweenness": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness",
+    "algo.betweenness.sampled": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness_sampled",
+    "algo.mst": "neo4j_graph_algorithms_spark.operators.mst.mst",
+    "algo.louvain": "neo4j_graph_algorithms_spark.operators.louvain.louvain",
+    "algo.metaPath": "neo4j_graph_algorithms_spark.operators.metapath.metapath_between",
+    "algo.metaPathPrecomputeHighDegreeNodes": "neo4j_graph_algorithms_spark.operators.metapath.precompute_high_degree_metapaths",
+    "algo.readPrecomputedMetaPaths": "neo4j_graph_algorithms_spark.operators.metapath.read_precomputed_metapaths",
+    "algo.computeAllMetaPathsSchemaFull": "neo4j_graph_algorithms_spark.operators.metapath.compute_metapaths_schema_full",
+    "algo.getLabelIdToLabelNameMapping": "neo4j_graph_algorithms_spark.operators.reducer.label_dictionary",
     "algo.computeAllMetaPaths": "neo4j_graph_algorithms_spark.operators.metapath.compute_all_metapaths",
     "algo.computeAllMetaPathsBetweenTypes": "neo4j_graph_algorithms_spark.operators.metapath.compute_all_metapaths",
     "algo.computeAllMetaPathsForInstances": "neo4j_graph_algorithms_spark.operators.metapath.compute_all_metapaths",
