@@ -50,6 +50,8 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    hub_threshold: int | None = None,
+    salt_buckets: int = 16,
 ) -> SuperstepResult:
     """Return SuperstepResult whose state is [vid, rank, delta].
 
@@ -57,6 +59,15 @@ def pagerank(
     iterations with no convergence test (impl/PageRank.java:344-354).
     `tolerance=1e-6` adds the convergence stop on max|delta| from
     BASELINE.json's metric.
+
+    `hub_threshold`: if set, destinations with in-degree >= threshold get an
+    explicit salted two-phase aggregation — each superstep first sums
+    contributions per (dst, salt) over `salt_buckets` reducers, then folds
+    the partials per dst.  This splits a hub's reduce work across
+    `salt_buckets` tasks when AQE's skew handling isn't enough (the 10^12-
+    scale 'every commit touches README' vertex; reference precedent:
+    high-degree precompute, impl/metapath/MetaPathPrecomputeHighDegreeNodes
+    .java).  Results are identical; only the aggregation tree changes.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     alpha = 1.0 - damping_factor
@@ -67,8 +78,15 @@ def pagerank(
         ef.df.select(SRC, DST)
         .join(out_deg.select(F.col(VID).alias(SRC), "outdeg"), on=SRC)
         .select(SRC, DST, (F.lit(1.0) / F.col("outdeg")).alias("inv_deg"))
-        .repartition(SRC)
     )
+    if hub_threshold is not None:
+        # static salt column: salt = hash(src) % buckets on hub-destined
+        # edges, 0 elsewhere (graph.hub_salting semantics, built once)
+        from neo4j_graph_algorithms_spark.graph import hub_salting
+
+        in_deg = ef.degrees("INCOMING")
+        edges_wd = hub_salting(edges_wd, in_deg, hub_threshold, salt_buckets)
+    edges_wd = edges_wd.repartition(SRC)
     edges_wd.persist()
     edges_wd.count()  # materialize once so every superstep rescans from cache
 
@@ -87,10 +105,23 @@ def pagerank(
         # non-scaling fraction at cluster sizes); with it the small state
         # side shuffles to the cached edge partitioning and builds per-task.
         active = state.filter(F.col(DELTA) > 0).hint("shuffle_hash")
-        msgs = active.join(
-            edges_wd, active[VID] == edges_wd[SRC], "inner"
-        ).select(F.col(DST).alias(VID), (F.col(DELTA) * F.col("inv_deg")).alias("contrib"))
-        sums = msgs.groupBy(VID).agg(F.sum("contrib").alias("s"))
+        if hub_threshold is not None:
+            msgs = active.join(
+                edges_wd, active[VID] == edges_wd[SRC], "inner"
+            ).select(
+                F.col(DST).alias(VID),
+                F.col("salt"),
+                (F.col(DELTA) * F.col("inv_deg")).alias("contrib"),
+            )
+            # two-phase: per-(dst, salt) partials spread a hub over
+            # salt_buckets reducers, then a tiny per-dst fold
+            partials = msgs.groupBy(VID, "salt").agg(F.sum("contrib").alias("ps"))
+            sums = partials.groupBy(VID).agg(F.sum("ps").alias("s"))
+        else:
+            msgs = active.join(
+                edges_wd, active[VID] == edges_wd[SRC], "inner"
+            ).select(F.col(DST).alias(VID), (F.col(DELTA) * F.col("inv_deg")).alias("contrib"))
+            sums = msgs.groupBy(VID).agg(F.sum("contrib").alias("s"))
         return (
             state.join(sums.hint("shuffle_hash"), on=VID, how="left")
             .select(

@@ -61,3 +61,18 @@ def test_pagerank_resume(spark, tmp_path, f1_pagerank_wiki):
     b = ranks_by_name(resumed, ids)
     for name in ids:
         assert math.isclose(a[name], b[name], abs_tol=1e-12)
+
+
+def test_pagerank_hub_salting_identical(spark, f1_pagerank_wiki):
+    """Salted two-phase aggregation changes the plan, not the numbers."""
+    edges, ids = f1_pagerank_wiki
+
+    plain = pagerank(spark, edges, max_iterations=20)
+    salted = pagerank(
+        spark, edges, max_iterations=20, hub_threshold=2, salt_buckets=4
+    )
+    a = {r.vid: r.rank for r in plain.state.collect()}
+    b = {r.vid: r.rank for r in salted.state.collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert math.isclose(a[v], b[v], rel_tol=0, abs_tol=1e-12), v
