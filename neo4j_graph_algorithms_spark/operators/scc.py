@@ -49,9 +49,9 @@ def scc(
     e = ef.df.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
     e.persist()
 
-    verts = vertices.select(VID) if vertices is not None else (
-        e.select(F.col(SRC).alias(VID)).unionByName(e.select(F.col(DST).alias(VID))).distinct()
-    )
+    # vertices come from the UNFILTERED edge set: a vertex with only a
+    # self-loop is still a (singleton) SCC
+    verts = vertices.select(VID) if vertices is not None else ef.vertices()
     remaining = verts.localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
 
@@ -130,6 +130,9 @@ def scc(
         assigned_parts.append(in_scc.select(VID, F.col("color").alias(COMP)))
         remaining = core.join(in_scc, on=VID, how="left_anti").localCheckpoint(eager=True)
 
+    if not assigned_parts:
+        e.unpersist()
+        return spark.createDataFrame([], f"{VID} long, {COMP} long")
     out = assigned_parts[0]
     for p in assigned_parts[1:]:
         out = out.unionByName(p)

@@ -1,0 +1,147 @@
+"""Property-based randomized tests: random small graphs vs pure-Python
+oracles (SURVEY.md §5 — the reference has no property tests; these harden
+the exact-output operators beyond the hand-built fixtures).
+
+Hypothesis generates edge lists; settings keep each Spark round short
+(deadline disabled — JVM latency, not algorithm cost)."""
+
+from __future__ import annotations
+
+from collections import deque
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from neo4j_graph_algorithms_spark.csr.wcc import wcc_csr
+from neo4j_graph_algorithms_spark.operators.scc import scc
+from neo4j_graph_algorithms_spark.operators.paths import sssp
+from neo4j_graph_algorithms_spark.operators.triangles import triangle_count
+from neo4j_graph_algorithms_spark.operators.wcc import wcc
+
+from tests.conftest import edge_df
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def py_wcc(pairs):
+    """Undirected components by BFS; comp = min member id."""
+    adj = {}
+    nodes = set()
+    for s, d in pairs:
+        nodes.add(s)
+        nodes.add(d)
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    comp = {}
+    for start in sorted(nodes):
+        if start in comp:
+            continue
+        q, members = deque([start]), []
+        seen = {start}
+        while q:
+            u = q.popleft()
+            members.append(u)
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        m = min(members)
+        for u in members:
+            comp[u] = m
+    return comp
+
+
+def py_scc(pairs):
+    """Tarjan-free SCC oracle: mutual reachability closure, comp = min."""
+    nodes = sorted({x for e in pairs for x in e})
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    def reach(u):
+        seen = {u}
+        q = deque([u])
+        while q:
+            x = q.popleft()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        return seen
+    r = {u: reach(u) for u in nodes}
+    return {u: min([u] + [v for v in nodes if u in r[v] and v in r[u]]) for u in nodes}
+
+
+def py_sssp(pairs, source):
+    """Unweighted min-hop distances (weights all 1.0)."""
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    dist = {source: 0.0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1.0
+                q.append(v)
+    return dist
+
+
+def py_triangles(pairs):
+    und = {tuple(sorted(e)) for e in pairs if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    total = 0
+    for i, u in enumerate(nodes):
+        for v in (x for x in adj[u] if x > u):
+            total += len([w for w in adj[u] & adj[v] if w > v])
+    return total
+
+
+@given(EDGES)
+@SETTINGS
+def test_wcc_random(spark, pairs):
+    got = {r.vid: r.comp for r in wcc(spark, edge_df(spark, pairs)).state.collect()}
+    assert got == py_wcc(pairs)
+
+
+@given(EDGES)
+@SETTINGS
+def test_wcc_csr_random(spark, pairs):
+    got = {r.vid: r.comp for r in wcc_csr(spark, edge_df(spark, pairs), num_buckets=3).collect()}
+    assert got == py_wcc(pairs)
+
+
+@given(EDGES)
+@SETTINGS
+def test_scc_random(spark, pairs):
+    got = {r.vid: r.comp for r in scc(spark, edge_df(spark, pairs)).collect()}
+    assert got == py_scc(pairs)
+
+
+@given(EDGES)
+@SETTINGS
+def test_sssp_random(spark, pairs):
+    source = min(x for e in pairs for x in e)
+    got = {r.vid: r.dist for r in sssp(spark, edge_df(spark, pairs), source=source).collect()}
+    assert got == py_sssp(pairs, source)
+
+
+@given(EDGES)
+@SETTINGS
+def test_triangles_random(spark, pairs):
+    _, total = triangle_count(spark, edge_df(spark, pairs))
+    assert total == py_triangles(pairs)
