@@ -195,6 +195,28 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vid", F.round("centrality", 6).alias("centrality"))
 
 
+def _q_corpus_cocommit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ingest path (BASELINE.json input_hint): synthesize the
+    (repo,path,commit,lang,content) table, derive co-commit edges with
+    hashed vertex ids.  Deterministic; rows-only check (xxhash64 ids are
+    not reproducible in the SQL oracle engine)."""
+    from neo4j_graph_algorithms_spark.sources.corpus import synthesize_corpus
+    from neo4j_graph_algorithms_spark.sources.derive import cocommit_edges
+
+    return cocommit_edges(synthesize_corpus(spark))
+
+
+def _q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the corpus co-commit graph (the north-star flagship
+    path end-to-end).  Rows-only check."""
+    from neo4j_graph_algorithms_spark.sources.corpus import synthesize_corpus
+    from neo4j_graph_algorithms_spark.sources.derive import cocommit_edges
+
+    edges = cocommit_edges(synthesize_corpus(spark))
+    res = pagerank(spark, edges, max_iterations=10)
+    return res.state.select("vid", F.round("rank", 6).alias("rank"))
+
+
 # ---- training-data pipeline queries (documents / embeddings tables) ---------
 
 
@@ -286,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_from_0": _q_sssp,
         "closeness_sampled": _q_closeness,
         "harmonic_sampled": _q_harmonic,
+        "corpus_cocommit_edges": _q_corpus_cocommit,
+        "corpus_cocommit_pagerank": _q_corpus_pagerank,
         "doc_token_count": _q_token_count,
         "doc_language_id": _q_language_id,
         "doc_quality_score": _q_quality,
