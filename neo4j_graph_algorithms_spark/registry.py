@@ -74,10 +74,21 @@ PROCEDURES: dict[str, str] = {
     "algo.pageRank": "neo4j_graph_algorithms_spark.operators.pagerank.pagerank",
     "algo.unionFind": "neo4j_graph_algorithms_spark.operators.wcc.wcc",
     "algo.unionFind.mscoloring": "neo4j_graph_algorithms_spark.operators.wcc.wcc",
+    # the reference's parallel-chunked UF family (queue / forkJoin / fjMerge,
+    # UnionFindProc2/3/4.java) = same outputs, parallel local-merge plan;
+    # our Tier B bucket-local collapse is that plan
+    "algo.unionFind.queue": "neo4j_graph_algorithms_spark.csr.wcc.wcc_csr",
+    "algo.unionFind.forkJoin": "neo4j_graph_algorithms_spark.csr.wcc.wcc_csr",
+    "algo.unionFind.forkJoinMerge": "neo4j_graph_algorithms_spark.csr.wcc.wcc_csr",
     "algo.labelPropagation": "neo4j_graph_algorithms_spark.operators.lpa.lpa",
     "algo.triangleCount": "neo4j_graph_algorithms_spark.operators.triangles.triangle_count",
     "algo.triangle.stream": "neo4j_graph_algorithms_spark.operators.triangles.triangle_stream",
     "algo.scc": "neo4j_graph_algorithms_spark.operators.scc.scc",
+    # Tarjan variants (iterative/tuned/recursive) and multistep/FW-BW all
+    # compute the same partition; one coloring+FW-BW dataflow serves them
+    "algo.scc.iterative": "neo4j_graph_algorithms_spark.operators.scc.scc",
+    "algo.scc.multistep": "neo4j_graph_algorithms_spark.operators.scc.scc",
+    "algo.scc.forwardBackward": "neo4j_graph_algorithms_spark.operators.scc.scc",
     "algo.shortestPath": "neo4j_graph_algorithms_spark.operators.paths.sssp",
     "algo.shortestPath.deltaStepping": "neo4j_graph_algorithms_spark.operators.paths.delta_stepping",
     "algo.shortestPaths": "neo4j_graph_algorithms_spark.operators.paths.shortest_paths",

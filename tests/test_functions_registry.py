@@ -74,7 +74,10 @@ def test_list_procedures(spark):
     assert all("implementation" in p for p in procs)
     assert [p["name"] for p in list_procedures("unionFind")] == [
         "algo.unionFind",
+        "algo.unionFind.forkJoin",
+        "algo.unionFind.forkJoinMerge",
         "algo.unionFind.mscoloring",
+        "algo.unionFind.queue",
     ]
 
 
