@@ -129,6 +129,19 @@ def _q_out_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.groupBy(F.col("outdeg").alias("degree")).agg(F.count("*").alias("n_nodes"))
 
 
+def _q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.csr.pagerank import pagerank_csr
+
+    res = pagerank_csr(spark, lineseq_edges(spark, sf_dir), max_iterations=20)
+    return res.state.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def _q_wcc_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.csr.wcc import wcc_csr
+
+    return wcc_csr(spark, coorder_edges(spark, sf_dir)).select("vid", "comp")
+
+
 def _q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.graph import EdgeFrame
 
@@ -299,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": _q_lpa,
         "metapath_len3": _q_metapath,
         "out_degree_distribution": _q_out_degree_distribution,
+        "pagerank_csr_20iter": _q_pagerank_csr,
+        "wcc_components_csr": _q_wcc_csr,
         "wcc_threshold2": _q_wcc_threshold,
         "wcc_mscoloring": _q_mscoloring,
         "triangle_stream": _q_triangle_stream,
@@ -338,6 +353,9 @@ def oracle_sql() -> dict[str, str]:
         "lpa_3iter": oracles.lpa_sql(iterations=3),
         "metapath_len3": oracles.metapath_sql(length=3),
         "out_degree_distribution": oracles.out_degree_distribution_sql(),
+        # Tier B kernels share Tier A's oracles: identical output contracts
+        "pagerank_csr_20iter": oracles.pagerank_sql(iterations=20),
+        "wcc_components_csr": oracles.wcc_sql(rounds=12),
         "wcc_threshold2": oracles.wcc_threshold_sql(threshold=2.0),
         "wcc_mscoloring": oracles.mscoloring_sql(rounds=12),
         "triangle_stream": oracles.triangle_stream_sql(),
