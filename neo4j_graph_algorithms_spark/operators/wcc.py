@@ -97,20 +97,26 @@ def wcc(
         )
         return jumped
 
+    # Convergence via a monotone checksum instead of a change-count join:
+    # labels only ever DECREASE under min-propagation (or increase under
+    # max), so Σcomp is strictly monotone until the fixpoint — one cheap
+    # aggregate per round replaces a 2M×2M shuffle join.
+    prev_sum: list[int | None] = [None]
+
     def metric(new: DataFrame, old: DataFrame, i: int) -> float:
-        # number of vertices whose comp changed (runs on cached blocks)
-        return float(
-            new.alias("n")
-            .join(old.alias("o"), on=VID)
-            .filter(F.col(f"n.{COMP}") != F.col(f"o.{COMP}"))
-            .count()
-        )
+        # decimal(38,0): comp ids are arbitrary 64-bit (hashed) vids, a
+        # plain long sum would overflow; comparison is exact integer
+        row = new.agg(F.sum(F.col(COMP).cast("decimal(38,0)")).alias("s")).collect()[0]
+        s = int(row["s"] or 0)
+        delta = None if prev_sum[0] is None else abs(prev_sum[0] - s)
+        prev_sum[0] = s
+        return float("inf") if delta is None else float(min(delta, 10**15))
 
     runner = SuperstepRunner(
         spark,
         max_iterations=max_iterations,
         metric=metric,
-        converged=lambda changed: changed == 0,
+        converged=lambda delta: delta == 0,
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
         job_group="linkgraph-wcc",
