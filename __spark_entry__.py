@@ -181,7 +181,9 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = lineseq_edges(spark, sf_dir).filter((F.col("src") < 400) & (F.col("dst") < 400))
-    return scc(spark, e)
+    # tarjan_cutoff=0: gate the DISTRIBUTED trim+color+FW∩BW path, not the
+    # small-remainder sequential fallback
+    return scc(spark, e, tarjan_cutoff=0)
 
 
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,23 +213,188 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_corpus_cocommit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ingest path (BASELINE.json input_hint): synthesize the
     (repo,path,commit,lang,content) table, derive co-commit edges with
-    hashed vertex ids.  Deterministic; rows-only check (xxhash64 ids are
-    not reproducible in the SQL oracle engine)."""
+    hashed vertex ids.  'poly' hash mode (engine-independent polynomial
+    hash) so the DuckDB oracle regenerates the identical table + ids and
+    the gate gets a full value-hash check; production uses xxhash64."""
     from neo4j_graph_algorithms_spark.sources.corpus import synthesize_corpus
     from neo4j_graph_algorithms_spark.sources.derive import cocommit_edges
 
-    return cocommit_edges(synthesize_corpus(spark))
+    return cocommit_edges(synthesize_corpus(spark, hash_mode="poly"), id_mode="poly")
 
 
 def _q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the corpus co-commit graph (the north-star flagship
-    path end-to-end).  Rows-only check."""
+    path end-to-end), fully oracle-checked in poly hash mode."""
     from neo4j_graph_algorithms_spark.sources.corpus import synthesize_corpus
     from neo4j_graph_algorithms_spark.sources.derive import cocommit_edges
 
-    edges = cocommit_edges(synthesize_corpus(spark))
+    edges = cocommit_edges(synthesize_corpus(spark, hash_mode="poly"), id_mode="poly")
     res = pagerank(spark, edges, max_iterations=10)
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
+
+
+# ---- round-2 gate expansion: betweenness / mst / paths / metapath -----------
+
+
+def _bsub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-capped distinct line-seq subgraph for the Brandes gates."""
+    return (
+        lineseq_edges(spark, sf_dir)
+        .filter((F.col("src") < 200) & (F.col("dst") < 200))
+        .distinct()
+    )
+
+
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.betweenness import betweenness
+
+    res = betweenness(spark, _bsub(spark, sf_dir), max_depth=12)
+    return res.select("vid", F.round("centrality", 6).alias("centrality"))
+
+
+def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.betweenness import betweenness_sampled
+
+    res = betweenness_sampled(
+        spark, _bsub(spark, sf_dir), strategy="degree", k=32, max_depth=12
+    )
+    return res.select("vid", F.round("centrality", 6).alias("centrality"))
+
+
+def _q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.mst import mst
+
+    return mst(spark, coorder_edges(spark, sf_dir))
+
+
+def _q_mst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.mst import mst, mst_stats
+
+    return mst_stats(mst(spark, coorder_edges(spark, sf_dir)))
+
+
+def _q_delta_stepping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.paths import delta_stepping
+
+    return delta_stepping(spark, lineseq_edges(spark, sf_dir), source=0, delta=2.0)
+
+
+def _q_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+    from neo4j_graph_algorithms_spark.operators.msbfs import all_shortest_paths
+
+    ef = EdgeFrame(lineseq_edges(spark, sf_dir))
+    srcs = ef.vertices().filter(F.col("vid") < 16)
+    return all_shortest_paths(spark, ef, sources=srcs, direction="BOTH", max_depth=8)
+
+
+def _q_apsp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+    from neo4j_graph_algorithms_spark.operators.paths import all_shortest_paths_weighted
+
+    e = lineseq_edges(spark, sf_dir).withColumn(
+        "weight", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")
+    )
+    ef = EdgeFrame(e)
+    srcs = ef.vertices().filter(F.col("vid") <= 8)
+    return all_shortest_paths_weighted(spark, ef, sources=srcs)
+
+
+def _q_shortest_path_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.paths import shortest_path, sssp
+
+    e = lineseq_edges(spark, sf_dir)
+    d = sssp(spark, e, source=0)
+    target = d.orderBy(F.desc("dist"), F.asc("vid")).limit(1).collect()[0]["vid"]
+    return shortest_path(spark, e, source=0, target=int(target))
+
+
+def _q_metapath_between_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, labels = typed_graph(spark, sf_dir)
+    return compute_all_metapaths(
+        spark, edges, labels, length=3, start_labels=[0], end_labels=[1]
+    )
+
+
+def _q_metapath_for_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, labels = typed_graph(spark, sf_dir)
+    seeds = labels.filter(F.col("vid") <= 50).select("vid")
+    return compute_all_metapaths(spark, edges, labels, length=3, seed_vertices=seeds)
+
+
+def _q_metapath_instance_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.metapath import metapath_between
+
+    edges, labels = typed_graph(spark, sf_dir)
+    return metapath_between(spark, edges, labels, start_vid=1, end_vid=2, length=3)
+
+
+def _q_get_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.metapath import get_schema
+
+    edges, labels = typed_graph(spark, sf_dir)
+    return get_schema(spark, edges, labels)
+
+
+def _q_graph_reducer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.reducer import graph_reducer
+
+    edges, labels = typed_graph(spark, sf_dir)
+    e, _ = graph_reducer(edges, labels, keep_labels=[0, 1], keep_types=[0, 1, 2])
+    return e
+
+
+def _q_schema_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.metapath import (
+        compute_metapaths_schema_full,
+    )
+
+    edges, labels = typed_graph(spark, sf_dir)
+    return compute_metapaths_schema_full(spark, edges, labels, length=3)
+
+
+def _q_schema_full_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.metapath import (
+        compute_metapaths_schema_full_weights,
+    )
+
+    edges, labels = typed_graph(spark, sf_dir)
+    res = compute_metapaths_schema_full_weights(spark, edges, labels, length=3)
+    return res.select("path", F.round("weight", 9).alias("weight"))
+
+
+def _q_louvain_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checkable louvain invariant: the heuristic's modularity must be
+    at least the vid%7 strawman's (both computed with the gate-verified
+    modularity_df)."""
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+    from neo4j_graph_algorithms_spark.operators.louvain import louvain, modularity_df
+
+    ef = EdgeFrame(coorder_edges(spark, sf_dir))
+    q_louvain = modularity_df(
+        spark, ef, louvain(spark, ef, max_iterations=6)
+    ).collect()[0]["modularity"]
+    strawman = ef.vertices().select(
+        "vid", F.pmod(F.col("vid"), F.lit(7)).alias("community")
+    )
+    q_straw = modularity_df(spark, ef, strawman).collect()[0]["modularity"]
+    return spark.createDataFrame(
+        [(bool(q_louvain >= q_straw),)], "louvain_beats_strawman boolean"
+    )
+
+
+def _q_corpus_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.sources.corpus import synthesize_corpus, with_sha
+
+    c = synthesize_corpus(spark, hash_mode="poly")
+    return with_sha(c).select("repo", "path", "commit", "content_sha256")
+
+
+def _q_corpus_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.sources.corpus import synthesize_corpus
+    from neo4j_graph_algorithms_spark.sources.derive import import_edges
+
+    return import_edges(synthesize_corpus(spark, hash_mode="poly"), id_mode="poly")
 
 
 # ---- training-data pipeline queries (documents / embeddings tables) ---------
@@ -298,6 +465,45 @@ def _q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_dictionary(_docs(spark, sf_dir))
+
+
+def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.pipeline.similarity import ivf_build, ivf_search
+
+    embs = _embs(spark, sf_dir)
+    cents, assign = ivf_build(embs, n_centroids=4, iterations=2, quantize=6)
+    queries_df = embs.filter(F.col("vec_id") < 8)
+    return ivf_search(embs, cents, assign, queries_df, k=5, n_probes=2, quantize=6)
+
+
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.pipeline.curate import curate
+
+    res = curate(
+        _docs(spark, sf_dir),
+        min_quality=0.5,
+        near_dup_threshold=0.8,
+        ngram=3,
+        num_hashes=8,
+        bands=4,
+        hash_mode="dict",
+    )
+    s = res.stats
+    return spark.createDataFrame(
+        [
+            (
+                s["input"],
+                s["after_quality"],
+                s["after_exact_dedup"],
+                s["after_near_dedup"],
+            )
+        ],
+        "input long, after_quality long, after_exact_dedup long, after_near_dedup long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "coorder_edges": _q_coorder_edges,
@@ -325,6 +531,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_sampled": _q_harmonic,
         "corpus_cocommit_edges": _q_corpus_cocommit,
         "corpus_cocommit_pagerank": _q_corpus_pagerank,
+        "corpus_content_sha": _q_corpus_sha,
+        "corpus_import_edges": _q_corpus_import,
+        "betweenness_exact": _q_betweenness,
+        "betweenness_degree_sampled": _q_betweenness_sampled,
+        "mst_forest": _q_mst,
+        "mst_stats": _q_mst_stats,
+        "delta_stepping_from_0": _q_delta_stepping,
+        "all_shortest_paths_16src": _q_all_shortest_paths,
+        "apsp_weighted_8src": _q_apsp_weighted,
+        "shortest_path_nodes": _q_shortest_path_nodes,
+        "metapath_between_types": _q_metapath_between_types,
+        "metapath_for_instances": _q_metapath_for_instances,
+        "metapath_instance_pair": _q_metapath_instance_pair,
+        "metapath_get_schema": _q_get_schema,
+        "graph_reducer_edges": _q_graph_reducer,
+        "metapath_schema_full": _q_schema_full,
+        "metapath_schema_full_weights": _q_schema_full_weights,
+        "louvain_q_invariant": _q_louvain_invariant,
         "doc_token_count": _q_token_count,
         "doc_language_id": _q_language_id,
         "doc_quality_score": _q_quality,
@@ -336,6 +560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_cosine_topk,
         "ann_cosine_pairs": _q_cosine_pairs,
         "ann_srp_lsh_pairs": _q_srp_lsh_pairs,
+        "doc_token_dictionary": _q_token_dictionary,
+        "ann_ivf_search": _q_ivf_search,
+        "curate_stage_counts": _q_curate,
     }
 
 
@@ -361,11 +588,44 @@ def oracle_sql() -> dict[str, str]:
         "triangle_stream": oracles.triangle_stream_sql(),
         "modularity_vid_mod7": oracles.modularity_sql(mod=7),
         # louvain_communities: heuristic local-move loop — not SQL-expressible;
-        # driver records the weaker rows-only check (pytest covers semantics)
+        # driver records the weaker rows-only check (pytest covers semantics,
+        # and louvain_q_invariant gates the modularity-dominance invariant)
         "scc_components": oracles.scc_sql(max_vid=400),
         "sssp_from_0": oracles.sssp_sql(source=0, rounds=10),
         "closeness_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
         "harmonic_sampled": oracles.harmonic_sql(n_sources=32, max_depth=8),
+        "corpus_cocommit_edges": oracles.corpus_cocommit_sql(),
+        "corpus_cocommit_pagerank": oracles.corpus_pagerank_sql(iterations=10),
+        "corpus_content_sha": oracles.corpus_sha_sql(),
+        "corpus_import_edges": oracles.corpus_import_sql(),
+        "betweenness_exact": oracles.betweenness_sql(max_vid=200, max_depth=12),
+        "betweenness_degree_sampled": oracles.betweenness_sampled_sql(
+            max_vid=200, k=32, max_depth=12
+        ),
+        "mst_forest": oracles.mst_sql(),
+        "mst_stats": oracles.mst_stats_sql(),
+        "delta_stepping_from_0": oracles.sssp_sql(source=0, rounds=10),
+        "all_shortest_paths_16src": oracles.all_shortest_paths_sql(
+            n_sources=16, max_depth=8
+        ),
+        "apsp_weighted_8src": oracles.apsp_weighted_sql(max_src=8, rounds=32),
+        "shortest_path_nodes": oracles.shortest_path_nodes_sql(source=0, rounds=10),
+        "metapath_between_types": oracles.metapath_variant_sql(
+            length=3, start_labels=[0], end_labels=[1]
+        ),
+        "metapath_for_instances": oracles.metapath_variant_sql(
+            length=3, seed_max_vid=50
+        ),
+        "metapath_instance_pair": oracles.metapath_variant_sql(
+            length=3, start_vid=1, end_vid=2
+        ),
+        "metapath_get_schema": oracles.get_schema_sql(),
+        "graph_reducer_edges": oracles.graph_reducer_sql(
+            keep_labels=[0, 1], keep_types=[0, 1, 2]
+        ),
+        "metapath_schema_full": oracles.schema_full_sql(length=3),
+        "metapath_schema_full_weights": oracles.schema_full_weights_sql(length=3),
+        "louvain_q_invariant": oracles.louvain_invariant_sql(),
         "doc_token_count": pipeline_oracles.token_count_sql(),
         "doc_language_id": pipeline_oracles.language_id_sql(),
         "doc_quality_score": pipeline_oracles.quality_score_sql(),
@@ -380,5 +640,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_pairs": pipeline_oracles.cosine_pairs_sql(threshold=0.5),
         "ann_srp_lsh_pairs": pipeline_oracles.srp_lsh_sql(
             threshold=0.4, n_planes=16, bands=4, dim=64
+        ),
+        "doc_token_dictionary": pipeline_oracles.token_dictionary_sql(),
+        "ann_ivf_search": pipeline_oracles.ivf_search_sql(
+            n_centroids=4, iterations=2, dim=64, k=5, n_probes=2, max_query_id=8
+        ),
+        "curate_stage_counts": pipeline_oracles.curate_sql(
+            min_quality=0.5, num_hashes=8, bands=4, n=3, threshold=0.8
         ),
     }

@@ -110,7 +110,9 @@ def pagerank_csr(
     runner = SuperstepRunner(
         spark,
         max_iterations=max_iterations,
-        metric=metric,
+        # fixed-iteration mode pays NO metric job: one driver-coordinated job
+        # per superstep, not two (Tier A does the same, operators/pagerank.py)
+        metric=(None if tolerance is None else metric),
         converged=(None if tolerance is None else (lambda m: m < tolerance)),
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,

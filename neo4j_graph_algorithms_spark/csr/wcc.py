@@ -20,6 +20,8 @@ the 'local union-find then global fixpoint' strategy from SURVEY §2.4.
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -106,6 +108,11 @@ def wcc_csr(
     verts = vertices.select(VID) if vertices is not None else ef.vertices()
     state = verts.select(VID, F.col(VID).alias(COMP)).localCheckpoint(eager=True)
 
+    # Convergence via the monotone checksum (labels only DECREASE, so Σcomp
+    # strictly decreases until the fixpoint) — one aggregate per round
+    # instead of a state self-join (same trick as operators/wcc.py).
+    prev_sum: int | None = None
+    converged = False
     for _ in range(max_rounds):
         st = state.withColumn("pkey", F.pmod(F.col(VID), F.lit(P)))
         proposals = grouped_edges.cogroup(st.groupby("pkey")).applyInPandas(
@@ -124,14 +131,18 @@ def wcc_csr(
             .select(VID, F.coalesce("_mc", COMP).alias(COMP))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(state.alias("o"), on=VID)
-            .filter(F.col(f"n.{COMP}") != F.col(f"o.{COMP}"))
-            .count()
-        )
         state = jumped
-        if changed == 0:
+        row = state.agg(F.sum(F.col(COMP).cast("decimal(38,0)")).alias("s")).collect()[0]
+        s = int(row["s"] or 0)
+        if prev_sum is not None and s == prev_sum:
+            converged = True
             break
+        prev_sum = s
+    if not converged:
+        warnings.warn(
+            f"wcc_csr: hit max_rounds={max_rounds} without converging; "
+            "component labels may be non-final",
+            RuntimeWarning,
+        )
     und.unpersist()
     return state

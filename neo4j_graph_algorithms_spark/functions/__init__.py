@@ -50,17 +50,19 @@ def combine_sorted(src, dst) -> Column:
 
 
 def register_sql_functions(spark: SparkSession) -> None:
-    """Register the scalar surface for SQL callers."""
-    from pyspark.sql.types import BooleanType, DoubleType
-
-    spark.udf.register(
-        "algo_isFinite",
-        lambda x: x is not None and x == x and abs(x) != float("inf"),
-        BooleanType(),
+    """Register the scalar surface for SQL callers as SQL UDFs (pure
+    expressions, JVM-side / codegen-friendly — NOT per-row Python)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION algo_isFinite(x DOUBLE) "
+        "RETURNS BOOLEAN RETURN x IS NOT NULL AND NOT isnan(x) "
+        "AND abs(x) <> double('Infinity')"
     )
-    spark.udf.register(
-        "algo_isInfinite",
-        lambda x: x is not None and x == x and abs(x) == float("inf"),
-        BooleanType(),
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION algo_isInfinite(x DOUBLE) "
+        "RETURNS BOOLEAN RETURN x IS NOT NULL AND NOT isnan(x) "
+        "AND abs(x) = double('Infinity')"
     )
-    spark.udf.register("algo_Infinity", lambda: float("inf"), DoubleType())
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION algo_Infinity() "
+        "RETURNS DOUBLE RETURN double('Infinity')"
+    )

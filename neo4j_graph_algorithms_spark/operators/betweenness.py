@@ -39,7 +39,9 @@ def betweenness(
     RA-Brandes estimate over the given [vid] sample, scaled by n/|sample|.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
-    e = ef.with_direction(direction).df.select(SRC, DST).distinct()
+    # cached pre-partitioned on the forward-join key (src): only the
+    # per-level frontier shuffles, never the edge table
+    e = ef.with_direction(direction).df.select(SRC, DST).distinct().repartition(SRC)
     e.persist()
     verts = ef.vertices().localCheckpoint(eager=True)
     n = verts.count()
@@ -64,7 +66,7 @@ def betweenness(
         new = pushed.join(visited, on=["s", VID], how="left_anti").localCheckpoint(
             eager=True
         )
-        if new.rdd.isEmpty():
+        if new.isEmpty():
             break
         levels.append(new)
         visited = visited.unionByName(new.select("s", VID)).localCheckpoint(eager=True)
@@ -138,7 +140,7 @@ def betweenness_sampled(
     if strategy == "random":
         src = verts.sample(fraction=fraction, seed=seed)
         # guarantee non-empty sample (reference falls back to >=1 node)
-        if src.rdd.isEmpty():
+        if src.isEmpty():
             src = verts.orderBy(VID).limit(1)
     elif strategy == "degree":
         kk = k if k is not None else max(1, int(verts.count() * fraction))

@@ -126,8 +126,24 @@ def louvain(
             .filter(F.col("_rn") == 1)
             .select(VID, F.col("c_nbr").alias("_best"), F.col("gain").alias("_bg"))
         )
-        stay = cand.filter(F.col("c_nbr") == F.col(COMM)).select(
-            VID, F.col("gain").alias("_sg")
+        # TRUE stay gain for EVERY node (not just nodes with a neighbor in
+        # their own community): kin_own/m − ki·(σ_own−ki)/(2m²), kin_own
+        # defaulting to 0.  A -inf sentinel here would let below-stay moves
+        # win and decrease modularity (the reference only moves on positive
+        # gain, impl/louvain/Louvain.java:37-200).
+        kin_own = cand.filter(F.col("c_nbr") == F.col(COMM)).select(
+            VID, F.col("kin").alias("_kin_own")
+        )
+        stay = (
+            state.join(sigma.select(COMM, "sigma"), on=COMM)
+            .join(kin_own, on=VID, how="left")
+            .select(
+                VID,
+                (
+                    F.coalesce(F.col("_kin_own"), F.lit(0.0)) / F.lit(m)
+                    - F.col("ki") * (F.col("sigma") - F.col("ki")) / F.lit(2.0 * m * m)
+                ).alias("_sg"),
+            )
         )
         # alternate halves to avoid synchronous oscillation
         movable = (F.col(VID) % 2 == it % 2)

@@ -73,7 +73,10 @@ def lpa(
         gather = gather.join(
             node_weights.select(F.col(VID).alias("nbr"), F.col("nweight")), on="nbr", how="left"
         ).select("gatherer", "nbr", (F.col(WEIGHT) * F.coalesce("nweight", F.lit(1.0))).alias(WEIGHT))
-    gather = gather.persist()
+    # Cached PRE-PARTITIONED on the superstep join key (nbr): the edge table
+    # shuffles once here; per superstep only the vertex state moves
+    # (same discipline as operators/pagerank.py).
+    gather = gather.repartition("nbr").persist()
 
     verts = vertices.select(VID) if vertices is not None else ef.vertices()
     if seeds is not None:

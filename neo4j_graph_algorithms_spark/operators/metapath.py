@@ -96,9 +96,9 @@ def compute_all_metapaths(
             )
         return rec.groupBy(PATH).agg(F.sum(CNT).alias(CNT))
 
+    state = state.localCheckpoint(eager=True)
     results = [_record(state)]
     for _level in range(1, length):
-        state = state.localCheckpoint(eager=True)  # truncate iterative lineage
         expanded = (
             state.join(und.withColumnRenamed(SRC, VID), on=VID)
             .join(prim.select(F.col(VID).alias(DST), "label"), on=DST)
@@ -109,6 +109,9 @@ def compute_all_metapaths(
             )
             .groupBy(PATH, VID)
             .agg(F.sum(CNT).alias(CNT))
+            # checkpoint BEFORE the explosion-guard count so the guard and
+            # the next level both read materialized blocks (no double compute)
+            .localCheckpoint(eager=True)
         )
         state = expanded
         n_paths = state.select(PATH).distinct().count()
@@ -154,9 +157,9 @@ def metapath_between(
             st.filter(F.col(VID) == int(end_vid)).groupBy(PATH).agg(F.sum(CNT).alias(CNT))
         )
 
+    state = state.localCheckpoint(eager=True)
     results = [_record(state)]
     for _level in range(1, length):
-        state = state.localCheckpoint(eager=True)
         state = (
             state.join(und.withColumnRenamed(SRC, VID), on=VID)
             .join(prim.select(F.col(VID).alias(DST), "label"), on=DST)
@@ -167,6 +170,7 @@ def metapath_between(
             )
             .groupBy(PATH, VID)
             .agg(F.sum(CNT).alias(CNT))
+            .localCheckpoint(eager=True)
         )
         n_paths = state.select(PATH).distinct().count()
         if n_paths > max_paths:
@@ -188,21 +192,57 @@ def precompute_high_degree_metapaths(
     length: int,
     ratio: float = 0.1,
     output_path: str | None = None,
+    max_paths: int = 1_000_000,
 ) -> DataFrame:
     """algo.metaPathPrecomputeHighDegreeNodes
-    (impl/metapath/MetaPathPrecomputeHighDegreeNodes.java): metapath counts
-    seeded only from the top-`ratio` highest-degree nodes (the reference's
-    hub mitigation — precompute what everyone will ask about), optionally
-    persisted for `read_precomputed_metapaths`.  Returns [path, cnt]."""
+    (impl/metapath/MetaPathPrecomputeHighDegreeNodes.java:26,52-76): a
+    PER-START-NODE metapath index over the top-`ratio` highest-degree nodes
+    (the reference's hub mitigation — precompute what everyone will ask
+    about).  The reference's result shape is
+    HashMap<startNode, HashMap<metaPath, HashSet<endNode>>>; ours is the
+    exploded relational twin [start, path, end] (distinct rows; `path` is
+    the type|label|... expansion sequence WITHOUT the start label, matching
+    MetaPathPrecomputeHighDegreeNodes.java:193's convention).  Optionally
+    persisted for `read_precomputed_metapaths`."""
     from neo4j_graph_algorithms_spark.graph import EdgeFrame
 
     deg = EdgeFrame(edges.select(SRC, DST)).degrees("BOTH")
     n = deg.count()
     k = max(1, int(n * ratio))
     hubs = deg.orderBy(F.desc("degree"), F.asc(VID)).limit(k).select(VID)
-    out = compute_all_metapaths(
-        spark, edges, node_labels, length=length, seed_vertices=hubs
+
+    und = _undirected_typed(edges).persist()
+    prim = _primary_labels(node_labels).persist()
+    # set semantics (HashSet<endNode>): state rows are DISTINCT (start, path, vid)
+    state = hubs.select(
+        F.col(VID).alias("start"), F.lit("").alias(PATH), F.col(VID)
     )
+    parts: list[DataFrame] = []
+    for _level in range(1, length):
+        state = (
+            state.join(und.withColumnRenamed(SRC, VID), on=VID)
+            .join(prim.select(F.col(VID).alias(DST), "label"), on=DST)
+            .select(
+                "start",
+                F.concat_ws(
+                    "|", F.when(F.col(PATH) != "", F.col(PATH)), F.col(TYPE).cast("string"),
+                    F.col("label"),
+                ).alias(PATH),
+                F.col(DST).alias(VID),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_paths = state.select(PATH).distinct().count()
+        if n_paths > max_paths:
+            raise RuntimeError(f"metapath state explosion: {n_paths} paths")
+        parts.append(state)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.select("start", PATH, F.col(VID).alias("end")).distinct()
+    und.unpersist()
+    prim.unpersist()
     if output_path:
         out.write.mode("overwrite").parquet(output_path)
     return out
@@ -247,6 +287,77 @@ def compute_metapaths_schema_full(
                     nxt.append((np_, nb))
         frontier = nxt
     return spark.createDataFrame([(p,) for p in sorted(paths)], f"{PATH} string")
+
+
+def compute_metapaths_schema_full_weights(
+    spark: SparkSession,
+    edges: DataFrame,
+    node_labels: DataFrame,
+    length: int,
+) -> DataFrame:
+    """algo.computeAllMetaPathsSchemaFullWeights
+    (impl/metapath/ComputeAllMetaPathsSchemaFullWeights.java:18-417):
+    schema-graph metapaths of 2..`length` labels, each weighted by the
+    product over its consecutive label|type|label segments of
+
+        w(l1,t,l2) = cnt(l1,t,l2) / Σ_all-ordered-schema-adjacencies cnt
+
+    where cnt is the instance-edge count of the segment
+    (computeTwoMPWeights:236-263; the Cypher `(:L1)-[:T]-(:L2)` count —
+    each undirected edge once for l1≠l2, twice for l1=l2 because the
+    symmetric pattern binds both orientations), the denominator sums over
+    ordered schema adjacencies (getTwoMPWeights:215-233: each l1≠l2 schema
+    edge appears from both endpoints), and segment lookup is
+    orientation-insensitive (the dict holds both orientations).
+
+    Unlike SchemaFull, the single-label seed paths are NOT emitted
+    (only expansions reach duplicateFreeMetaPaths, :154-166).
+
+    Returns [path, weight].  The schema graph is tiny by construction (the
+    reference materializes it driver-side via apoc.meta.graph); segment
+    counts are computed distributed, then the label-level enumeration runs
+    on the collected schema."""
+    und = _undirected_typed(edges)
+    prim = _primary_labels(node_labels)
+    seg_counts = (
+        und.join(prim.select(F.col(VID).alias(SRC), F.col("label").alias("l1")), on=SRC)
+        .join(prim.select(F.col(VID).alias(DST), F.col("label").alias("l2")), on=DST)
+        .groupBy("l1", TYPE, "l2")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    # und holds each undirected edge in BOTH directions, so the grouped count
+    # is already: l1≠l2 → edge count per orientation; l1==l2 → 2×edge count
+    # (exactly the Cypher symmetric-binding convention).
+    w2: dict[tuple[int, int, int], float] = {}
+    total = 0
+    for r in seg_counts:
+        key = (int(r["l1"]), int(r[TYPE]), int(r["l2"]))
+        w2[key] = w2.get(key, 0) + int(r["cnt"])
+        total += int(r["cnt"])
+    if total == 0:
+        return spark.createDataFrame([], f"{PATH} string, weight double")
+    # schema adjacency (undirected)
+    adj: dict[int, set[tuple[int, int]]] = {}
+    for l1, t, l2 in w2:
+        adj.setdefault(l1, set()).add((t, l2))
+        adj.setdefault(l2, set()).add((t, l1))
+    rows: list[tuple[str, float]] = []
+    frontier = [(str(lb), lb, 1.0) for lb in sorted(adj)]
+    seen: set[str] = set()
+    for _ in range(1, length):
+        nxt = []
+        for p, lb, w in frontier:
+            for t, nb in sorted(adj.get(lb, set())):
+                seg_w = w2.get((lb, t, nb), w2.get((nb, t, lb), 0)) / total
+                np_ = f"{p}|{t}|{nb}"
+                nw = w * seg_w
+                if np_ not in seen:
+                    seen.add(np_)
+                    rows.append((np_, nw))
+                    nxt.append((np_, nb, nw))
+        frontier = nxt
+    return spark.createDataFrame(rows or [], f"{PATH} string, weight double")
 
 
 def get_schema(spark: SparkSession, edges: DataFrame, node_labels: DataFrame) -> DataFrame:

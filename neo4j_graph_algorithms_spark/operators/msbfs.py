@@ -8,22 +8,72 @@ The reference batches 32 concurrent BFS traversals into one bitset pass
   * harmonic (impl/MSHarmonicCentrality.java): BOTH-direction BFS;
     centrality(v) = Σ_s 1/d(s,v) / (n-1).
 
-DataFrame translation of the bitset trick: per source batch of ≤64 sources,
-vertex state carries two BIGINT bitmasks (visited, frontier); a superstep
-pushes frontier masks along edges, `groupBy(dst).agg(bit_or)` merges them
-(the shuffle IS the bitset union), newly-set bits contribute depth·popcount
-to farness.  Exact centralities loop over ⌈n/64⌉ batches (inherently O(n·m)
-like the reference); `sources`/`max_depth` expose the sampled/capped
-variant used at scale and by the correctness oracle.
+DataFrame translation of the bitset trick: vertex state carries two
+array<bigint> bitmask columns (visited, frontier) of `n_words` 64-bit words
+— one superstep advances up to 64·n_words concurrent BFS traversals; a
+superstep pushes frontier masks along edges, `groupBy(dst)` with per-word
+`bit_or` aggregates merges them (the shuffle IS the bitset union), and
+newly-set bits contribute depth·popcount to farness.  Exact centralities
+loop over ⌈n/(64·n_words)⌉ batch groups (inherently O(n·m) total work like
+the reference); `sources`/`max_depth` expose the sampled/capped variant
+used at scale and by the correctness oracle.
+
+Source→(group, word, bit) assignment is a DISTRIBUTED dense ranking
+(per-partition row_number + broadcast partition offsets) — no
+single-partition global window anywhere in the plan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
 
-OMEGA = 64  # bits per batch word (reference uses 32, impl/msbfs/MultiSourceBFS.java:79)
+OMEGA = 64  # bits per mask word (reference uses 32, impl/msbfs/MultiSourceBFS.java:79)
+N_WORDS = 4  # mask words per state row → 256 concurrent BFS per superstep
+
+
+def _rank_sources(src_df: DataFrame, group_size: int) -> DataFrame:
+    """[vid, grp, word, bit] deterministic dense assignment, distributed.
+
+    Two-phase ranking: hash-repartition by vid, rank WITHIN each partition
+    (parallel window), then add broadcast per-partition offsets — the
+    scalable replacement for row_number over a global Window.orderBy
+    (which funnels every source through one task).
+    """
+    npart = max(src_df.sparkSession.sparkContext.defaultParallelism, 1)
+    part = (
+        src_df.select(VID)
+        .repartition(npart, VID)
+        .withColumn("_p", F.spark_partition_id())
+    )
+    part = part.localCheckpoint(eager=True)  # pin partition ids
+    counts = part.groupBy("_p").agg(F.count("*").alias("_n")).collect()
+    offs: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_p"]):
+        offs[row["_p"]] = acc
+        acc += row["_n"]
+    spark = src_df.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offs.items()] or [(0, 0)], "_p int, _off long"
+    )
+    w = Window.partitionBy("_p").orderBy(VID)
+    rk = (
+        part.withColumn("_r", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), on="_p")
+        .select(VID, (F.col("_off") + F.col("_r")).alias("_rk"))
+    )
+    return rk.select(
+        VID,
+        (F.col("_rk") / group_size).cast("int").alias("grp"),
+        ((F.col("_rk") % group_size) / OMEGA).cast("int").alias("word"),
+        (F.col("_rk") % OMEGA).cast("int").alias("bit"),
+    )
+
+
+def _empty_masks(n_words: int):
+    return F.array(*[F.lit(0).cast("long") for _ in range(n_words)])
 
 
 def _msbfs_contribs(
@@ -31,53 +81,84 @@ def _msbfs_contribs(
     edges: DataFrame,
     batch_sources: DataFrame,
     max_depth: int,
+    n_words: int = N_WORDS,
     keep_mask: bool = False,
 ) -> DataFrame:
-    """[vid, depth, n_sources] rows: how many of this batch's sources reach
-    vid at BFS depth `depth` (first visit).  edges: [src, dst] directed.
-    With `keep_mask`, also carries the frontier bitmask (for APSP decode)."""
-    seeds = batch_sources.select(
-        VID, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))").alias("mask")
+    """[vid, depth, n_sources] rows: how many of this group's sources reach
+    vid at BFS depth `depth` (first visit).  edges: [src, dst] directed,
+    cached pre-partitioned on src by the caller.  batch_sources:
+    [vid, word, bit].  With `keep_mask`, also carries the frontier mask
+    array (for APSP decode)."""
+    word_mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    per_word = [
+        F.bit_or(F.when(F.col("word") == i, word_mask).otherwise(F.lit(0).cast("long"))).alias(
+            f"_w{i}"
+        )
+        for i in range(n_words)
+    ]
+    seed_masks = (
+        batch_sources.groupBy(VID)
+        .agg(*per_word)
+        .select(VID, F.array(*[f"_w{i}" for i in range(n_words)]).alias("mask"))
     )
-    state = seeds.groupBy(VID).agg(
-        F.bit_or("mask").alias("visited"), F.bit_or("mask").alias("frontier")
+    state = seed_masks.select(
+        VID, F.col("mask").alias("visited"), F.col("mask").alias("frontier")
     ).localCheckpoint(eager=True)
+    nonzero = F.exists("frontier", lambda x: x != 0)
+    popcount = F.aggregate(
+        F.transform("frontier", lambda x: F.bit_count(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     out: list[DataFrame] = []
     for depth in range(1, max_depth + 1):
+        word_aggs = [
+            F.bit_or(F.element_at("frontier", i + 1)).alias(f"_w{i}") for i in range(n_words)
+        ]
         msgs = (
             edges.join(
-                state.filter(F.col("frontier") != 0).withColumnRenamed(VID, SRC),
+                state.filter(nonzero).withColumnRenamed(VID, SRC).hint("shuffle_hash"),
                 on=SRC,
             )
             .groupBy(F.col(DST).alias(VID))
-            .agg(F.bit_or("frontier").alias("incoming"))
+            .agg(*word_aggs)
+            .select(VID, F.array(*[f"_w{i}" for i in range(n_words)]).alias("incoming"))
         )
         merged = (
             state.select(VID, "visited")
             .join(msgs, on=VID, how="full_outer")
             .select(
                 VID,
-                F.coalesce(F.col("visited"), F.lit(0)).alias("visited"),
-                F.coalesce(F.col("incoming"), F.lit(0)).alias("incoming"),
+                F.coalesce(F.col("visited"), _empty_masks(n_words)).alias("visited"),
+                F.coalesce(F.col("incoming"), _empty_masks(n_words)).alias("incoming"),
             )
-            .withColumn("new", F.expr("incoming & ~visited"))
+            .withColumn(
+                "new",
+                F.zip_with(
+                    "incoming", "visited", lambda i, v: i.bitwiseAND(F.bitwise_not(v))
+                ),
+            )
         )
         state = merged.select(
             VID,
-            F.col("visited").bitwiseOR(F.col("new")).alias("visited"),
+            F.zip_with("visited", "new", lambda a, b: a.bitwiseOR(b)).alias("visited"),
             F.col("new").alias("frontier"),
         ).localCheckpoint(eager=True)
-        cols = [VID, F.lit(depth).alias("depth"), F.bit_count("frontier").alias("n_sources")]
+        cols = [VID, F.lit(depth).alias("depth"), popcount.alias("n_sources")]
         if keep_mask:
             cols.append(F.col("frontier").alias("mask"))
-        contrib = state.filter(F.col("frontier") != 0).select(*cols)
+        contrib = state.filter(nonzero).select(*cols)
         out.append(contrib.localCheckpoint(eager=True))
-        if state.filter(F.col("frontier") != 0).rdd.isEmpty():
+        if state.filter(nonzero).isEmpty():
             break
     res = out[0]
     for c in out[1:]:
         res = res.unionByName(c)
     return res
+
+
+def _empty_depths(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], f"{VID} long, depth int, n_sources long")
 
 
 def msbfs_depths(
@@ -86,26 +167,25 @@ def msbfs_depths(
     sources: DataFrame | None = None,
     direction: str = "OUTGOING",
     max_depth: int = 64,
+    n_words: int = N_WORDS,
 ) -> DataFrame:
-    """[vid, depth, n_sources] over all source batches (64 BFS per pass)."""
+    """[vid, depth, n_sources] over all source groups (64·n_words BFS per
+    pass)."""
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
-    e = ef.with_direction(direction).df.select(SRC, DST).distinct()
+    # cached pre-partitioned on the superstep join key (src)
+    e = ef.with_direction(direction).df.select(SRC, DST).distinct().repartition(SRC)
     e.persist()
     e.count()
     src_df = sources.select(VID) if sources is not None else ef.vertices()
-    # deterministic batch/bit assignment by rank over source ids
-    from pyspark.sql import Window
-
-    ranked = src_df.withColumn(
-        "_rk", F.row_number().over(Window.orderBy(VID)) - 1
-    ).select(
-        VID, (F.col("_rk") / OMEGA).cast("int").alias("batch"), (F.col("_rk") % OMEGA).alias("bit")
-    )
-    n_batches = ranked.agg(F.max("batch")).collect()[0][0]
+    ranked = _rank_sources(src_df, OMEGA * n_words)
+    groups = [r["grp"] for r in ranked.select("grp").distinct().collect()]
+    if not groups:
+        e.unpersist()
+        return _empty_depths(spark)
     parts = []
-    for b in range(int(n_batches) + 1):
-        batch = ranked.filter(F.col("batch") == b).select(VID, "bit")
-        parts.append(_msbfs_contribs(spark, e, batch, max_depth))
+    for g in sorted(groups):
+        batch = ranked.filter(F.col("grp") == g).select(VID, "word", "bit")
+        parts.append(_msbfs_contribs(spark, e, batch, max_depth, n_words))
     res = parts[0]
     for p in parts[1:]:
         res = res.unionByName(p)
@@ -120,36 +200,39 @@ def all_shortest_paths(
     sources: DataFrame | None = None,
     direction: str = "BOTH",
     max_depth: int = 64,
+    n_words: int = N_WORDS,
 ) -> DataFrame:
     """[source, vid, depth] unweighted shortest hop distances — the
     algo.allShortestPaths.stream MS-BFS variant
     (impl/MSBFSAllShortestPaths.java): one row per reached (source, target)
-    pair, decoded from the per-batch frontier bitmasks.  Self rows (depth 0)
+    pair, decoded from the per-group frontier bitmasks.  Self rows (depth 0)
     are omitted, matching the reference's stream of discovered pairs."""
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
-    e = ef.with_direction(direction).df.select(SRC, DST).distinct()
+    e = ef.with_direction(direction).df.select(SRC, DST).distinct().repartition(SRC)
     e.persist()
     e.count()
     src_df = sources.select(VID) if sources is not None else ef.vertices()
-    from pyspark.sql import Window
-
-    ranked = src_df.withColumn(
-        "_rk", F.row_number().over(Window.orderBy(VID)) - 1
-    ).select(
-        VID, (F.col("_rk") / OMEGA).cast("int").alias("batch"), (F.col("_rk") % OMEGA).alias("bit")
-    ).localCheckpoint(eager=True)
-    n_batches = ranked.agg(F.max("batch")).collect()[0][0]
+    ranked = _rank_sources(src_df, OMEGA * n_words).localCheckpoint(eager=True)
+    groups = [r["grp"] for r in ranked.select("grp").distinct().collect()]
+    if not groups:
+        e.unpersist()
+        return spark.createDataFrame([], f"source long, {VID} long, depth int")
     parts = []
-    for b in range(int(n_batches) + 1):
-        batch = ranked.filter(F.col("batch") == b).select(VID, "bit")
-        contribs = _msbfs_contribs(spark, e, batch, max_depth, keep_mask=True)
-        # decode mask bits back to source vids via the batch's bit table
-        bits = batch.select(F.col(VID).alias("source"), "bit")
+    for g in sorted(groups):
+        batch = ranked.filter(F.col("grp") == g).select(VID, "word", "bit")
+        contribs = _msbfs_contribs(spark, e, batch, max_depth, n_words, keep_mask=True)
+        # decode mask bits back to source vids via the group's bit table
+        bits = batch.select(F.col(VID).alias("source"), "word", "bit")
         decoded = (
-            contribs.join(
-                F.broadcast(bits),
-                F.expr("shiftrightunsigned(mask, CAST(bit AS INT)) & 1") == 1,
+            contribs.select(
+                VID, "depth", F.posexplode("mask").alias("word", "_wmask")
             )
+            .filter(F.col("_wmask") != 0)
+            .join(
+                F.broadcast(bits),
+                on="word",
+            )
+            .filter(F.expr("shiftrightunsigned(_wmask, CAST(bit AS INT)) & 1") == 1)
             .select("source", VID, "depth")
         )
         parts.append(decoded)

@@ -73,7 +73,7 @@ def mst(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if chosen.rdd.isEmpty():
+        if chosen.isEmpty():
             break
         picked.append(chosen.select(SRC, DST, WEIGHT))
         # merge components: connectivity over the component graph of chosen

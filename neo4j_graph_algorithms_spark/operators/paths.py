@@ -22,6 +22,8 @@ parallel chains).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, WEIGHT, EdgeFrame
@@ -62,7 +64,7 @@ def sssp(
             .select(VID, F.col(f"r.{DIST}").alias(DIST))
             .localCheckpoint(eager=True)
         )
-        if improved.rdd.isEmpty():
+        if improved.isEmpty():
             break
         dist = (
             dist.join(improved, on=VID, how="left_anti")
@@ -105,7 +107,7 @@ def delta_stepping(
         frontier = dist.filter(
             (F.col(DIST) >= bucket * delta) & (F.col(DIST) < (bucket + 1) * delta)
         ).localCheckpoint(eager=True)
-        if frontier.rdd.isEmpty():
+        if frontier.isEmpty():
             # advance to the next non-empty bucket (or stop)
             nxt = dist.filter(F.col(DIST) >= (bucket + 1) * delta).agg(
                 F.min(F.floor(F.col(DIST) / delta)).alias("b")
@@ -114,6 +116,7 @@ def delta_stepping(
                 break
             bucket = int(nxt)
             continue
+        drained = False
         for _i in range(max_inner):
             relaxed = (
                 e.join(frontier.withColumnRenamed(VID, SRC), on=SRC)
@@ -128,7 +131,8 @@ def delta_stepping(
                 .select(VID, F.col(f"r.{DIST}").alias(DIST))
                 .localCheckpoint(eager=True)
             )
-            if improved.rdd.isEmpty():
+            if improved.isEmpty():
+                drained = True
                 break
             dist = (
                 dist.join(improved, on=VID, how="left_anti")
@@ -140,8 +144,15 @@ def delta_stepping(
             frontier = improved.filter(F.col(DIST) < (bucket + 1) * delta).localCheckpoint(
                 eager=True
             )
-            if frontier.rdd.isEmpty():
+            if frontier.isEmpty():
+                drained = True
                 break
+        if not drained:
+            warnings.warn(
+                f"delta_stepping: bucket {bucket} not drained after max_inner="
+                f"{max_inner} relaxations; distances may be non-final",
+                RuntimeWarning,
+            )
         bucket += 1
     e.unpersist()
     return dist
@@ -156,3 +167,132 @@ def shortest_paths(
     """algo.shortestPaths semantics: SSSP from source to every target
     (impl/ShortestPaths.java) — alias of `sssp`, stream shape [vid, dist]."""
     return sssp(spark, edges, source, direction)
+
+
+def shortest_path(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    source: int,
+    target: int,
+    direction: str = "OUTGOING",
+    max_iterations: int = 200,
+) -> DataFrame:
+    """[step, vid, dist] — the actual node SEQUENCE of the shortest
+    source→target path, matching algo.shortestPath's stream of
+    (nodeId, cost) rows in path order (impl/ShortestPathDijkstra.java:47-89,
+    proc ShortestPathProc.java:73-103).  Empty when target is unreachable.
+
+    Ties are broken canonically: pred(v) = MIN u among
+    {u : dist(u) + w(u,v) = dist(v)}, so the path is deterministic and
+    oracle-reproducible.
+
+    Plan: converged SSSP distances, one edge⋈dist join to derive canonical
+    predecessors, then the pred-chain of `target` extracted with POINTER
+    DOUBLING (chain ∪= jump(chain); jump ∘= jump) — O(log path) rounds, no
+    O(path)-length driver walk.  The final ordering window touches only the
+    path's own rows (bounded by path length, not graph size)."""
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    e = ef.with_direction(direction).df.select(SRC, DST, WEIGHT)
+    e = e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT))
+    dist = sssp(spark, e, source, "OUTGOING", max_iterations)
+
+    # canonical predecessor of every settled vertex (except the source)
+    pred = (
+        e.join(dist.withColumnRenamed(VID, SRC).withColumnRenamed(DIST, "_ds"), on=SRC)
+        .join(dist.withColumnRenamed(VID, DST).withColumnRenamed(DIST, "_dd"), on=DST)
+        .filter(F.col("_ds") + F.col(WEIGHT) == F.col("_dd"))
+        .groupBy(F.col(DST).alias(VID))
+        .agg(F.min(SRC).alias("pred"))
+        .filter(F.col(VID) != int(source))
+        .localCheckpoint(eager=True)
+    )
+
+    chain = dist.filter(F.col(VID) == int(target)).select(VID)
+    if chain.isEmpty():
+        return spark.createDataFrame([], f"step int, {VID} long, {DIST} double")
+    chain = chain.localCheckpoint(eager=True)
+    jump = pred.select(F.col(VID).alias("_f"), F.col("pred").alias("_t"))
+    for _ in range(64):  # 2^64 ancestors — always enough
+        grown = (
+            chain.join(jump.withColumnRenamed("_f", VID), on=VID, how="inner")
+            .select(F.col("_t").alias(VID))
+            .unionByName(chain)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if grown.count() == chain.count():
+            chain = grown
+            break
+        chain = grown
+        # compose the jump with itself: _f -> 2^(k+1)-th ancestor
+        jump = (
+            jump.alias("a")
+            .join(jump.alias("b"), F.col("a._t") == F.col("b._f"), "inner")
+            .select(F.col("a._f").alias("_f"), F.col("b._t").alias("_t"))
+            .localCheckpoint(eager=True)
+        )
+        if jump.isEmpty():
+            break
+    from pyspark.sql import Window
+
+    on_path = chain.join(dist, on=VID)
+    return on_path.select(
+        (F.row_number().over(Window.orderBy(DIST)) - 1).alias("step"), VID, DIST
+    )
+
+
+def all_shortest_paths_weighted(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    sources: DataFrame | None = None,
+    direction: str = "OUTGOING",
+    max_iterations: int = 200,
+) -> DataFrame:
+    """[source, vid, dist] weighted all-pairs shortest distances — the
+    algo.allShortestPaths.stream WEIGHTED variant
+    (impl/AllShortestPaths.java:31-218: one weighted SSSP per source node,
+    streamed as (sourceNodeId, targetNodeId, distance)).
+
+    Dataflow form: ALL sources relax together, state keyed (source, vid) —
+    the sssp frontier relaxation generalized by one key column.  Each
+    superstep shuffles only the improved (source, vid) frontier against the
+    pre-partitioned edge cache.  `sources=None` = every vertex (O(n·m) total
+    work, like the reference's n Dijkstra runs); pass a sample at scale.
+    Self rows (dist 0) are included, matching the reference's stream."""
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    e = ef.with_direction(direction).df.select(SRC, DST, WEIGHT)
+    e = e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT)).repartition(SRC)
+    e.persist()
+    e.count()
+
+    src_df = sources.select(VID) if sources is not None else ef.vertices()
+    dist = src_df.select(
+        F.col(VID).alias("source"), F.col(VID), F.lit(0.0).alias(DIST)
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iterations):
+        relaxed = (
+            e.join(frontier.withColumnRenamed(VID, SRC).hint("shuffle_hash"), on=SRC)
+            .select(
+                "source", F.col(DST).alias(VID), (F.col(DIST) + F.col(WEIGHT)).alias(DIST)
+            )
+            .groupBy("source", VID)
+            .agg(F.min(DIST).alias(DIST))
+        )
+        improved = (
+            relaxed.alias("r")
+            .join(dist.alias("d"), on=["source", VID], how="left")
+            .filter(F.col(f"d.{DIST}").isNull() | (F.col(f"r.{DIST}") < F.col(f"d.{DIST}")))
+            .select("source", VID, F.col(f"r.{DIST}").alias(DIST))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved, on=["source", VID], how="left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return dist

@@ -47,13 +47,8 @@ def label_dictionary(names: DataFrame) -> DataFrame:
     """[label_id, label_name] token dictionary
     (algo.getLabelIdToLabelNameMapping): dense ids by lexicographic name —
     the same engine-independent convention as the text token dictionary."""
-    from pyspark.sql import Window
+    from neo4j_graph_algorithms_spark.functions.rank import dense_ids
 
-    return (
-        names.select(F.col("label_name")).distinct()
-        .withColumn(
-            "label_id",
-            (F.dense_rank().over(Window.orderBy("label_name")) - 1).cast("int"),
-        )
-        .select("label_id", "label_name")
+    return dense_ids(names.select("label_name").distinct(), "label_name").select(
+        F.col("_rk").cast("int").alias("label_id"), "label_name"
     )

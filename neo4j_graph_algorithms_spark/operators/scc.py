@@ -9,25 +9,37 @@ coloring algorithm (impl/multistepscc/MultiStepColoring.java semantics):
   repeat until no unassigned vertices:
     1. trim: peel size-1 SCCs (vertices with no in- or out-edges among the
        unassigned) — MultiStepTrim.java semantics;
-    2. color fixpoint: color(v) = max(vid(v), colors of in-neighbors) until
-       stable → color(v) = max vid that can reach v;
-    3. backward sweep: the SCC rooted at color c = vertices with color c
-       that can reach c through same-colored vertices (the FW∩BW
-       intersection of ForwardBackwardScc.java, expressed as an iterative
-       left-semi frontier instead of retainAll);
+    2. color fixpoint: color(v) = max vid that can reach v — forward
+       max-propagation accelerated with POINTER JUMPING (compose the color
+       mapping through itself each round → O(log n) rounds instead of
+       O(diameter); same device as operators/wcc.py), monotone-checksum
+       convergence (one aggregate per round, no state self-join);
+    3. backward reachability: bcolor(v) = max same-colored vid v can REACH,
+       by max-propagation over reversed same-color edges, also pointer-
+       jumped; v belongs to SCC(c) iff color(v)=c ∧ bcolor(v)=c
+       (c reaches v and v reaches c — the FW∩BW intersection of
+       ForwardBackwardScc.java as two O(log n) fixpoints);
     4. assign comp = c (canonicalized afterwards to min member id), remove,
        repeat on the rest.
+
+The reference's MultiStep design switches algorithms when the remainder is
+small (MultistepSCC.java sequential fallback); we do the same: once the
+unassigned set fits `tarjan_cutoff`, the remainder is collected and finished
+with iterative Tarjan driver-side.  This bounds the outer loop on
+pathological deep DAG chains (each coloring round only peels the per-class
+root SCCs, so a descending path would otherwise need O(n) outer rounds).
 
 Component ids are canonicalized to MIN member id (same convention as WCC;
 the reference asserts partition structure only, SCCTest/MultistepSCCProcTest).
 
-Scale notes: every inner loop is join+groupBy on (vid); the color fixpoint
-uses the same pointer-free max-propagation as MSColoring; each outer round
-removes at least the largest-root SCC plus all trimmed singletons, and
-real link graphs finish in a handful of rounds (one giant SCC + tails).
+Scale notes: every fixpoint is join+groupBy on (vid), hash-partitioned; no
+global windows; both inner fixpoints are O(log n) rounds; the driver-side
+finisher touches at most `tarjan_cutoff` vertices and their edges.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -36,28 +48,203 @@ from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
 COMP = "comp"
 
 
+def _checksum(df: DataFrame, col: str) -> int:
+    """Exact monotone convergence checksum: Σ col as decimal(38,0)
+    (64-bit ids would overflow a long sum)."""
+    row = df.agg(F.sum(F.col(col).cast("decimal(38,0)")).alias("s")).collect()[0]
+    return int(row["s"] or 0)
+
+
+def _mix(col) -> F.Column:
+    """Bijective 64-bit scrambler (xorshift64 step: shifts+XORs only, no
+    overflow-sensitive multiply).  The color fixpoints run in this scrambled
+    id space: pointer jumping accelerates max-propagation only when id order
+    is uncorrelated with graph structure (an ascending-id cycle degenerates
+    to O(n) rounds; scrambled ids give the expected O(log n)).  Injective,
+    so distinct roots keep distinct colors; final comps are canonicalized to
+    min member id regardless."""
+    x = F.col(col) if isinstance(col, str) else col
+    x = x.bitwiseXOR(F.shiftleft(x, 13))
+    x = x.bitwiseXOR(F.shiftrightunsigned(x, 7))
+    x = x.bitwiseXOR(F.shiftleft(x, 17))
+    return x
+
+
+def _mix_py(v: int) -> int:
+    """Python twin of _mix (same signed-64 result as the Spark expression)."""
+    m = (1 << 64) - 1
+    x = v & m
+    x ^= (x << 13) & m
+    x ^= x >> 7
+    x ^= (x << 17) & m
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _tarjan(vids: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan over the collected remainder; comp = min member id.
+    Driver-side finisher for ≤ tarjan_cutoff vertices (the analogue of the
+    reference's sequential fallback inside MultistepSCC.java)."""
+    adj: dict[int, list[int]] = {v: [] for v in vids}
+    for s, d in edges:
+        adj[s].append(d)
+    index: dict[int, int] = {}
+    lowlink: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    comp: dict[int, int] = {}
+    counter = 0
+    for root in vids:
+        if root in index:
+            continue
+        # explicit DFS stack of (vertex, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = lowlink[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            nbrs = adj[v]
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    lowlink[v] = min(lowlink[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if lowlink[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                c = min(members)
+                for w in members:
+                    comp[w] = c
+            if work:
+                parent = work[-1][0]
+                lowlink[parent] = min(lowlink[parent], lowlink[v])
+    return comp
+
+
+def _max_fixpoint(
+    state: DataFrame,
+    push_edges: DataFrame,
+    value_col: str,
+    max_rounds: int,
+    group_cols: list[str] | None = None,
+    scrambled: bool = False,
+) -> tuple[DataFrame, bool, int]:
+    """Generic max-propagation fixpoint with pointer jumping.
+
+    state: [vid, *group_cols, value_col]; value domain = vids (or, with
+    `scrambled`, mix(vid)s) present in state.
+    push_edges: [src, dst, *group_cols] — value flows src → dst.
+    Returns (state, converged, rounds).
+    """
+    gcols = group_cols or []
+    prev: int | None = None
+    rounds = 0
+    for _r in range(max_rounds):
+        rounds += 1
+        pushed = push_edges.join(
+            state.withColumnRenamed(VID, SRC), on=[SRC, *gcols]
+        ).select(F.col(DST).alias(VID), *gcols, value_col)
+        hop = (
+            state.select(VID, *gcols, value_col)
+            .unionByName(pushed)
+            .groupBy(VID, *gcols)
+            .agg(F.max(value_col).alias(value_col))
+        )
+        mapping = hop.select(
+            (_mix(VID) if scrambled else F.col(VID)).alias("_m_vid"),
+            F.col(value_col).alias("_m_val"),
+        )
+        state = (
+            hop.join(mapping, hop[value_col] == F.col("_m_vid"), "left")
+            .select(
+                VID,
+                *gcols,
+                F.greatest(F.coalesce("_m_val", value_col), F.col(value_col)).alias(
+                    value_col
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s = _checksum(state, value_col)
+        if prev is not None and s == prev:
+            return state, True, rounds
+        prev = s
+    return state, False, rounds
+
+
 def scc(
     spark: SparkSession,
     edges: EdgeFrame | DataFrame,
     vertices: DataFrame | None = None,
     max_outer: int = 50,
     max_color_rounds: int = 200,
+    tarjan_cutoff: int = 10_000,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """[vid, comp] with comp = min member id of the strongly connected
-    component.  Directed edges; parallel edges/self-loops tolerated."""
+    component.  Directed edges; parallel edges/self-loops tolerated.
+
+    `tarjan_cutoff`: once ≤ this many vertices remain unassigned, finish
+    driver-side with iterative Tarjan (0 disables the fallback).
+    `metrics`: optional dict filled with {'outer_rounds', 'color_rounds',
+    'bcolor_rounds', 'tarjan_vertices'} for observability/testing.
+    """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     e = ef.df.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
     e.persist()
+
+    mx: dict = metrics if metrics is not None else {}
+    mx.update(outer_rounds=0, color_rounds=[], bcolor_rounds=[], tarjan_vertices=0)
 
     # vertices come from the UNFILTERED edge set: a vertex with only a
     # self-loop is still a (singleton) SCC
     verts = vertices.select(VID) if vertices is not None else ef.vertices()
     remaining = verts.localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
+    exhausted = True
 
     for _ in range(max_outer):
-        if remaining.rdd.isEmpty():
+        n_remaining = remaining.count()
+        if n_remaining == 0:
             break
+        if tarjan_cutoff and n_remaining <= tarjan_cutoff:
+            # sequential fallback on the small remainder (MultistepSCC.java's
+            # own design: switch algorithms when the frontier gets small)
+            mx["tarjan_vertices"] = n_remaining
+            er_small = (
+                e.join(remaining.withColumnRenamed(VID, SRC), on=SRC, how="left_semi")
+                .join(remaining.withColumnRenamed(VID, DST), on=DST, how="left_semi")
+            )
+            vids = [r[VID] for r in remaining.collect()]
+            elist = [(r[SRC], r[DST]) for r in er_small.collect()]
+            comp_map = _tarjan(vids, elist)
+            # comp ids in scrambled space like every other part (injective →
+            # no accidental comp-value collision across parts)
+            assigned_parts.append(
+                spark.createDataFrame(
+                    [(v, _mix_py(c)) for v, c in comp_map.items()],
+                    f"{VID} long, {COMP} long",
+                )
+            )
+            remaining = spark.createDataFrame([], f"{VID} long")
+            break
+        mx["outer_rounds"] += 1
         # edges among remaining vertices only
         er = (
             e.join(remaining.withColumnRenamed(VID, SRC), on=SRC, how="left_semi")
@@ -71,8 +258,8 @@ def scc(
             dsts, on=VID, how="left_semi"
         )
         trimmed = remaining.join(core, on=VID, how="left_anti")
-        assigned_parts.append(trimmed.select(VID, F.col(VID).alias(COMP)))
-        if core.rdd.isEmpty():
+        assigned_parts.append(trimmed.select(VID, _mix(VID).alias(COMP)))
+        if core.isEmpty():
             remaining = core
             break
         core = core.localCheckpoint(eager=True)
@@ -82,53 +269,67 @@ def scc(
             .localCheckpoint(eager=True)
         )
 
-        # 2. color fixpoint: forward max-propagation (color reaches along edges)
-        color = core.select(VID, F.col(VID).alias("color"))
-        for _r in range(max_color_rounds):
-            pushed = (
-                ec.join(color.withColumnRenamed(VID, SRC), on=SRC)
-                .select(F.col(DST).alias(VID), "color")
+        # 2. color fixpoint: color(v) = max SCRAMBLED vid that can reach v.
+        #    Jump soundness: color(v)=mix(u) means u ⤳ v, and
+        #    color(u) ⤳ u ⤳ v, so color(color(v)) is a valid (≥) color.
+        color0 = core.select(VID, _mix(VID).alias("color"))
+        color, ok, rounds = _max_fixpoint(
+            color0, ec, "color", max_color_rounds, scrambled=True
+        )
+        mx["color_rounds"].append(rounds)
+        if not ok:
+            warnings.warn(
+                f"scc: color fixpoint hit max_color_rounds={max_color_rounds} "
+                "without converging; results may be incomplete",
+                RuntimeWarning,
             )
-            new_color = (
-                color.unionByName(pushed).groupBy(VID).agg(F.max("color").alias("color"))
-            ).localCheckpoint(eager=True)
-            changed = (
-                new_color.alias("n")
-                .join(color.alias("o"), on=VID)
-                .filter(F.col("n.color") != F.col("o.color"))
-                .count()
-            )
-            color = new_color
-            if changed == 0:
-                break
 
-        # 3. backward sweep within color class: frontier from each root c
-        #    following edges backwards, restricted to vertices of color c.
+        # 3. backward reachability within each color class: bcolor(v) = max
+        #    same-colored vid that v can REACH (max-propagation over
+        #    REVERSED same-color edges, pointer-jumped).  v ∈ SCC(c) iff
+        #    color(v)=c ∧ bcolor(v)=c: c reaches v (step 2) and v reaches c
+        #    (bcolor=c requires a path v ⤳ c, and c is the class maximum).
         edge_col = (
-            ec.join(color.withColumnRenamed(VID, SRC).withColumnRenamed("color", "c_src"), on=SRC)
-            .join(color.withColumnRenamed(VID, DST).withColumnRenamed("color", "c_dst"), on=DST)
+            ec.join(
+                color.withColumnRenamed(VID, SRC).withColumnRenamed("color", "c_src"),
+                on=SRC,
+            )
+            .join(
+                color.withColumnRenamed(VID, DST).withColumnRenamed("color", "c_dst"),
+                on=DST,
+            )
             .filter(F.col("c_src") == F.col("c_dst"))
             .select(SRC, DST, F.col("c_src").alias("color"))
             .localCheckpoint(eager=True)
         )
-        in_scc = color.filter(F.col(VID) == F.col("color")).select(VID, "color")
-        frontier = in_scc
-        while True:
-            # predecessors u of frontier members v with color(u) == color(v)
-            preds = (
-                edge_col.join(
-                    frontier.withColumnRenamed(VID, DST), on=[DST, "color"]
-                )
-                .select(F.col(SRC).alias(VID), "color")
-                .distinct()
+        rev = edge_col.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST), "color"
+        )
+        b0 = color.select(VID, "color", _mix(VID).alias("bcolor"))
+        bstate, ok_b, rounds_b = _max_fixpoint(
+            b0, rev, "bcolor", max_color_rounds, group_cols=["color"], scrambled=True
+        )
+        mx["bcolor_rounds"].append(rounds_b)
+        if not ok_b:
+            warnings.warn(
+                f"scc: backward fixpoint hit max_color_rounds={max_color_rounds} "
+                "without converging; results may be incomplete",
+                RuntimeWarning,
             )
-            new_members = preds.join(in_scc, on=VID, how="left_anti").localCheckpoint(eager=True)
-            if new_members.rdd.isEmpty():
-                break
-            in_scc = in_scc.unionByName(new_members).localCheckpoint(eager=True)
-            frontier = new_members
+        in_scc = bstate.filter(F.col("bcolor") == F.col("color")).select(
+            VID, "color"
+        ).localCheckpoint(eager=True)
         assigned_parts.append(in_scc.select(VID, F.col("color").alias(COMP)))
         remaining = core.join(in_scc, on=VID, how="left_anti").localCheckpoint(eager=True)
+    else:
+        exhausted = False
+
+    if not exhausted and not remaining.isEmpty():
+        warnings.warn(
+            f"scc: outer loop hit max_outer={max_outer} with unassigned "
+            "vertices remaining; output is incomplete",
+            RuntimeWarning,
+        )
 
     if not assigned_parts:
         e.unpersist()

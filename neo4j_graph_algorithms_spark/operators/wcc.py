@@ -63,7 +63,10 @@ def wcc(
         ef = ef.filter_weight(threshold)
 
     # Undirected neighbor pairs, both directions, no weights needed past here.
-    und = ef.as_undirected().df.select(SRC, DST).distinct()
+    # Cached PRE-PARTITIONED on the superstep join key (src): only the small
+    # vertex state shuffles each round; the 2|E| edge table shuffles once at
+    # build time (same discipline as operators/pagerank.py).
+    und = ef.as_undirected().df.select(SRC, DST).distinct().repartition(SRC)
     und.persist()
 
     verts = vertices.select(VID) if vertices is not None else None

@@ -364,3 +364,482 @@ SELECT least(a, b, c) AS a,
        a + b + c - least(a, b, c) - greatest(a, b, c) AS b,
        greatest(a, b, c) AS c
 FROM tri"""
+
+
+# ---- round-2 gate expansion: betweenness / MST / paths / metapath variants --
+
+BETWEENNESS_SUB = """g AS (
+  SELECT DISTINCT src, dst FROM lineseq
+  WHERE src < {max_vid} AND dst < {max_vid} AND src <> dst),
+gverts AS (SELECT src AS vid FROM g UNION SELECT dst AS vid FROM g)"""
+
+
+def _sigma_bfs_parts(max_depth: int) -> list[str]:
+    """lvl0..lvlK + vis0..visK: per-source BFS from EVERY subgraph vertex
+    carrying shortest-path counts sigma (forward phase of Brandes)."""
+    parts = [
+        "lvl0 AS MATERIALIZED (SELECT vid AS s, vid AS v, CAST(1 AS DOUBLE) AS sigma FROM gverts)",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM lvl0)",
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f"""lvl{k} AS MATERIALIZED (
+  SELECT x.s, x.v, sum(x.sigma) AS sigma FROM (
+    SELECT l.s, g.dst AS v, l.sigma FROM lvl{k - 1} l JOIN g ON g.src = l.v) x
+  LEFT JOIN vis{k - 1} vv ON vv.s = x.s AND vv.v = x.v
+  WHERE vv.s IS NULL GROUP BY x.s, x.v),
+vis{k} AS MATERIALIZED (
+  SELECT s, v FROM vis{k - 1} UNION ALL SELECT s, v FROM lvl{k})"""
+        )
+    allsv = " UNION ALL ".join(
+        f"SELECT s, v, {k} AS d, sigma FROM lvl{k}" for k in range(max_depth + 1)
+    )
+    parts.append(f"allsv AS MATERIALIZED ({allsv})")
+    return parts
+
+
+def _betweenness_body(source_cte: str, f_expr: str) -> str:
+    """Pair-sum Brandes: bc(v) = f · Σ_{{s∈S,t}} [d(s,v)+d(v,t)=d(s,t)]·
+    σ_sv·σ_vt/σ_st  (v≠s,t; the δ-accumulation identity)."""
+    return f"""{source_cte},
+bc AS (
+  SELECT sv.v AS vid, sum(sv.sigma * vt.sigma / st.sigma) AS c
+  FROM allsv sv
+  JOIN srcs ss ON ss.vid = sv.s
+  JOIN allsv vt ON vt.s = sv.v
+  JOIN allsv st ON st.s = sv.s AND st.v = vt.v
+  WHERE sv.d > 0 AND vt.d > 0 AND sv.d + vt.d = st.d
+  GROUP BY sv.v)
+SELECT gverts.vid, round({f_expr} * coalesce(bc.c, 0.0), 6) AS centrality
+FROM gverts LEFT JOIN bc ON bc.vid = gverts.vid"""
+
+
+def betweenness_sql(max_vid: int = 200, max_depth: int = 12) -> str:
+    """Exact directed Brandes on the size-capped line-seq subgraph."""
+    parts = [LINESEQ_CTES, BETWEENNESS_SUB.format(max_vid=max_vid)]
+    parts += _sigma_bfs_parts(max_depth)
+    body = _betweenness_body("srcs AS (SELECT vid FROM gverts)", "1.0")
+    return "WITH " + ",\n".join(parts) + ",\n" + body
+
+
+def betweenness_sampled_sql(max_vid: int = 200, k: int = 32, max_depth: int = 12) -> str:
+    """RA-Brandes, degree strategy: sources = top-k by (BOTH-degree DESC,
+    vid ASC); estimate scaled by n/k
+    (RABrandesBetweennessCentrality.java:177)."""
+    parts = [LINESEQ_CTES, BETWEENNESS_SUB.format(max_vid=max_vid)]
+    parts += _sigma_bfs_parts(max_depth)
+    # BOTH-degree = each edge row counted once per endpoint (Degrees.java
+    # BOTH semantics, graph.py degrees): UNION ALL, not a dedup
+    src_cte = f"""deg AS (
+  SELECT vid, count(*) AS degree FROM (
+    SELECT src AS vid FROM g UNION ALL SELECT dst AS vid FROM g) dd GROUP BY vid),
+srcs AS (SELECT vid FROM deg ORDER BY degree DESC, vid ASC LIMIT {k})"""
+    n_over_k = f"((SELECT count(*) FROM gverts) * 1.0 / {k})"
+    body = _betweenness_body(src_cte, n_over_k)
+    return "WITH " + ",\n".join(parts) + ",\n" + body
+
+
+def mst_parts(boruvka_rounds: int = 12, label_rounds: int = 12) -> list[str]:
+    """Unrolled Borůvka over the weighted co-order graph, mirroring
+    operators/mst.py exactly: per round each component picks its minimum
+    incident cross edge (tie-break (weight, src, dst)), picked edges merge
+    components via an unrolled hop+jump connectivity fixpoint."""
+    parts = [
+        COORDER_CTES,
+        "base AS (SELECT src, dst, min(weight) AS weight FROM coorder GROUP BY src, dst)",
+        "bverts AS (SELECT src AS vid FROM base UNION SELECT dst AS vid FROM base)",
+        "comp0 AS MATERIALIZED (SELECT vid, vid AS comp FROM bverts)",
+    ]
+    for r in range(1, boruvka_rounds + 1):
+        parts.append(
+            f"""cross{r} AS MATERIALIZED (
+  SELECT b.src, b.dst, b.weight, cs.comp AS c_src, cd.comp AS c_dst
+  FROM base b JOIN comp{r - 1} cs ON cs.vid = b.src JOIN comp{r - 1} cd ON cd.vid = b.dst
+  WHERE cs.comp <> cd.comp),
+inc{r} AS (
+  SELECT c_src AS c, src, dst, weight, c_src, c_dst FROM cross{r}
+  UNION ALL SELECT c_dst AS c, src, dst, weight, c_src, c_dst FROM cross{r}),
+ch{r} AS MATERIALIZED (
+  SELECT DISTINCT src, dst, weight, c_src, c_dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY c ORDER BY weight, src, dst) AS rn
+    FROM inc{r}) x WHERE rn = 1),
+cu{r} AS (
+  SELECT c_src AS a, c_dst AS b FROM ch{r}
+  UNION ALL SELECT c_dst AS a, c_src AS b FROM ch{r}),
+lb{r}_0 AS MATERIALIZED (SELECT DISTINCT a AS c, a AS root FROM cu{r})"""
+        )
+        for j in range(1, label_rounds + 1):
+            parts.append(
+                f"""lh{r}_{j} AS MATERIALIZED (
+  SELECT c, min(root) AS root FROM (
+    SELECT u.b AS c, l.root FROM cu{r} u JOIN lb{r}_{j - 1} l ON l.c = u.a
+    UNION ALL SELECT c, root FROM lb{r}_{j - 1}) x GROUP BY c),
+lb{r}_{j} AS MATERIALIZED (
+  SELECT a.c, coalesce(b.root, a.root) AS root
+  FROM lh{r}_{j} a LEFT JOIN lh{r}_{j} b ON a.root = b.c)"""
+            )
+        parts.append(
+            f"""comp{r} AS MATERIALIZED (
+  SELECT p.vid, coalesce(l.root, p.comp) AS comp
+  FROM comp{r - 1} p LEFT JOIN lb{r}_{label_rounds} l ON l.c = p.comp)"""
+        )
+    picked = " UNION ALL ".join(
+        f"SELECT src, dst, weight FROM ch{r}" for r in range(1, boruvka_rounds + 1)
+    )
+    parts.append(f"forest AS (SELECT DISTINCT src, dst, weight FROM ({picked}) pp)")
+    return parts
+
+
+def mst_sql(boruvka_rounds: int = 12, label_rounds: int = 12) -> str:
+    return (
+        "WITH "
+        + ",\n".join(mst_parts(boruvka_rounds, label_rounds))
+        + "\nSELECT src, dst, weight FROM forest"
+    )
+
+
+def mst_stats_sql(boruvka_rounds: int = 12, label_rounds: int = 12) -> str:
+    return (
+        "WITH "
+        + ",\n".join(mst_parts(boruvka_rounds, label_rounds))
+        + """
+SELECT CAST(count(*) AS BIGINT) AS edge_count, min(weight) AS min_weight,
+       max(weight) AS max_weight, sum(weight) AS total_weight FROM forest"""
+    )
+
+
+def all_shortest_paths_sql(n_sources: int = 16, max_depth: int = 8) -> str:
+    """Unweighted MS-BFS (source, vid, depth) pairs, BOTH direction."""
+    edges_cte = (
+        "bfse AS (SELECT src, dst FROM (SELECT src, dst FROM lineseq "
+        "UNION SELECT dst AS src, src AS dst FROM lineseq))"
+    )
+    body = _bfs_dist_ctes(edges_cte, n_sources, max_depth)
+    return (
+        body
+        + f"\nSELECT s AS source, v AS vid, CAST(d AS INT) AS depth FROM s{max_depth} WHERE d > 0"
+    )
+
+
+def apsp_weighted_sql(max_src: int = 8, rounds: int = 32) -> str:
+    """Weighted multi-source Bellman-Ford keyed (source, vid) over line-seq
+    with the deterministic derived weight (src+dst)%7+1."""
+    parts = [
+        LINESEQ_CTES,
+        """we AS (SELECT src, dst, CAST((src + dst) % 7 + 1 AS DOUBLE) AS w
+  FROM (SELECT DISTINCT src, dst FROM lineseq))""",
+        f"""d0 AS MATERIALIZED (
+  SELECT vid AS source, vid, CAST(0.0 AS DOUBLE) AS dist
+  FROM (SELECT src AS vid FROM lineseq UNION SELECT dst FROM lineseq) vv
+  WHERE vid <= {max_src})""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT source, vid, min(dist) AS dist FROM (
+    SELECT d.source, e.dst AS vid, d.dist + e.w AS dist
+    FROM d{k - 1} d JOIN we e ON e.src = d.vid
+    UNION ALL SELECT source, vid, dist FROM d{k - 1}) x GROUP BY source, vid)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT source, vid, dist FROM d{rounds}"
+
+
+def shortest_path_nodes_sql(source: int = 0, rounds: int = 10) -> str:
+    """Path node sequence source→target where target = argmax dist
+    (tie: min vid): canonical min-pred per vertex, recursive backward walk,
+    step = rank by dist along the path."""
+    parts = [
+        LINESEQ_CTES,
+        "e AS (SELECT src, dst, 1.0 AS w FROM (SELECT DISTINCT src, dst FROM lineseq))",
+        f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS vid, CAST(0.0 AS DOUBLE) AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT vid, min(dist) AS dist FROM (
+    SELECT e.dst AS vid, d.dist + e.w AS dist FROM d{k - 1} d JOIN e ON e.src = d.vid
+    UNION ALL SELECT vid, dist FROM d{k - 1}) x GROUP BY vid)"""
+        )
+    parts.append(f"dd AS (SELECT vid, dist FROM d{rounds})")
+    parts.append(
+        "tgt AS (SELECT vid FROM dd ORDER BY dist DESC, vid ASC LIMIT 1)"
+    )
+    parts.append(
+        f"""pred AS MATERIALIZED (
+  SELECT e.dst AS vid, min(e.src) AS pred
+  FROM e JOIN dd ds ON ds.vid = e.src JOIN dd dt ON dt.vid = e.dst
+  WHERE ds.dist + e.w = dt.dist AND e.dst <> {source}
+  GROUP BY e.dst)""",
+    )
+    parts.append(
+        """walk(vid) AS (
+  SELECT vid FROM tgt
+  UNION ALL
+  SELECT p.pred FROM walk w JOIN pred p ON p.vid = w.vid)"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(row_number() OVER (ORDER BY d.dist) - 1 AS INT) AS step, w.vid, d.dist
+FROM walk w JOIN dd d ON d.vid = w.vid"""
+    )
+
+
+# ---- metapath variants / schema / reducer -----------------------------------
+
+TYPED_CTES = """orders_t AS (
+  SELECT o_orderkey, CAST(substr(o_orderpriority, 1, 1) AS INT) - 1 AS type FROM orders),
+tseq AS (
+  SELECT l_orderkey, l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS next_pk
+  FROM lineitem),
+tedges AS (
+  SELECT CAST(s.l_partkey AS BIGINT) AS src, CAST(s.next_pk AS BIGINT) AS dst, o.type
+  FROM tseq s JOIN orders_t o ON s.l_orderkey = o.o_orderkey
+  WHERE s.next_pk IS NOT NULL AND s.next_pk <> s.l_partkey),
+tund AS (SELECT src, dst, type FROM tedges UNION ALL SELECT dst AS src, src AS dst, type FROM tedges),
+lab AS (SELECT CAST(p_partkey AS BIGINT) AS vid, CAST(p_partkey % 3 AS INT) AS label FROM part)"""
+
+
+def metapath_variant_sql(
+    length: int = 3,
+    start_labels: list[int] | None = None,
+    end_labels: list[int] | None = None,
+    seed_max_vid: int | None = None,
+    start_vid: int | None = None,
+    end_vid: int | None = None,
+) -> str:
+    """Parameterized twin of operators/metapath.py: BetweenTypes
+    (start/end labels), ForInstances (seed set), and metaPath (instance
+    pair) all share the same unrolled walk with different seed/record
+    filters."""
+    seed_conds = []
+    if start_labels is not None:
+        seed_conds.append("label IN (" + ", ".join(str(int(x)) for x in start_labels) + ")")
+    if seed_max_vid is not None:
+        seed_conds.append(f"vid <= {seed_max_vid}")
+    if start_vid is not None:
+        seed_conds.append(f"vid = {int(start_vid)}")
+    where = (" WHERE " + " AND ".join(seed_conds)) if seed_conds else ""
+
+    def rec(i: int) -> str:
+        conds = []
+        if end_labels is not None:
+            lbls = ", ".join(str(int(x)) for x in end_labels)
+            conds.append(f"l.label IN ({lbls})")
+        if end_vid is not None:
+            conds.append(f"s.vid = {int(end_vid)}")
+        w = (" WHERE " + " AND ".join(conds)) if conds else ""
+        return (
+            f"r{i} AS (SELECT s.path, sum(s.cnt) AS cnt FROM s{i} s "
+            f"JOIN lab l ON l.vid = s.vid{w} GROUP BY s.path)"
+        )
+
+    parts = [
+        TYPED_CTES,
+        f"s1 AS (SELECT CAST(label AS VARCHAR) AS path, vid, CAST(1 AS BIGINT) AS cnt FROM lab{where})",
+        rec(1),
+    ]
+    for i in range(2, length + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT s.path || '|' || CAST(e.type AS VARCHAR) || '|' || CAST(l.label AS VARCHAR) AS path,
+         e.dst AS vid, sum(s.cnt) AS cnt
+  FROM s{i - 1} s JOIN tund e ON s.vid = e.src JOIN lab l ON l.vid = e.dst
+  GROUP BY 1, 2),
+{rec(i)}"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM r{i}" for i in range(1, length + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT path, CAST(sum(cnt) AS BIGINT) AS cnt FROM ({union}) allr GROUP BY path"
+    )
+
+
+def get_schema_sql() -> str:
+    return f"""WITH {TYPED_CTES},
+j AS (
+  SELECT ls.label AS sl, e.type, ld.label AS dl
+  FROM tund e JOIN lab ls ON ls.vid = e.src JOIN lab ld ON ld.vid = e.dst)
+SELECT DISTINCT CAST(least(sl, dl) AS INT) AS src_label, type,
+       CAST(greatest(sl, dl) AS INT) AS dst_label FROM j"""
+
+
+def graph_reducer_sql(keep_labels: list[int], keep_types: list[int]) -> str:
+    lbls = ", ".join(str(int(x)) for x in keep_labels)
+    typs = ", ".join(str(int(x)) for x in keep_types)
+    return f"""WITH {TYPED_CTES},
+keep AS (SELECT vid FROM lab WHERE label IN ({lbls}))
+SELECT e.src, e.dst, e.type FROM tedges e
+JOIN keep ks ON ks.vid = e.src JOIN keep kd ON kd.vid = e.dst
+WHERE e.type IN ({typs})"""
+
+
+def _schema_expand_parts(length: int, weighted: bool) -> tuple[list[str], str]:
+    parts = [
+        TYPED_CTES,
+        """segcnt AS (
+  SELECT ls.label AS lb, e.type AS t, ld.label AS nb, count(*) AS cnt
+  FROM tund e JOIN lab ls ON ls.vid = e.src JOIN lab ld ON ld.vid = e.dst
+  GROUP BY 1, 2, 3)""",
+        "tot AS (SELECT sum(cnt) AS total FROM segcnt)",
+        "alllb AS (SELECT DISTINCT lb FROM segcnt)",
+    ]
+    if weighted:
+        parts.append(
+            "p1 AS (SELECT CAST(lb AS VARCHAR) AS path, lb AS endlb, CAST(1.0 AS DOUBLE) AS w FROM alllb)"
+        )
+        for k in range(2, length + 1):
+            parts.append(
+                f"""p{k} AS (
+  SELECT p.path || '|' || CAST(s.t AS VARCHAR) || '|' || CAST(s.nb AS VARCHAR) AS path,
+         s.nb AS endlb, p.w * (CAST(s.cnt AS DOUBLE) / tot.total) AS w
+  FROM p{k - 1} p JOIN segcnt s ON s.lb = p.endlb CROSS JOIN tot)"""
+            )
+        union = " UNION ALL ".join(f"SELECT path, w FROM p{k}" for k in range(2, length + 1))
+    else:
+        parts.append("p1 AS (SELECT CAST(lb AS VARCHAR) AS path, lb AS endlb FROM alllb)")
+        for k in range(2, length + 1):
+            parts.append(
+                f"""p{k} AS (
+  SELECT DISTINCT p.path || '|' || CAST(s.t AS VARCHAR) || '|' || CAST(s.nb AS VARCHAR) AS path,
+         s.nb AS endlb
+  FROM p{k - 1} p JOIN segcnt s ON s.lb = p.endlb)"""
+            )
+        union = " UNION ALL ".join(f"SELECT path FROM p{k}" for k in range(1, length + 1))
+    return parts, union
+
+
+def schema_full_sql(length: int = 3) -> str:
+    parts, union = _schema_expand_parts(length, weighted=False)
+    return "WITH " + ",\n".join(parts) + f"\nSELECT DISTINCT path FROM ({union}) pp"
+
+
+def schema_full_weights_sql(length: int = 3) -> str:
+    parts, union = _schema_expand_parts(length, weighted=True)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT path, round(max(w), 9) AS weight FROM ({union}) pp GROUP BY path"
+    )
+
+
+def louvain_invariant_sql() -> str:
+    """The louvain loop is a heuristic; the SQL-checkable invariant is that
+    its modularity is at least the vid%7 strawman's (computed Spark-side
+    with the same modularity_df used by the gated modularity query)."""
+    return "SELECT CAST(TRUE AS BOOLEAN) AS louvain_beats_strawman"
+
+
+# ---- corpus ingest twins (oracle-parity 'poly' hash mode) -------------------
+
+def _corpus_ctes(
+    n_repos: int = 4,
+    files_per_repo: int = 50,
+    commits_per_repo: int = 20,
+    touch_mod: int = 5,
+    seed: int = 42,
+) -> str:
+    """DuckDB regeneration of sources/corpus.synthesize_corpus(hash_mode=
+    'poly'): the corpus is pure arithmetic over range(), so the oracle
+    rebuilds the IDENTICAL table from nothing."""
+    from neo4j_graph_algorithms_spark.sources.derive import poly_hash_sql
+
+    per_repo = files_per_repo * commits_per_repo
+    n = n_repos * per_repo
+    touch = poly_hash_sql("repo || '|' || \"commit\" || '|' || path || '|" + str(seed) + "'")
+    return f"""cbase AS (
+  SELECT CAST(i // {per_repo} AS BIGINT) AS repo_idx,
+         CAST((i % {per_repo}) // {commits_per_repo} AS BIGINT) AS file_idx,
+         CAST(i % {commits_per_repo} AS BIGINT) AS commit_idx
+  FROM range({n}) t(i)),
+cnamed AS (
+  SELECT printf('repo_%d', repo_idx) AS repo,
+         (['py', 'js', 'md'])[CAST(file_idx % 3 AS INT) + 1] AS lang,
+         file_idx, commit_idx
+  FROM cbase),
+cfull AS (
+  SELECT repo, lang, file_idx, commit_idx,
+         printf('src/f_%d.%s', file_idx, lang) AS path,
+         printf('c_%04d', commit_idx) AS "commit",
+         printf('# module f_%d in %s', file_idx, repo) || chr(10) ||
+         printf('import f_%d', (file_idx * 3 + 1) % {files_per_repo}) || chr(10) ||
+         printf('import f_%d', (file_idx * 7 + 2) % {files_per_repo}) || chr(10) ||
+         printf('def main_%d(): return %d', file_idx, file_idx) AS content
+  FROM cnamed),
+corpus AS (
+  SELECT repo, path, "commit", lang, content FROM cfull
+  WHERE {touch} % {touch_mod} = 0 OR file_idx % {commits_per_repo} = commit_idx)"""
+
+
+def corpus_sha_sql() -> str:
+    return f"""WITH {_corpus_ctes()}
+SELECT repo, path, "commit", sha256(content) AS content_sha256 FROM corpus"""
+
+
+def _corpus_cocommit_parts() -> list[str]:
+    from neo4j_graph_algorithms_spark.sources.derive import poly_hash_sql
+
+    vid = poly_hash_sql("repo || '|' || path")
+    return [
+        _corpus_ctes(),
+        f"""touches AS (
+  SELECT DISTINCT repo, "commit", path, {vid} AS vid FROM corpus)""",
+        """cedges AS (
+  SELECT a.vid AS src, b.vid AS dst, CAST(count(*) AS DOUBLE) AS weight
+  FROM touches a JOIN touches b
+    ON a.repo = b.repo AND a."commit" = b."commit" AND a.vid < b.vid
+  GROUP BY 1, 2)""",
+    ]
+
+
+def corpus_cocommit_sql() -> str:
+    return (
+        "WITH " + ",\n".join(_corpus_cocommit_parts()) + "\nSELECT src, dst, weight FROM cedges"
+    )
+
+
+def corpus_import_sql() -> str:
+    from neo4j_graph_algorithms_spark.sources.derive import poly_hash_sql
+
+    vid = poly_hash_sql("repo || '|' || path")
+    return f"""WITH {_corpus_ctes()},
+files AS (
+  SELECT DISTINCT repo, path, {vid} AS vid,
+         regexp_extract(path, '([^/]+)\\.[a-z]+$', 1) AS module
+  FROM corpus),
+imps AS (
+  SELECT DISTINCT c.repo, {poly_hash_sql("c.repo || '|' || c.path")} AS vid,
+         unnest(regexp_extract_all(c.content, 'import ([A-Za-z0-9_]+)', 1)) AS module
+  FROM (SELECT DISTINCT repo, path, content FROM corpus) c)
+SELECT DISTINCT i.vid AS src, f.vid AS dst
+FROM imps i JOIN files f ON f.repo = i.repo AND f.module = i.module
+WHERE i.vid <> f.vid"""
+
+
+def corpus_pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled delta-push PageRank over the poly-id co-commit graph."""
+    alpha = repr(1.0 - damping)
+    d = repr(damping)
+    parts = _corpus_cocommit_parts()
+    parts += [
+        "cverts AS (SELECT src AS vid FROM cedges UNION SELECT dst AS vid FROM cedges)",
+        "cdeg AS (SELECT src, count(*) AS outdeg FROM cedges GROUP BY src)",
+        "cewd AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv FROM cedges e JOIN cdeg d USING (src))",
+        f"cr0 AS MATERIALIZED (SELECT vid, CAST({alpha} AS DOUBLE) AS rank, CAST({alpha} AS DOUBLE) AS delta FROM cverts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""cs{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.delta * e.inv) AS s
+  FROM cr{i - 1} r JOIN cewd e ON r.vid = e.src WHERE r.delta > 0 GROUP BY e.dst),
+cr{i} AS MATERIALIZED (
+  SELECT v.vid, v.rank + {d} * coalesce(s.s, 0) AS rank, {d} * coalesce(s.s, 0) AS delta
+  FROM cr{i - 1} v LEFT JOIN cs{i} s ON v.vid = s.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, round(rank, 6) AS rank FROM cr{iterations}"
+    )

@@ -37,6 +37,7 @@ def curate(
     bands: int = 8,
     keep_langs: list[str] | None = None,
     compute_stats: bool = True,
+    hash_mode: str = "xxhash",
 ) -> CurationResult:
     """Run the full curation pipeline; duplicates keep the smallest id
     (deterministic).  Returns the curated docs plus per-stage row counts."""
@@ -63,6 +64,7 @@ def curate(
         bands=bands,
         threshold=near_dup_threshold,
         ngram=ngram,
+        hash_mode=hash_mode,
         id_col=id_col,
         text_col=text_col,
     )

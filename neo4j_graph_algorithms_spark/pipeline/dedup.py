@@ -248,7 +248,11 @@ def simhash(
     sums = sh.groupBy(id_col).agg(*aggs)
     fingerprint = None
     for j in range(bits):
-        term = F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        # bit weight built JVM-side: 2^63 does not fit py4j's Long.parseLong,
+        # and shiftleft(1,63) correctly yields the BIGINT sign bit
+        term = F.when(
+            F.col(f"s_{j}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {j})")
+        ).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
     return sums.select(F.col(id_col), fingerprint.alias("simhash"))
 

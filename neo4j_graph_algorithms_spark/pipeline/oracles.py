@@ -268,3 +268,165 @@ SELECT c.a, c.b,
        round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
 FROM cands c JOIN n na ON na.vec_id = c.a JOIN n nb ON nb.vec_id = c.b
 WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= {threshold}"""
+
+
+def token_dictionary_sql() -> str:
+    """[tok, tid] — lexicographic dense rank over the corpus vocabulary
+    (the Spark side computes the same rank with the distributed two-phase
+    ranking, functions/rank.py)."""
+    return f"""WITH {DOCS_CTE}
+SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
+FROM (SELECT DISTINCT unnest(toks) AS tok FROM docs)"""
+
+
+def ivf_search_sql(
+    n_centroids: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    k: int = 5,
+    n_probes: int = 2,
+    max_query_id: int = 8,
+    quantize: int = 6,
+) -> str:
+    """Full IVF twin: deterministic k-means (centroids = lowest-id vectors,
+    Lloyd iterations with centroids rounded to `quantize` decimals — the
+    same quantization the Spark side applies in oracle mode so avg()
+    summation order can't flip assignments), then cell-probed top-k."""
+    parts = [
+        """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        f"""dims AS MATERIALIZED (
+  SELECT vec_id, i AS dim, v[CAST(i AS INT) + 1] AS x
+  FROM emb, range({dim}) t(i))""",
+        f"""init AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_centroids})""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, i AS dim,
+         round(v[CAST(i AS INT) + 1], {quantize}) AS c
+  FROM init, range({dim}) t(i))""",
+    ]
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"""dist{it} AS MATERIALIZED (
+  SELECT d.vec_id, c.cid, round(sum((d.x - c.c) * (d.x - c.c)), {quantize}) AS d2
+  FROM dims d JOIN c{it - 1} c USING (dim) GROUP BY d.vec_id, c.cid),
+a{it} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist{it}) x WHERE rn = 1),
+c{it} AS MATERIALIZED (
+  SELECT a.cid, d.dim, round(avg(d.x), {quantize}) AS c
+  FROM a{it} a JOIN dims d USING (vec_id) GROUP BY a.cid, d.dim)"""
+        )
+    # final assignment against the last centroids, query cell probing, topk
+    parts.append(
+        f"""fdist AS MATERIALIZED (
+  SELECT d.vec_id, c.cid, round(sum((d.x - c.c) * (d.x - c.c)), {quantize}) AS d2
+  FROM dims d JOIN c{iterations} c USING (dim) GROUP BY d.vec_id, c.cid),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM fdist) x WHERE rn = 1),
+qcells AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM fdist WHERE vec_id < {max_query_id}) x WHERE rn <= {n_probes}),
+nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+probe AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qcells q JOIN assign a ON a.cid = q.cid
+  WHERE a.vec_id <> q.query_id),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM probe p JOIN nrm nq ON nq.vec_id = p.query_id
+  JOIN nrm nc ON nc.vec_id = p.neighbor_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) x WHERE rank <= {k}"""
+    )
+
+
+def curate_sql(
+    min_quality: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """End-to-end curation stage counts (input → quality gate → exact dedup
+    → LSH near-dup removal), mirroring pipeline/curate.curate in 'dict'
+    hash mode.  One row: the four stage row-counts."""
+    all_markers = ", ".join(
+        f"'{m}'" for m in sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    )
+    mins = []
+    for i in range(num_hashes):
+        a, b = hash_params(i)
+        mins.append(f"min((tid * {a} + {b}) % {HASH_P}) AS mh_{i}")
+    rows = num_hashes // bands
+    band_selects = []
+    for bi in range(bands):
+        cols = ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, concat_ws('_', {bi}, {cols}) AS bucket FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    grams = (
+        f"""gd AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + {n}], ' ') AS gram
+  FROM d2 docs, unnest(range(greatest(len(toks) - {n} + 1, 0))) t(i))"""
+        if n > 1
+        else "gd AS (SELECT DISTINCT doc_id, unnest(toks) AS gram FROM d2 docs)"
+    )
+    return f"""WITH {DOCS_CTE},
+q AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS nt,
+         CASE WHEN len(toks) > 0
+              THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks) ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> t IN ({all_markers}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS alpha_ratio
+  FROM docs),
+d1 AS (
+  SELECT doc_id, text, toks FROM q
+  WHERE (CASE WHEN nt >= 10 AND nt <= 100000 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN alpha_ratio >= 0.5 THEN 0.25 ELSE 0.0 END) >= {min_quality}),
+h AS (SELECT doc_id, text, toks, sha256(text) AS hh FROM d1),
+canon AS (SELECT hh, min(doc_id) AS keep FROM h GROUP BY hh),
+d2 AS (SELECT h.doc_id, h.text, h.toks FROM h JOIN canon c ON c.hh = h.hh AND c.keep = h.doc_id),
+{grams},
+gramdict AS (
+  SELECT gram, CAST(dense_rank() OVER (ORDER BY gram) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT gram FROM gd)),
+gt AS (SELECT doc_id, tid FROM gd JOIN gramdict USING (gram)),
+sig AS (SELECT doc_id, {', '.join(mins)} FROM gt GROUP BY doc_id),
+banded AS ({banded}),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cands c
+  JOIN gd ga ON ga.doc_id = c.a
+  JOIN gd gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+  GROUP BY c.a, c.b),
+verified AS (
+  SELECT i.a, i.b, round(i.ni / (sa.sz + sb.sz - i.ni), 6) AS jaccard
+  FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b),
+drop3 AS (SELECT DISTINCT b AS doc_id FROM verified WHERE jaccard >= {threshold}),
+d3 AS (SELECT doc_id FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM drop3))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS input,
+       (SELECT CAST(count(*) AS BIGINT) FROM d1) AS after_quality,
+       (SELECT CAST(count(*) AS BIGINT) FROM d2) AS after_exact_dedup,
+       (SELECT CAST(count(*) AS BIGINT) FROM d3) AS after_near_dedup"""

@@ -186,6 +186,7 @@ def ivf_build(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids [cid, centroid], assignments [id, cid]) — k-means coarse
     quantizer, Lloyd iterations as DataFrame ops.
@@ -194,21 +195,31 @@ def ivf_build(
     Assignment = argmin squared L2 via a broadcast centroid join; update =
     element-wise mean (posexplode + groupBy(cid, dim)).  Driver holds only
     the k centroid vectors.
+
+    `quantize`: round centroid coordinates (and the assignment distances)
+    to N decimals each iteration — the oracle-parity mode (summation order
+    inside avg()/sum() differs across engines; quantization makes argmin
+    assignments engine-independent), and a standard compression knob.
     """
+    q = (lambda c: F.round(c, quantize)) if quantize is not None else (lambda c: c)
     cents = (
         embs.orderBy(id_col)
         .limit(n_centroids)
-        .select(F.monotonically_increasing_id().alias("_i"), F.col(vec_col))
-        .withColumn("cid", F.row_number().over(Window.orderBy("_i")) - 1)
-        .select("cid", F.col(vec_col).cast("array<double>").alias("centroid"))
+        # rank directly on id_col: monotonically_increasing_id after a sort
+        # does NOT follow sort order, so centroid ids would be run-dependent
+        .withColumn("cid", F.row_number().over(Window.orderBy(id_col)) - 1)
+        .select(
+            "cid",
+            F.transform(F.col(vec_col).cast("array<double>"), q).alias("centroid"),
+        )
     )
     for _ in range(iterations):
-        assigned = _ivf_assign(embs, cents, id_col, vec_col)
+        assigned = _ivf_assign(embs, cents, id_col, vec_col, quantize)
         per_dim = (
             assigned.join(embs, on=id_col)
             .select("cid", F.posexplode(F.col(vec_col)).alias("dim", "x"))
             .groupBy("cid", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(q(F.avg(F.col("x").cast("double"))).alias("m"))
         )
         cents = (
             per_dim.groupBy("cid")
@@ -216,10 +227,16 @@ def ivf_build(
             .select("cid", F.transform("s", lambda e: e["m"]).alias("centroid"))
         )
         cents = cents.localCheckpoint(eager=True)  # truncate iterative lineage
-    return cents, _ivf_assign(embs, cents, id_col, vec_col)
+    return cents, _ivf_assign(embs, cents, id_col, vec_col, quantize)
 
 
-def _ivf_assign(embs: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _ivf_assign(
+    embs: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quantize: int | None = None,
+) -> DataFrame:
     d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col), F.col("centroid"), lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
@@ -227,6 +244,8 @@ def _ivf_assign(embs: DataFrame, cents: DataFrame, id_col: str, vec_col: str) ->
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if quantize is not None:
+        d2 = F.round(d2, quantize)
     scored = embs.crossJoin(F.broadcast(cents)).withColumn("_d2", d2)
     w = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("cid"))
     return (
@@ -245,24 +264,26 @@ def ivf_search(
     n_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """[query_id, neighbor_id, rank, cosine] ANN top-k probing the
     `n_probes` nearest centroid cells per query — the scan touches only
-    probed cells (partition pruning by cid at scale)."""
+    probed cells (partition pruning by cid at scale).  `quantize` must
+    match ivf_build's (oracle-parity distance rounding)."""
+    qd2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if quantize is not None:
+        qd2 = F.round(qd2, quantize)
     q_assign = (
         queries.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "_d2",
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.col("centroid"),
-                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("_d2", qd2)
         .withColumn(
             "_rn", F.row_number().over(Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("cid")))
         )

@@ -137,8 +137,12 @@ def token_dictionary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     cheap relative to the corpus scan; the scale path replaces tid with
     xxhash64(tok) and skips this entirely.
     """
+    from neo4j_graph_algorithms_spark.functions.rank import dense_ids
+
     toks = docs.select(F.explode(tokens_col(text_col)).alias("tok")).distinct()
-    return toks.withColumn("tid", F.dense_rank().over(Window.orderBy("tok")).cast("long"))
+    # distributed two-phase ranking — no single-partition global window
+    # (1-based to match SQL dense_rank)
+    return dense_ids(toks, "tok", start=1).select("tok", F.col("_rk").alias("tid"))
 
 
 def doc_tokens(

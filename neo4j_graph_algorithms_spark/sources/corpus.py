@@ -47,8 +47,14 @@ def synthesize_corpus(
     commits_per_repo: int = 20,
     touch_mod: int = 5,
     seed: int = 42,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
-    """Return the corpus DataFrame (repo, path, commit, lang, content)."""
+    """Return the corpus DataFrame (repo, path, commit, lang, content).
+
+    `hash_mode` picks the touch-filter hash: 'xxhash' (scale path) or
+    'poly' (engine-independent polynomial hash — the oracle-parity mode:
+    DuckDB regenerates the IDENTICAL corpus from range(), giving the
+    correctness gate full value-hash checks on the whole ingest path)."""
     base = (
         spark.range(n_repos * files_per_repo * commits_per_repo)
         .withColumn("repo_idx", (F.col("id") / (files_per_repo * commits_per_repo)).cast("long"))
@@ -65,9 +71,19 @@ def synthesize_corpus(
         .withColumn("path", F.format_string("src/f_%d.%s", F.col("file_idx"), F.col("lang")))
         .withColumn("commit", F.format_string("c_%04d", F.col("commit_idx")))
     )
+    if hash_mode == "xxhash":
+        touch_h = F.pmod(F.xxhash64("repo", "commit", "path", F.lit(seed)), F.lit(touch_mod))
+    elif hash_mode == "poly":
+        from neo4j_graph_algorithms_spark.sources.derive import poly_hash
+
+        touch_h = F.pmod(
+            poly_hash(F.concat_ws("|", "repo", "commit", "path", F.lit(str(seed)))),
+            F.lit(touch_mod),
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     touched = df.filter(
-        (F.pmod(F.xxhash64("repo", "commit", "path", F.lit(seed)), F.lit(touch_mod)) == 0)
-        | (F.col("file_idx") % commits_per_repo == F.col("commit_idx"))
+        (touch_h == 0) | (F.col("file_idx") % commits_per_repo == F.col("commit_idx"))
     )
     return touched.select(
         "repo", "path", "commit", "lang", _content_expr().alias("content")

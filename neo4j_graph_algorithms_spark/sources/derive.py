@@ -21,23 +21,59 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 log = logging.getLogger(__name__)
 
+# Engine-independent polynomial string hash (mod Mersenne prime 2^31-1):
+# the ORACLE-PARITY id mode — DuckDB computes the identical value, so the
+# correctness gate gets full value-hash checks on hashed vertex ids.  The
+# scale path stays xxhash64 (better mixing, no char fold).
+POLY_P = 2_147_483_647
 
-def corpus_vertices(corpus: DataFrame) -> DataFrame:
+
+def poly_hash(col: Column | str) -> Column:
+    """Fold (acc*31 + codepoint) % POLY_P over the string's characters —
+    same recurrence as pipeline/text.py fingerprints."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(c, ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % POLY_P,
+    )
+
+
+def poly_hash_sql(expr: str) -> str:
+    """DuckDB twin of `poly_hash` over an arbitrary SQL string expression."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), ch -> ord(ch))), "
+        f"(acc, x) -> (acc * 31 + x) % {POLY_P})"
+    )
+
+
+def _vid(id_mode: str) -> Column:
+    if id_mode == "xxhash":
+        return F.xxhash64("repo", "path")
+    if id_mode == "poly":
+        return poly_hash(F.concat_ws("|", "repo", "path"))
+    raise ValueError(f"unknown id_mode {id_mode!r}")
+
+
+def corpus_vertices(corpus: DataFrame, id_mode: str = "xxhash") -> DataFrame:
     """[vid, repo, path] — one row per distinct file."""
     return (
         corpus.select("repo", "path")
         .distinct()
-        .select(F.xxhash64("repo", "path").alias("vid"), "repo", "path")
+        .select(_vid(id_mode).alias("vid"), "repo", "path")
     )
 
 
 def cocommit_edges(
     corpus: DataFrame,
     max_files_per_commit: int = 1000,
+    id_mode: str = "xxhash",
 ) -> DataFrame:
     """[src, dst, weight] undirected-canonical co-commit edges.
 
@@ -47,7 +83,7 @@ def cocommit_edges(
     touches = (
         corpus.select("repo", "commit", "path")
         .distinct()
-        .withColumn("vid", F.xxhash64("repo", "path"))
+        .withColumn("vid", _vid(id_mode))
     )
     w = Window.partitionBy("repo", "commit").orderBy("path")
     capped = (
@@ -65,7 +101,7 @@ def cocommit_edges(
     )
 
 
-def import_edges(corpus: DataFrame) -> DataFrame:
+def import_edges(corpus: DataFrame, id_mode: str = "xxhash") -> DataFrame:
     """[src, dst] directed import edges, resolved within the same repo.
 
     Imports are extracted with a vectorized regexp over content
@@ -75,13 +111,13 @@ def import_edges(corpus: DataFrame) -> DataFrame:
     files = (
         corpus.select("repo", "path")
         .distinct()
-        .withColumn("vid", F.xxhash64("repo", "path"))
+        .withColumn("vid", _vid(id_mode))
         .withColumn("module", F.regexp_extract("path", r"([^/]+)\.[a-z]+$", 1))
     )
     imports = (
         corpus.select("repo", "path", "content")
         .distinct()
-        .withColumn("vid", F.xxhash64("repo", "path"))
+        .withColumn("vid", _vid(id_mode))
         .select(
             "repo",
             "vid",

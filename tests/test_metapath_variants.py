@@ -43,10 +43,43 @@ def test_precompute_high_degree_and_reload(spark, hetero, tmp_path):
     df = precompute_high_degree_metapaths(
         spark, edges, labels, length=2, ratio=0.5, output_path=out
     )
-    want = {r.path: r.cnt for r in df.collect()}
-    # top-2 degree nodes are 1 and 2 (degree 2 each)
-    reloaded = {r.path: r.cnt for r in read_precomputed_metapaths(spark, out).collect()}
-    assert reloaded == want and len(want) > 0
+    want = {(r.start, r.path, r.end) for r in df.collect()}
+    # top-2 degree nodes are 1 and 2 (degree 2 each); per-start-node index:
+    # start -> (type|label expansion) -> end node (reference result shape
+    # HashMap<start, HashMap<path, HashSet<end>>>)
+    assert want == {
+        (1, "0|0", 0),
+        (1, "1|0", 2),
+        (2, "1|1", 1),
+        (2, "0|2", 3),
+    }
+    reloaded = {
+        (r.start, r.path, r.end) for r in read_precomputed_metapaths(spark, out).collect()
+    }
+    assert reloaded == want
+
+
+def test_schema_full_weights(spark, hetero):
+    from neo4j_graph_algorithms_spark.operators.metapath import (
+        compute_metapaths_schema_full_weights,
+    )
+
+    edges, labels = hetero
+    got = {
+        r.path: r.weight
+        for r in compute_metapaths_schema_full_weights(spark, edges, labels, 2).collect()
+    }
+    # 3 instance edges, distinct label pairs → 6 ordered segments, cnt 1
+    # each, total 6; single-label seeds are NOT emitted (reference
+    # ComputeAllMetaPathsSchemaFullWeights adds only expansions)
+    assert set(got) == {"0|0|1", "0|1|1", "0|0|2", "1|0|0", "1|1|0", "2|0|0"}
+    assert all(abs(w - 1 / 6) < 1e-12 for w in got.values())
+    got3 = {
+        r.path: r.weight
+        for r in compute_metapaths_schema_full_weights(spark, edges, labels, 3).collect()
+    }
+    assert abs(got3["0|0|1|1|0"] - 1 / 36) < 1e-12
+    assert all(p in got3 for p in got)  # shorter paths still present
 
 
 def test_schema_full_enumeration(spark, hetero):

@@ -124,6 +124,15 @@ def test_simhash_dedup_finds_duplicates(spark, docs):
         assert not (a in (0, 1, 2) and b in (3, 4))
 
 
+def test_simhash_default_64_bits(spark, docs):
+    # bit 63 is the BIGINT sign bit: 2^63 can't ride py4j as a literal, so
+    # the weight must be built JVM-side (regression: NumberFormatException)
+    sh = {r.doc_id: r.simhash for r in simhash(docs, bits=64).collect()}
+    assert sh[0] == sh[1] and sh[3] == sh[4]
+    got = {(r.a, r.b): r.hamming for r in simhash_dedup(docs, bits=64, max_hamming=3).collect()}
+    assert got[(0, 1)] == 0 and got[(3, 4)] == 0
+
+
 def test_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert exact_dedup(empty).count() == 0

@@ -1,0 +1,82 @@
+"""shortest_path (node-sequence reconstruction) + weighted APSP tests.
+
+Fixture: ShortestPathDeltaSteppingProcTest.java:46-92 — three weighted
+chains s→x with per-hop costs 5/3/2; shortest s→x = 8 via the cost-2 chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neo4j_graph_algorithms_spark.operators.paths import (
+    all_shortest_paths_weighted,
+    shortest_path,
+    sssp,
+)
+from tests.conftest import edge_df, names_to_ids
+
+DS_NODES = "sabcdefghix"
+
+
+def _ds_edges(spark):
+    ids = names_to_ids(DS_NODES)
+    spec = [
+        ("s", "a", 5.0), ("a", "b", 5.0), ("b", "c", 5.0), ("c", "x", 5.0),
+        ("s", "d", 3.0), ("d", "e", 3.0), ("e", "f", 3.0), ("f", "x", 3.0),
+        ("s", "g", 2.0), ("g", "h", 2.0), ("h", "i", 2.0), ("i", "x", 2.0),
+    ]
+    pairs = [(ids[s], ids[d]) for s, d, _ in spec]
+    weights = [w for _, _, w in spec]
+    return edge_df(spark, pairs, weights), ids
+
+
+def test_shortest_path_node_sequence(spark):
+    edges, ids = _ds_edges(spark)
+    rows = shortest_path(spark, edges, ids["s"], ids["x"]).orderBy("step").collect()
+    seq = [(r.step, r.vid, r.dist) for r in rows]
+    want = [
+        (0, ids["s"], 0.0),
+        (1, ids["g"], 2.0),
+        (2, ids["h"], 4.0),
+        (3, ids["i"], 6.0),
+        (4, ids["x"], 8.0),
+    ]
+    assert seq == want
+
+
+def test_shortest_path_unreachable_is_empty(spark):
+    edges = edge_df(spark, [(0, 1), (2, 3)])
+    assert shortest_path(spark, edges, 0, 3).count() == 0
+
+
+def test_shortest_path_canonical_tie_break(spark):
+    # two equal-cost paths 0→1→3 and 0→2→3; pred(3) must be the MIN vid (1)
+    edges = edge_df(spark, [(0, 1), (0, 2), (1, 3), (2, 3)], [1.0, 1.0, 1.0, 1.0])
+    seq = [r.vid for r in shortest_path(spark, edges, 0, 3).orderBy("step").collect()]
+    assert seq == [0, 1, 3]
+
+
+def test_apsp_weighted_matches_per_source_sssp(spark):
+    edges, ids = _ds_edges(spark)
+    apsp = {
+        (r.source, r.vid): r.dist
+        for r in all_shortest_paths_weighted(spark, edges).collect()
+    }
+    for s in (ids["s"], ids["d"], ids["x"]):
+        per = {r.vid: r.dist for r in sssp(spark, edges, s).collect()}
+        for v, d in per.items():
+            assert apsp[(s, v)] == d
+    # self rows present with dist 0; no rows for unreachable pairs
+    assert apsp[(ids["x"], ids["x"])] == 0.0
+    assert (ids["x"], ids["s"]) not in apsp
+
+
+def test_apsp_weighted_source_subset(spark):
+    edges, ids = _ds_edges(spark)
+    srcs = spark.createDataFrame([(ids["s"],)], "vid long")
+    got = {
+        (r.source, r.vid): r.dist
+        for r in all_shortest_paths_weighted(spark, edges, sources=srcs).collect()
+    }
+    assert all(s == ids["s"] for s, _ in got)
+    assert got[(ids["s"], ids["x"])] == 8.0
