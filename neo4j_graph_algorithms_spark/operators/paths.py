@@ -271,28 +271,38 @@ def all_shortest_paths_weighted(
     ).localCheckpoint(eager=True)
     frontier = dist
     for _ in range(max_iterations):
+        # shuffle_hash hint on the EDGE side: same no-broadcast-of-state
+        # strategy, but hinting the checkpointed frontier side trips a
+        # Catalyst NoSuchElementException in Spark 4.1 (key not found:
+        # source#N) during the next localCheckpoint
         relaxed = (
-            e.join(frontier.withColumnRenamed(VID, SRC).hint("shuffle_hash"), on=SRC)
+            e.hint("shuffle_hash").join(frontier.withColumnRenamed(VID, SRC), on=SRC)
             .select(
                 "source", F.col(DST).alias(VID), (F.col(DIST) + F.col(WEIGHT)).alias(DIST)
             )
             .groupBy("source", VID)
             .agg(F.min(DIST).alias(DIST))
         )
-        improved = (
-            relaxed.alias("r")
-            .join(dist.alias("d"), on=["source", VID], how="left")
-            .filter(F.col(f"d.{DIST}").isNull() | (F.col(f"r.{DIST}") < F.col(f"d.{DIST}")))
-            .select("source", VID, F.col(f"r.{DIST}").alias(DIST))
+        # single full-outer merge per round: new dist + improved flag in ONE
+        # checkpointed frame (no anti-join + union, half the checkpoints)
+        merged = (
+            dist.join(
+                relaxed.withColumnRenamed(DIST, "_cand"), on=["source", VID], how="full_outer"
+            )
+            .select(
+                "source",
+                VID,
+                F.least(F.col(DIST), F.col("_cand")).alias(DIST),
+                (
+                    F.col(DIST).isNull()
+                    | (F.col("_cand").isNotNull() & (F.col("_cand") < F.col(DIST)))
+                ).alias("_improved"),
+            )
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        dist = merged.select("source", VID, DIST)
+        frontier = merged.filter(F.col("_improved")).select("source", VID, DIST)
+        if frontier.isEmpty():
             break
-        dist = (
-            dist.join(improved, on=["source", VID], how="left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
-        )
-        frontier = improved
     e.unpersist()
-    return dist
+    return dist.select("source", VID, DIST)

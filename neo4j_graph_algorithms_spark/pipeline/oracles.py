@@ -297,10 +297,11 @@ def ivf_search_sql(
         f"""dims AS MATERIALIZED (
   SELECT vec_id, i AS dim, v[CAST(i AS INT) + 1] AS x
   FROM emb, range({dim}) t(i))""",
-        f"""init AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_centroids})""",
+        f"""init AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_centroids}) ii)""",
         f"""c0 AS MATERIALIZED (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, i AS dim,
-         round(v[CAST(i AS INT) + 1], {quantize}) AS c
+  SELECT cid, i AS dim, round(v[CAST(i AS INT) + 1], {quantize}) AS c
   FROM init, range({dim}) t(i))""",
     ]
     for it in range(1, iterations + 1):
