@@ -55,29 +55,17 @@ def _checksum(df: DataFrame, col: str) -> int:
     return int(row["s"] or 0)
 
 
-def _mix(col) -> F.Column:
-    """Bijective 64-bit scrambler (xorshift64 step: shifts+XORs only, no
-    overflow-sensitive multiply).  The color fixpoints run in this scrambled
-    id space: pointer jumping accelerates max-propagation only when id order
-    is uncorrelated with graph structure (an ascending-id cycle degenerates
-    to O(n) rounds; scrambled ids give the expected O(log n)).  Injective,
-    so distinct roots keep distinct colors; final comps are canonicalized to
-    min member id regardless."""
-    x = F.col(col) if isinstance(col, str) else col
-    x = x.bitwiseXOR(F.shiftleft(x, 13))
-    x = x.bitwiseXOR(F.shiftrightunsigned(x, 7))
-    x = x.bitwiseXOR(F.shiftleft(x, 17))
-    return x
-
-
-def _mix_py(v: int) -> int:
-    """Python twin of _mix (same signed-64 result as the Spark expression)."""
-    m = (1 << 64) - 1
-    x = v & m
-    x ^= (x << 13) & m
-    x ^= x >> 7
-    x ^= (x << 17) & m
-    return x - (1 << 64) if x >= (1 << 63) else x
+def _rand_val(col) -> F.Column:
+    """Random-ordered, collision-free propagation value: struct(xxhash64(vid),
+    vid), compared lexicographically.  Pointer jumping accelerates
+    max-propagation only when value order is uncorrelated with graph
+    structure — an ascending-id cycle degenerates to O(n) rounds with raw
+    vids; the hash front randomizes the order (expected O(log n)), and the
+    vid tiebreak keeps values unique (a plain 64-bit hash could collide and
+    merge two classes).  xorshift-style scrambling does NOT work here: it is
+    GF(2)-linear, so sequential ids stay order-correlated."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(F.xxhash64(c).alias("h"), c.alias("v"))
 
 
 def _tarjan(vids: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -143,17 +131,19 @@ def _max_fixpoint(
     value_col: str,
     max_rounds: int,
     group_cols: list[str] | None = None,
-    scrambled: bool = False,
 ) -> tuple[DataFrame, bool, int]:
     """Generic max-propagation fixpoint with pointer jumping.
 
-    state: [vid, *group_cols, value_col]; value domain = vids (or, with
-    `scrambled`, mix(vid)s) present in state.
-    push_edges: [src, dst, *group_cols] — value flows src → dst.
+    state: [vid, *group_cols, value_col]; values are `_rand_val` structs
+    (h, v) with v a vid present in state — the jump mapping is keyed on the
+    v field.  push_edges: [src, dst, *group_cols] — value flows src → dst.
+    Convergence via monotone checksums: values only increase
+    lexicographically, so (Σh, Σv) is stationary exactly at the fixpoint
+    (h never decreases per-row; with all h unchanged, v never decreases).
     Returns (state, converged, rounds).
     """
     gcols = group_cols or []
-    prev: int | None = None
+    prev: tuple[int, int] | None = None
     rounds = 0
     for _r in range(max_rounds):
         rounds += 1
@@ -167,11 +157,10 @@ def _max_fixpoint(
             .agg(F.max(value_col).alias(value_col))
         )
         mapping = hop.select(
-            (_mix(VID) if scrambled else F.col(VID)).alias("_m_vid"),
-            F.col(value_col).alias("_m_val"),
+            F.col(VID).alias("_m_vid"), F.col(value_col).alias("_m_val")
         )
         state = (
-            hop.join(mapping, hop[value_col] == F.col("_m_vid"), "left")
+            hop.join(mapping, hop[value_col]["v"] == F.col("_m_vid"), "left")
             .select(
                 VID,
                 *gcols,
@@ -181,7 +170,11 @@ def _max_fixpoint(
             )
             .localCheckpoint(eager=True)
         )
-        s = _checksum(state, value_col)
+        row = state.agg(
+            F.sum(F.col(value_col)["h"].cast("decimal(38,0)")).alias("sh"),
+            F.sum(F.col(value_col)["v"].cast("decimal(38,0)")).alias("sv"),
+        ).collect()[0]
+        s = (int(row["sh"] or 0), int(row["sv"] or 0))
         if prev is not None and s == prev:
             return state, True, rounds
         prev = s
@@ -234,11 +227,9 @@ def scc(
             vids = [r[VID] for r in remaining.collect()]
             elist = [(r[SRC], r[DST]) for r in er_small.collect()]
             comp_map = _tarjan(vids, elist)
-            # comp ids in scrambled space like every other part (injective →
-            # no accidental comp-value collision across parts)
             assigned_parts.append(
                 spark.createDataFrame(
-                    [(v, _mix_py(c)) for v, c in comp_map.items()],
+                    [(v, c) for v, c in comp_map.items()],
                     f"{VID} long, {COMP} long",
                 )
             )
@@ -257,8 +248,11 @@ def scc(
         core = remaining.join(srcs, on=VID, how="left_semi").join(
             dsts, on=VID, how="left_semi"
         )
+        # comp values are always MEMBER vids of their own class (trimmed
+        # singleton: itself; colored SCC: its root; Tarjan: min member) —
+        # classes are disjoint vertex sets, so comp values never collide
         trimmed = remaining.join(core, on=VID, how="left_anti")
-        assigned_parts.append(trimmed.select(VID, _mix(VID).alias(COMP)))
+        assigned_parts.append(trimmed.select(VID, F.col(VID).alias(COMP)))
         if core.isEmpty():
             remaining = core
             break
@@ -269,13 +263,14 @@ def scc(
             .localCheckpoint(eager=True)
         )
 
-        # 2. color fixpoint: color(v) = max SCRAMBLED vid that can reach v.
-        #    Jump soundness: color(v)=mix(u) means u ⤳ v, and
+        # 2. color fixpoint: color(v) = hash-max vertex that can reach v.
+        #    Jump soundness: color(v)=(h(u),u) means u ⤳ v, and
         #    color(u) ⤳ u ⤳ v, so color(color(v)) is a valid (≥) color.
-        color0 = core.select(VID, _mix(VID).alias("color"))
-        color, ok, rounds = _max_fixpoint(
-            color0, ec, "color", max_color_rounds, scrambled=True
-        )
+        color0 = core.select(VID, _rand_val(VID).alias("color"))
+        colorst, ok, rounds = _max_fixpoint(color0, ec, "color", max_color_rounds)
+        # flatten to the root vid: unique per class (vid tiebreak in the
+        # struct), so the class id IS a member vertex
+        color = colorst.select(VID, F.col("color")["v"].alias("color"))
         mx["color_rounds"].append(rounds)
         if not ok:
             warnings.warn(
@@ -284,11 +279,15 @@ def scc(
                 RuntimeWarning,
             )
 
-        # 3. backward reachability within each color class: bcolor(v) = max
-        #    same-colored vid that v can REACH (max-propagation over
-        #    REVERSED same-color edges, pointer-jumped).  v ∈ SCC(c) iff
-        #    color(v)=c ∧ bcolor(v)=c: c reaches v (step 2) and v reaches c
-        #    (bcolor=c requires a path v ⤳ c, and c is the class maximum).
+        # 3. backward reachability within each color class: bcolor(v) = the
+        #    hash-max same-colored vertex v can REACH (max-propagation over
+        #    REVERSED same-color edges, pointer-jumped).  The root r of a
+        #    class is its hash-max member (color(w) ≥ (h(w),w) for members),
+        #    so v ∈ SCC(r) iff color(v)=r ∧ bcolor(v)=r: r reaches v
+        #    (step 2) and v reaches r.  The fixpoint runs UNGROUPED: the
+        #    edge table is already restricted to same-class edges, so both
+        #    the hop and the jump stay inside the class by construction —
+        #    no class key in the join.
         edge_col = (
             ec.join(
                 color.withColumnRenamed(VID, SRC).withColumnRenamed("color", "c_src"),
@@ -299,15 +298,14 @@ def scc(
                 on=DST,
             )
             .filter(F.col("c_src") == F.col("c_dst"))
-            .select(SRC, DST, F.col("c_src").alias("color"))
+            .select(SRC, DST)
             .localCheckpoint(eager=True)
         )
-        rev = edge_col.select(
-            F.col(DST).alias(SRC), F.col(SRC).alias(DST), "color"
-        )
-        b0 = color.select(VID, "color", _mix(VID).alias("bcolor"))
-        bstate, ok_b, rounds_b = _max_fixpoint(
-            b0, rev, "bcolor", max_color_rounds, group_cols=["color"], scrambled=True
+        rev = edge_col.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        b0 = color.select(VID, _rand_val(VID).alias("bcolor"))
+        bstate_st, ok_b, rounds_b = _max_fixpoint(b0, rev, "bcolor", max_color_rounds)
+        bstate = bstate_st.select(VID, F.col("bcolor")["v"].alias("bcolor")).join(
+            color, on=VID
         )
         mx["bcolor_rounds"].append(rounds_b)
         if not ok_b:
