@@ -145,6 +145,9 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
         job_group="linkgraph-pagerank",
+        # deltas contract geometrically (×d per superstep): checking max|Δ|
+        # every superstep wastes a driver job; worst case +3 supersteps
+        metric_every=4 if tolerance is not None else 1,
     )
     result = runner.run(state0, step, resume=resume)
     edges_wd.unpersist()

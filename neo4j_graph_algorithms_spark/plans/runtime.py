@@ -59,7 +59,13 @@ class SuperstepRunner:
         checkpoint_dir: str | None = None,
         checkpoint_interval: int = 5,
         job_group: str = "linkgraph-superstep",
+        metric_every: int = 1,
     ):
+        """`metric_every=k`: evaluate the convergence metric only every k-th
+        superstep — each metric is a driver-coordinated job, and geometric
+        contractions (PageRank deltas shrink ×d per superstep) spend most
+        iterations far from tolerance.  Worst case overshoots convergence by
+        k-1 (cheap) extra supersteps; results only get MORE converged."""
         self.spark = spark
         self.max_iterations = max_iterations
         self.metric = metric
@@ -67,6 +73,7 @@ class SuperstepRunner:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.job_group = job_group
+        self.metric_every = max(1, metric_every)
 
     # -- durable checkpoint layout -------------------------------------------
 
@@ -131,9 +138,10 @@ class SuperstepRunner:
             new_state = step(state, i)
             # Lineage truncation: REQUIRED for iterative DataFrame plans.
             new_state = new_state.localCheckpoint(eager=True)
-            metric = (
-                self.metric(new_state, state, i) if self.metric is not None else float("nan")
+            run_metric = self.metric is not None and (
+                (i + 1) % self.metric_every == 0 or i + 1 == self.max_iterations
             )
+            metric = self.metric(new_state, state, i) if run_metric else float("nan")
             state.unpersist()
             state = new_state
             i += 1
