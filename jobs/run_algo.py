@@ -4,8 +4,9 @@
         --algo wcc --edges <path> --output <path> [--config '{"threshold": 2.0}']
 
 Algorithms: pagerank, wcc, mscoloring, lpa, louvain, triangles,
-clustering_coefficients, scc, sssp, delta_stepping, closeness, harmonic,
-betweenness, mst, metapath (needs typed edges + labels tables).
+clustering_coefficients, scc, sssp, shortest_path, apsp_weighted,
+all_shortest_paths, delta_stepping, closeness, harmonic, betweenness, mst,
+metapath (needs typed edges + labels tables).
 """
 
 from __future__ import annotations
@@ -72,6 +73,14 @@ def main() -> None:
         out = _s.scc(spark, edges)
     elif algo == "sssp":
         out = _pa.sssp(spark, edges, source=int(cfg["source"]))
+    elif algo == "shortest_path":
+        out = _pa.shortest_path(
+            spark, edges, source=int(cfg["source"]), target=int(cfg["target"])
+        )
+    elif algo == "apsp_weighted":
+        out = _pa.all_shortest_paths_weighted(spark, edges)
+    elif algo == "all_shortest_paths":
+        out = _c.all_shortest_paths(spark, edges)
     elif algo == "delta_stepping":
         out = _pa.delta_stepping(
             spark, edges, source=int(cfg["source"]), delta=cfg.get("delta", 3.0)

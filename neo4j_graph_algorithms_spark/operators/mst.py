@@ -89,6 +89,10 @@ def mst(
             .distinct()
             .select("c", F.col("c").alias("root"))
         )
+        # monotone-checksum convergence: roots only DECREASE under
+        # min-propagation, so Σroot is stationary exactly at the fixpoint —
+        # one aggregate per round, no state self-join (wcc.py's trick)
+        prev_sum = None
         for _j in range(max_rounds):
             nbr = (
                 cund.join(labels.withColumnRenamed("c", "a"), on="a")
@@ -100,20 +104,18 @@ def mst(
                 .agg(F.min("root").alias("root"))
             )
             mapping = cand.select(F.col("c").alias("_m"), F.col("root").alias("_mr"))
-            jumped = (
+            labels = (
                 cand.join(mapping, cand["root"] == F.col("_m"), "left")
                 .select("c", F.coalesce("_mr", "root").alias("root"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), on="c")
-                .filter(F.col("n.root") != F.col("o.root"))
-                .count()
-            )
-            labels = jumped
-            if changed == 0:
+            row = labels.agg(
+                F.sum(F.col("root").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]
+            s = int(row["s"] or 0)
+            if prev_sum is not None and s == prev_sum:
                 break
+            prev_sum = s
         comp = (
             comp.join(labels.withColumnRenamed("c", "comp"), on="comp", how="left")
             .select(VID, F.coalesce("root", F.col("comp")).alias("comp"))

@@ -89,9 +89,13 @@ PROCEDURES: dict[str, str] = {
     "algo.scc.iterative": "neo4j_graph_algorithms_spark.operators.scc.scc",
     "algo.scc.multistep": "neo4j_graph_algorithms_spark.operators.scc.scc",
     "algo.scc.forwardBackward": "neo4j_graph_algorithms_spark.operators.scc.scc",
-    "algo.shortestPath": "neo4j_graph_algorithms_spark.operators.paths.sssp",
+    # algo.shortestPath streams the path node sequence; shortest_path
+    # reconstructs it (sssp serves the distances-only stream mode)
+    "algo.shortestPath": "neo4j_graph_algorithms_spark.operators.paths.shortest_path",
+    "algo.shortestPath.stream": "neo4j_graph_algorithms_spark.operators.paths.sssp",
     "algo.shortestPath.deltaStepping": "neo4j_graph_algorithms_spark.operators.paths.delta_stepping",
     "algo.shortestPaths": "neo4j_graph_algorithms_spark.operators.paths.shortest_paths",
+    "algo.allShortestPaths.stream.weighted": "neo4j_graph_algorithms_spark.operators.paths.all_shortest_paths_weighted",
     "algo.closeness": "neo4j_graph_algorithms_spark.operators.msbfs.closeness",
     "algo.harmonic": "neo4j_graph_algorithms_spark.operators.msbfs.harmonic",
     "algo.allShortestPaths.stream": "neo4j_graph_algorithms_spark.operators.msbfs.all_shortest_paths",
@@ -103,6 +107,7 @@ PROCEDURES: dict[str, str] = {
     "algo.metaPathPrecomputeHighDegreeNodes": "neo4j_graph_algorithms_spark.operators.metapath.precompute_high_degree_metapaths",
     "algo.readPrecomputedMetaPaths": "neo4j_graph_algorithms_spark.operators.metapath.read_precomputed_metapaths",
     "algo.computeAllMetaPathsSchemaFull": "neo4j_graph_algorithms_spark.operators.metapath.compute_metapaths_schema_full",
+    "algo.computeAllMetaPathsSchemaFullWeights": "neo4j_graph_algorithms_spark.operators.metapath.compute_metapaths_schema_full_weights",
     "algo.getLabelIdToLabelNameMapping": "neo4j_graph_algorithms_spark.operators.reducer.label_dictionary",
     "algo.computeAllMetaPaths": "neo4j_graph_algorithms_spark.operators.metapath.compute_all_metapaths",
     "algo.computeAllMetaPathsBetweenTypes": "neo4j_graph_algorithms_spark.operators.metapath.compute_all_metapaths",
