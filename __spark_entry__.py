@@ -383,6 +383,24 @@ def _q_louvain_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_metapath_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.metapath import filter_metapaths
+
+    edges, labels = typed_graph(spark, sf_dir)
+    mp = compute_all_metapaths(spark, edges, labels, length=3)
+    return filter_metapaths(mp, start_label=0, end_label=2)
+
+
+def _q_label_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.reducer import label_dictionary
+
+    names = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(F.col("p_type").alias("label_name"))
+    )
+    return label_dictionary(names)
+
+
 def _q_corpus_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.sources.corpus import synthesize_corpus, with_sha
 
@@ -549,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath_schema_full": _q_schema_full,
         "metapath_schema_full_weights": _q_schema_full_weights,
         "louvain_q_invariant": _q_louvain_invariant,
+        "metapath_filtered": _q_metapath_filter,
+        "label_dictionary": _q_label_dictionary,
         "doc_token_count": _q_token_count,
         "doc_language_id": _q_language_id,
         "doc_quality_score": _q_quality,
@@ -626,6 +646,10 @@ def oracle_sql() -> dict[str, str]:
         "metapath_schema_full": oracles.schema_full_sql(length=3),
         "metapath_schema_full_weights": oracles.schema_full_weights_sql(length=3),
         "louvain_q_invariant": oracles.louvain_invariant_sql(),
+        "metapath_filtered": oracles.metapath_filter_sql(
+            length=3, start_label=0, end_label=2
+        ),
+        "label_dictionary": oracles.label_dictionary_sql(),
         "doc_token_count": pipeline_oracles.token_count_sql(),
         "doc_language_id": pipeline_oracles.language_id_sql(),
         "doc_quality_score": pipeline_oracles.quality_score_sql(),

@@ -843,3 +843,20 @@ cr{i} AS MATERIALIZED (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT vid, round(rank, 6) AS rank FROM cr{iterations}"
     )
+
+
+def metapath_filter_sql(length: int = 3, start_label: int = 0, end_label: int = 2) -> str:
+    """filterMetaPaths twin: full metapath counts filtered by start+end label."""
+    inner = metapath_variant_sql(length=length)
+    return f"""WITH allmp AS ({inner})
+SELECT path, cnt FROM allmp
+WHERE string_split(path, '|')[1] = '{int(start_label)}'
+  AND string_split(path, '|')[-1] = '{int(end_label)}'"""
+
+
+def label_dictionary_sql() -> str:
+    """getLabelIdToLabelNameMapping twin over the part-type vocabulary."""
+    return """WITH names AS (SELECT DISTINCT p_type AS label_name FROM part)
+SELECT CAST(dense_rank() OVER (ORDER BY label_name) - 1 AS INT) AS label_id,
+       label_name
+FROM names"""
