@@ -20,7 +20,6 @@ per-core Python workers do the O(E) arithmetic independently.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F

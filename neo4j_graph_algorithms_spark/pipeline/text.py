@@ -10,7 +10,7 @@ oracle-checkable; the scale path swaps the dictionary join for xxhash64
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # Universal-hash constants: h_i(x) = (A_i * x + B_i) mod P.  P prime; A,B
 # derived from small odd multipliers so (A*x+B) stays < 2^62 for x < 2^40.

@@ -11,9 +11,8 @@ is the algo.list surface (ListProc.java:42).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from neo4j_graph_algorithms_spark.graph import EdgeFrame
 
