@@ -114,10 +114,13 @@ def compute_all_metapaths(
             .localCheckpoint(eager=True)
         )
         state = expanded
-        n_paths = state.select(PATH).distinct().count()
+        # guard uses approx_count_distinct: one aggregate over the cached
+        # blocks instead of a distinct shuffle (2% accuracy is plenty for an
+        # explosion trip-wire)
+        n_paths = state.agg(F.approx_count_distinct(PATH).alias("n")).collect()[0]["n"]
         if n_paths > max_paths:
             raise RuntimeError(
-                f"metapath state explosion: {n_paths} distinct paths > max_paths={max_paths}"
+                f"metapath state explosion: ~{n_paths} distinct paths > max_paths={max_paths}"
             )
         results.append(_record(state))
 
@@ -172,9 +175,9 @@ def metapath_between(
             .agg(F.sum(CNT).alias(CNT))
             .localCheckpoint(eager=True)
         )
-        n_paths = state.select(PATH).distinct().count()
+        n_paths = state.agg(F.approx_count_distinct(PATH).alias("n")).collect()[0]["n"]
         if n_paths > max_paths:
-            raise RuntimeError(f"metapath state explosion: {n_paths} paths")
+            raise RuntimeError(f"metapath state explosion: ~{n_paths} paths")
         results.append(_record(state))
     out = results[0]
     for r in results[1:]:
@@ -233,9 +236,9 @@ def precompute_high_degree_metapaths(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        n_paths = state.select(PATH).distinct().count()
+        n_paths = state.agg(F.approx_count_distinct(PATH).alias("n")).collect()[0]["n"]
         if n_paths > max_paths:
-            raise RuntimeError(f"metapath state explosion: {n_paths} paths")
+            raise RuntimeError(f"metapath state explosion: ~{n_paths} paths")
         parts.append(state)
     out = parts[0]
     for p in parts[1:]:
