@@ -134,6 +134,35 @@ def test_scc_random(spark, pairs):
 
 @given(EDGES)
 @SETTINGS
+def test_scc_random_parallel_path(spark, pairs):
+    # tarjan_cutoff=0 forces the distributed trim + hash-randomized
+    # color/backward fixpoints (the default would route these small graphs
+    # to the sequential fallback and never exercise them)
+    got = {
+        r.vid: r.comp for r in scc(spark, edge_df(spark, pairs), tarjan_cutoff=0).collect()
+    }
+    assert got == py_scc(pairs)
+
+
+@given(EDGES)
+@SETTINGS
+def test_apsp_weighted_random(spark, pairs):
+    from neo4j_graph_algorithms_spark.operators.paths import all_shortest_paths_weighted
+
+    got = {
+        (r.source, r.vid): r.dist
+        for r in all_shortest_paths_weighted(spark, edge_df(spark, pairs)).collect()
+    }
+    nodes = {x for e in pairs for x in e}
+    want = {}
+    for s in nodes:
+        for v, d in py_sssp(pairs, s).items():
+            want[(s, v)] = d
+    assert got == want
+
+
+@given(EDGES)
+@SETTINGS
 def test_sssp_random(spark, pairs):
     source = min(x for e in pairs for x in e)
     got = {r.vid: r.dist for r in sssp(spark, edge_df(spark, pairs), source=source).collect()}
