@@ -496,6 +496,15 @@ def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(embs, cents, assign, queries_df, k=5, n_probes=2, quantize=6)
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    return extract_features(synthesize_media(spark, n=64, width=8, height=8))
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.curate import curate
 
@@ -583,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_dictionary": _q_token_dictionary,
         "ann_ivf_search": _q_ivf_search,
         "curate_stage_counts": _q_curate,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -671,5 +681,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curate_stage_counts": pipeline_oracles.curate_sql(
             min_quality=0.5, num_hashes=8, bands=4, n=3, threshold=0.8
+        ),
+        "multimodal_features": pipeline_oracles.multimodal_features_sql(
+            n=64, width=8, height=8
         ),
     }

@@ -431,3 +431,21 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS input,
        (SELECT CAST(count(*) AS BIGINT) FROM d1) AS after_quality,
        (SELECT CAST(count(*) AS BIGINT) FROM d2) AS after_exact_dedup,
        (SELECT CAST(count(*) AS BIGINT) FROM d3) AS after_near_dedup"""
+
+
+def multimodal_features_sql(n: int = 64, width: int = 8, height: int = 8) -> str:
+    """Twin of multimodal.extract_features over synthesize_media's
+    deterministic fake codec: pixel j of media m = (j*2654435761 + m*97) %
+    251 — the whole decode+feature path regenerated as pure SQL (the Spark
+    side runs the real Arrow-batched mapInPandas plumbing)."""
+    npx = width * height
+    return f"""WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({n}) t(i)),
+px AS (
+  SELECT media_id, (j * 2654435761 + media_id * 97) % 251 AS v
+  FROM ids, range({npx}) tt(j))
+SELECT media_id,
+       CAST(floor(avg(v)) AS INT) AS mean_intensity,
+       CAST(max(v) AS INT) AS max_intensity,
+       CAST(floor(100.0 * sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) / {npx}) AS INT)
+         AS nonzero_frac_pct
+FROM px GROUP BY media_id"""
