@@ -71,9 +71,14 @@ def louvain(
     spark: SparkSession,
     edges: EdgeFrame | DataFrame,
     max_iterations: int = 20,
+    metric_every: int = 1,
 ) -> DataFrame:
     """[vid, community] after the phase-1 local-move loop (communities
-    canonicalized to min member id)."""
+    canonicalized to min member id).
+
+    `metric_every=k`: run the moved-count convergence join only every k-th
+    sub-step (each is a |V|⋈|V| join job); skipped sub-steps assume
+    non-convergence, so worst case k-1 extra sub-steps run."""
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     und = _und_simple(ef)
     # both directions for gathering
@@ -88,7 +93,13 @@ def louvain(
     deg = both.groupBy(F.col(SRC).alias(VID)).agg(F.sum(WEIGHT).alias("ki")).persist()
     state = deg.select(VID, F.col(VID).alias(COMM), "ki").localCheckpoint(eager=True)
 
-    quiet = 0  # consecutive sub-steps with zero moves (need both halves)
+    # Convergence = no move across a window covering BOTH halves (>= 2
+    # consecutive sub-steps).  With metric_every=k the moved-count join runs
+    # every k-th sub-step against the ANCHOR state from the previous check,
+    # so one join covers the whole k-sub-step span.
+    quiet = 0  # no-move sub-steps covered by clean checks
+    anchor = state
+    span = 0  # sub-steps since anchor
     for it in range(max_iterations):
         # community total degrees
         sigma = state.groupBy(COMM).agg(F.sum("ki").alias("sigma"))
@@ -164,14 +175,19 @@ def louvain(
             )
             .localCheckpoint(eager=True)
         )
-        moved = (
-            new_state.alias("n")
-            .join(state.alias("o"), on=VID)
-            .filter(F.col(f"n.{COMM}") != F.col(f"o.{COMM}"))
-            .count()
-        )
+        span += 1
+        check = (it + 1) % max(1, metric_every) == 0 or it + 1 == max_iterations
+        if check:
+            moved = (
+                new_state.alias("n")
+                .join(anchor.alias("o"), on=VID)
+                .filter(F.col(f"n.{COMM}") != F.col(f"o.{COMM}"))
+                .count()
+            )
+            quiet = quiet + span if moved == 0 else 0
+            anchor = new_state
+            span = 0
         state = new_state
-        quiet = quiet + 1 if moved == 0 else 0
         if quiet >= 2:  # both halves quiesced
             break
 

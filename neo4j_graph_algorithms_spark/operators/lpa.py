@@ -48,12 +48,16 @@ def lpa(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    metric_every: int = 1,
 ) -> SuperstepResult:
     """Return SuperstepResult with state [vid, label].
 
     `seeds`: optional [vid, label] (partitionProperty); nodes absent from it
     fall back to label = vid.  `node_weights`: optional [vid, nweight],
-    default 1.0.
+    default 1.0.  `metric_every=k`: run the change-count convergence join
+    only every k-th superstep (labels are not monotone, so LPA cannot use
+    the WCC checksum trick; skipping the join is the cheap alternative —
+    worst case k-1 extra supersteps).
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
 
@@ -124,6 +128,7 @@ def lpa(
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
         job_group="linkgraph-lpa",
+        metric_every=metric_every,
     )
     result = runner.run(state0, step, resume=resume)
     gather.unpersist()

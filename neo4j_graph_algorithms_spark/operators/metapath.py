@@ -240,6 +240,16 @@ def precompute_high_degree_metapaths(
         if n_paths > max_paths:
             raise RuntimeError(f"metapath state explosion: ~{n_paths} paths")
         parts.append(state)
+    if not parts:
+        # length=1: the expansion loop never runs — no (start, path, end)
+        # rows exist by the reference's convention (paths start at the first
+        # expanded edge)
+        und.unpersist()
+        prim.unpersist()
+        empty = spark.createDataFrame([], f"start long, {PATH} string, end long")
+        if output_path:
+            empty.write.mode("overwrite").parquet(output_path)
+        return empty
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -236,8 +236,13 @@ def shortest_path(
     from pyspark.sql import Window
 
     on_path = chain.join(dist, on=VID)
+    # With strictly positive weights (assumed — Dijkstra's precondition,
+    # shared with the reference) path distances are strictly increasing, so
+    # ordering by DIST is the chain order; the VID tie-break only pins
+    # determinism for degenerate zero-weight inputs.  Bounded window: the
+    # chain's rows only, never graph-sized.
     return on_path.select(
-        (F.row_number().over(Window.orderBy(DIST)) - 1).alias("step"), VID, DIST
+        (F.row_number().over(Window.orderBy(DIST, VID)) - 1).alias("step"), VID, DIST
     )
 
 
@@ -304,5 +309,11 @@ def all_shortest_paths_weighted(
         frontier = merged.filter(F.col("_improved")).select("source", VID, DIST)
         if frontier.isEmpty():
             break
+    else:
+        warnings.warn(
+            f"all_shortest_paths_weighted: frontier still active after "
+            f"max_iterations={max_iterations}; distances may be non-final",
+            RuntimeWarning,
+        )
     e.unpersist()
     return dist.select("source", VID, DIST)

@@ -218,23 +218,35 @@ def scc(
             break
         if tarjan_cutoff and n_remaining <= tarjan_cutoff:
             # sequential fallback on the small remainder (MultistepSCC.java's
-            # own design: switch algorithms when the frontier gets small)
-            mx["tarjan_vertices"] = n_remaining
+            # own design: switch algorithms when the frontier gets small).
+            # The vertex count is bounded by the cutoff but the EDGE count is
+            # not (a dense 10k remainder can hold ~10^8 edges): cap the
+            # collect at 20x cutoff edges and stay distributed above it.
             er_small = (
                 e.join(remaining.withColumnRenamed(VID, SRC), on=SRC, how="left_semi")
                 .join(remaining.withColumnRenamed(VID, DST), on=DST, how="left_semi")
             )
-            vids = [r[VID] for r in remaining.collect()]
-            elist = [(r[SRC], r[DST]) for r in er_small.collect()]
-            comp_map = _tarjan(vids, elist)
-            assigned_parts.append(
-                spark.createDataFrame(
-                    [(v, c) for v, c in comp_map.items()],
-                    f"{VID} long, {COMP} long",
+            edge_cap = 20 * tarjan_cutoff
+            n_edges_small = er_small.limit(edge_cap + 1).count()
+            if n_edges_small > edge_cap:
+                warnings.warn(
+                    f"scc: Tarjan remainder has >{edge_cap} edges "
+                    f"({n_remaining} vertices); staying on the distributed path",
+                    RuntimeWarning,
                 )
-            )
-            remaining = spark.createDataFrame([], f"{VID} long")
-            break
+            else:
+                mx["tarjan_vertices"] = n_remaining
+                vids = [r[VID] for r in remaining.collect()]
+                elist = [(r[SRC], r[DST]) for r in er_small.collect()]
+                comp_map = _tarjan(vids, elist)
+                assigned_parts.append(
+                    spark.createDataFrame(
+                        [(v, c) for v, c in comp_map.items()],
+                        f"{VID} long, {COMP} long",
+                    )
+                )
+                remaining = spark.createDataFrame([], f"{VID} long")
+                break
         mx["outer_rounds"] += 1
         # edges among remaining vertices only
         er = (

@@ -733,6 +733,78 @@ def louvain_invariant_sql() -> str:
     return "SELECT CAST(TRUE AS BOOLEAN) AS louvain_beats_strawman"
 
 
+def louvain_fixed_sql(groups: int = 4, group_size: int = 6) -> str:
+    """Value-level louvain twin: EXACT transcription of the phase-1
+    local-move rule (operators/louvain.py step: sigma/kin/gain, strict
+    bg > sg + 1e-15, alternating even/odd halves, min-member
+    canonicalization) unrolled for 2 sub-steps over the planted-partition
+    ring graph of sources/synth.planted_partition_graph.
+
+    Engine-independence argument: the default 4x6 graph has m = 64 edges
+    (power of two) and unit weights, so kin/ki/sigma are small integers and
+    every gain division (by m, by 2m^2 = 8192) is EXACT in IEEE double —
+    the greedy trajectory is bit-identical between Spark and DuckDB."""
+    gs = int(group_size)
+    n = int(groups) * gs
+    m = float(groups * (gs * (gs - 1) // 2) + groups)
+    m2 = 2.0 * m * m
+    bridges = " UNION ALL ".join(
+        "SELECT {a} AS src, {b} AS dst".format(
+            a=min(g * gs + gs - 1, ((g + 1) % groups) * gs),
+            b=max(g * gs + gs - 1, ((g + 1) % groups) * gs),
+        )
+        for g in range(groups)
+    )
+    parts = [
+        f"""nodes AS (SELECT range AS v FROM range({n})),
+intra AS (SELECT a.v AS src, b.v AS dst FROM nodes a JOIN nodes b
+          ON a.v < b.v AND a.v // {gs} = b.v // {gs}),
+bridges AS ({bridges}),
+und AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM intra
+        UNION ALL SELECT src, dst, CAST(1.0 AS DOUBLE) FROM bridges),
+bothe AS (SELECT src, dst, w FROM und UNION ALL SELECT dst, src, w FROM und),
+deg AS (SELECT src AS vid, SUM(w) AS ki FROM bothe GROUP BY src),
+st0 AS (SELECT vid, vid AS community, ki FROM deg)"""
+    ]
+    for i in range(2):
+        p = i % 2
+        parts.append(
+            f"""sg{i} AS (SELECT community, SUM(ki) AS sigma FROM st{i} GROUP BY community),
+kin{i} AS (SELECT e.src AS vid, s.community AS c_nbr, SUM(e.w) AS kin
+           FROM bothe e JOIN st{i} s ON e.dst = s.vid GROUP BY e.src, s.community),
+cand{i} AS (SELECT k.vid, k.c_nbr, k.kin, st.community, st.ki,
+            CASE WHEN k.c_nbr = st.community THEN g.sigma - st.ki
+                 ELSE g.sigma END AS sigma_adj
+            FROM kin{i} k JOIN st{i} st ON k.vid = st.vid
+            JOIN sg{i} g ON g.community = k.c_nbr),
+gain{i} AS (SELECT vid, c_nbr, community, kin,
+            kin / {m} - ki * sigma_adj / {m2} AS gain FROM cand{i}),
+best{i} AS (SELECT vid, c_nbr AS best, gain AS bg FROM (
+              SELECT vid, c_nbr, gain,
+                     row_number() OVER (PARTITION BY vid
+                                        ORDER BY gain DESC, c_nbr ASC) AS rn
+              FROM gain{i}) t WHERE rn = 1),
+stay{i} AS (SELECT st.vid,
+            coalesce(ko.kin, 0) / {m} - st.ki * (g.sigma - st.ki) / {m2} AS sg
+            FROM st{i} st JOIN sg{i} g ON st.community = g.community
+            LEFT JOIN (SELECT vid, kin FROM gain{i} WHERE c_nbr = community) ko
+              ON st.vid = ko.vid),
+st{i + 1} AS (SELECT st.vid,
+            CASE WHEN st.vid % 2 = {p} AND b.best IS NOT NULL
+                      AND b.bg > coalesce(s.sg, -1e18) + 1e-15
+                 THEN b.best ELSE st.community END AS community, st.ki
+            FROM st{i} st LEFT JOIN best{i} b ON st.vid = b.vid
+            LEFT JOIN stay{i} s ON st.vid = s.vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """,
+canon AS (SELECT community, MIN(vid) AS c FROM st2 GROUP BY community)
+SELECT s.vid, c.c AS community FROM st2 s JOIN canon c ON s.community = c.community"""
+    )
+
+
 # ---- corpus ingest twins (oracle-parity 'poly' hash mode) -------------------
 
 def _corpus_ctes(

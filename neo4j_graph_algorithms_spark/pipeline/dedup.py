@@ -145,14 +145,13 @@ def minhash_signatures(
     if hash_mode == "dict":
         if dictionary is None:
             # shingle dictionary: dense lexicographic ids over the distinct
-            # shingle vocabulary (engine-independent, oracle-checkable)
-            from pyspark.sql import Window
+            # shingle vocabulary (engine-independent, oracle-checkable);
+            # distributed two-phase ranking — never a global-sort window
+            from neo4j_graph_algorithms_spark.functions.rank import dense_ids
 
-            dictionary = (
-                sh.select("tok")
-                .distinct()
-                .withColumn("tid", F.dense_rank().over(Window.orderBy("tok")).cast("long"))
-            )
+            dictionary = dense_ids(
+                sh.select("tok").distinct(), "tok", start=1
+            ).select("tok", F.col("_rk").alias("tid"))
         sh = sh.join(dictionary, on="tok").withColumn("sid", F.col("tid"))
     elif hash_mode == "xxhash":
         sh = sh.withColumn("sid", F.pmod(F.xxhash64("tok"), F.lit(HASH_P)))

@@ -44,3 +44,40 @@ def synth_edges(
         F.lit(1.0).alias("weight"),
     )
     return e.filter(F.col("src") != F.col("dst"))
+
+
+def planted_partition_graph(
+    spark: SparkSession, groups: int = 4, group_size: int = 6
+) -> DataFrame:
+    """[src, dst, weight] planted-partition graph: `groups` cliques of
+    `group_size` nodes (ids 0..groups*group_size-1) joined in a ring by one
+    bridge edge per adjacent group pair.  Unit weights; src<dst canonical.
+
+    With the 4×6 default the edge count is 4·15+4 = 64 — a POWER OF TWO, so
+    every modularity-gain division (by m and 2m²) is exact in binary
+    floating point and a greedy Louvain trajectory over this graph is
+    bit-identical across engines (the property the louvain_fixed2_planted
+    oracle gate relies on)."""
+    n = groups * group_size
+    nodes = spark.range(n).select(F.col("id").alias("v"))
+    intra = (
+        nodes.alias("a")
+        .join(nodes.alias("b"), F.col("a.v") < F.col("b.v"))
+        .filter(
+            F.floor(F.col("a.v") / group_size) == F.floor(F.col("b.v") / group_size)
+        )
+        .select(F.col("a.v").alias("src"), F.col("b.v").alias("dst"))
+    )
+    bridge_rows = [
+        (
+            min(g * group_size + group_size - 1, ((g + 1) % groups) * group_size),
+            max(g * group_size + group_size - 1, ((g + 1) % groups) * group_size),
+        )
+        for g in range(groups)
+    ]
+    bridges = spark.createDataFrame(bridge_rows, "src long, dst long")
+    return (
+        intra.unionByName(bridges)
+        .withColumn("weight", F.lit(1.0))
+        .select("src", "dst", "weight")
+    )

@@ -67,10 +67,18 @@ _INCREMENT_SCHEMA = StructType(
 _STATE_SCHEMA = StructType([StructField("vids", ArrayType(LongType()))])
 
 
-def stream_corpus(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_corpus(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over a directory of corpus parquet files (new files =
-    new micro-batches; on Iceberg this is the incremental-append scan)."""
-    return spark.readStream.schema(CORPUS_SCHEMA).parquet(input_dir)
+    new micro-batches; on Iceberg this is the incremental-append scan).
+    `max_files_per_trigger` bounds each micro-batch — availableNow triggers
+    honor it, so a backlog drains as MANY batches (exercising cross-batch
+    state) instead of one giant one."""
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
 
 
 def _touch_vids(corpus: DataFrame, id_mode: str) -> DataFrame:
@@ -143,8 +151,22 @@ def merge_edge_increments(
     `MERGE INTO ... WHEN MATCHED UPDATE SET weight = weight + inc`
     expressed as a full-outer merge + atomic directory swap on parquet."""
 
+    def _last_applied(path: str) -> int:
+        meta = os.path.join(path, "_last_batch_id")
+        if os.path.exists(meta):
+            with open(meta) as fh:
+                return int(fh.read().strip())
+        return -1
+
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # foreachBatch is at-least-once: a micro-batch replayed after a crash
+        # between the swap below and the checkpoint commit must NOT be
+        # sum-merged twice.  The applied batch_id travels INSIDE the table
+        # directory (written before the atomic swap), so data + marker commit
+        # together; batch_id <= marker ⇒ already applied, skip.
+        if os.path.exists(table_path) and batch_id <= _last_applied(table_path):
+            return
         inc = batch.groupBy("src", "dst").agg(F.sum("weight").alias("_inc"))
         if os.path.exists(table_path):
             existing = spark.read.parquet(table_path)
@@ -163,6 +185,9 @@ def merge_edge_increments(
             merged = inc.select("src", "dst", F.col("_inc").alias("weight"))
         tmp = f"{table_path}.tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
+        # underscore-prefixed ⇒ invisible to parquet directory scans
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as fh:
+            fh.write(str(batch_id))
         if os.path.exists(table_path):
             old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
             os.rename(table_path, old)
