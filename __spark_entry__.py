@@ -505,6 +505,24 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(spark, n=64, width=8, height=8))
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal gate: genuine RIFF/WAV payloads round-trip the
+    stdlib wave encoder/decoder inside the Arrow-batched kernel; the oracle
+    regenerates the deterministic waveform by formula."""
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        audio_features,
+        synthesize_audio,
+    )
+
+    return audio_features(synthesize_audio(spark, n=64, n_samples=800, sample_rate=8000))
+
+
+def _q_sssp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.csr.paths import sssp_csr
+
+    return sssp_csr(spark, lineseq_edges(spark, sf_dir), source=0)
+
+
 def _q_lpa_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.csr.lpa import lpa_csr
 
@@ -604,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_dictionary": _q_token_dictionary,
         "curate_stage_counts": _q_curate,
         "multimodal_features": _q_multimodal_features,
+        "audio_features": _q_audio_features,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash_dedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -647,11 +666,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath_filtered": _q_metapath_filter,
         "label_dictionary": _q_label_dictionary,
         "doc_token_count": _q_token_count,
-        "doc_language_id": _q_language_id,
         "doc_quality_score": _q_quality,
         "doc_fingerprint": _q_fingerprint,
         "dedup_exact": _q_exact_dedup,
         # --- tail: variants with an in-window sibling on the same path ------
+        "doc_language_id": _q_language_id,  # pure column exprs: quality_score in window
         "modularity_vid_mod7": _q_modularity,  # modularity path: louvain_q_invariant
         "wcc_stats": _q_wcc_stats,
         "wcc_threshold2": _q_wcc_threshold,
@@ -665,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath_for_instances": _q_metapath_for_instances,
         "metapath_instance_pair": _q_metapath_instance_pair,
         "out_degree_distribution": _q_out_degree_distribution,
+        "sssp_csr_from_0": _q_sssp_csr,  # sssp path: sssp_from_0 in window
     }
 
 
@@ -697,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
         # and louvain_q_invariant gates the modularity-dominance invariant)
         "scc_components": oracles.scc_sql(max_vid=400),
         "sssp_from_0": oracles.sssp_sql(source=0, rounds=10),
+        "sssp_csr_from_0": oracles.sssp_sql(source=0, rounds=10),
         "closeness_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
         "harmonic_sampled": oracles.harmonic_sql(n_sources=32, max_depth=8),
         "corpus_cocommit_edges": oracles.corpus_cocommit_sql(),
@@ -759,5 +780,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_features": pipeline_oracles.multimodal_features_sql(
             n=64, width=8, height=8
+        ),
+        "audio_features": pipeline_oracles.audio_features_sql(
+            n=64, n_samples=800, sample_rate=8000
         ),
     }

@@ -72,7 +72,11 @@ def pagerank_csr(
     out_deg = ef.df.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("outdeg"))
     edges_wd = (
         ef.df.select(SRC, DST)
-        .join(out_deg.select(F.col(VID).alias(SRC), "outdeg"), on=SRC)
+        # shuffle_hash: |V|-sized out_deg must not broadcast (see Tier A)
+        .join(
+            out_deg.select(F.col(VID).alias(SRC), "outdeg").hint("shuffle_hash"),
+            on=SRC,
+        )
         .select(
             SRC,
             DST,

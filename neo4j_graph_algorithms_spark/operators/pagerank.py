@@ -76,7 +76,12 @@ def pagerank(
     out_deg = ef.df.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("outdeg"))
     edges_wd = (
         ef.df.select(SRC, DST)
-        .join(out_deg.select(F.col(VID).alias(SRC), "outdeg"), on=SRC)
+        # shuffle_hash: out_deg is |V|-sized — broadcasting it in the build
+        # join is as wrong at scale as broadcasting state in a superstep
+        .join(
+            out_deg.select(F.col(VID).alias(SRC), "outdeg").hint("shuffle_hash"),
+            on=SRC,
+        )
         .select(SRC, DST, (F.lit(1.0) / F.col("outdeg")).alias("inv_deg"))
     )
     if hub_threshold is not None:

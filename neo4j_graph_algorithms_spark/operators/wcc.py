@@ -93,7 +93,13 @@ def wcc(
         # 2. pointer jump: comp'(v) = comp(cand(v)); comp values are node ids
         #    so the mapping lives in `cand` itself.  comp(cand) is always at
         #    least as extreme as cand, so jumping only accelerates.
-        mapping = cand.select(F.col(VID).alias("_m_vid"), F.col(COMP).alias("_m_comp"))
+        # shuffle_hash on the mapping side too: the jump self-join is
+        # state-vs-state (|V| rows each) — letting stats-driven broadcast
+        # pick the plan makes small-scale tests diverge from cluster-scale
+        # behavior; the hint keeps the plan stats-independent
+        mapping = cand.select(
+            F.col(VID).alias("_m_vid"), F.col(COMP).alias("_m_comp")
+        ).hint("shuffle_hash")
         jumped = (
             cand.join(mapping, cand[COMP] == F.col("_m_vid"), "left")
             .select(VID, F.coalesce(F.col("_m_comp"), F.col(COMP)).alias(COMP))

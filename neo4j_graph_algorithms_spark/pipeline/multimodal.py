@@ -60,16 +60,72 @@ def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
 
 
 def _decode_bytes(payload: bytes, media_type: str) -> np.ndarray:
-    """Decode payload → HxW uint8 array.  Real codecs are stubbed."""
+    """Decode payload → HxW uint8 array.  Image codecs beyond the fake one
+    are stubbed (no image libraries here); audio/wav is REAL — see
+    decode_wav."""
     if media_type == "image/fake":
         if payload[:4] != _FAKE_MAGIC:
             raise ValueError("bad fake-image payload")
         w, h = struct.unpack("<II", payload[4:12])
         return np.frombuffer(payload[12:], dtype=np.uint8).reshape(h, w)
     raise NotImplementedError(
-        f"codec for {media_type!r} requires image/audio libraries not present "
-        "in this environment; plumbing is exercised via the 'image/fake' codec"
+        f"codec for {media_type!r} requires image/video libraries not present "
+        "in this environment; plumbing is exercised via the 'image/fake' codec "
+        "and the REAL stdlib audio/wav path (encode_wav/decode_wav)"
     )
+
+
+# -- REAL codec: PCM WAV via the stdlib wave module ---------------------------
+
+
+def encode_wav(media_id: int, n_samples: int = 800, sample_rate: int = 8000) -> bytes:
+    """Deterministic mono PCM16 WAV: sample t of media m =
+    ((t·(m%17+3)) % 1024) − 512 — an integer sawtooth whose features any SQL
+    engine regenerates exactly (the audio_features oracle).  The RIFF
+    container is produced by the real stdlib `wave` writer."""
+    import io
+    import wave as _wave
+
+    k = media_id % 17 + 3
+    t = np.arange(n_samples, dtype=np.int64)
+    samples = ((t * k) % 1024 - 512).astype(np.int16)
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV decode (stdlib wave): payload → (int16 samples, rate)."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("only mono PCM16 supported")
+        sr = w.getframerate()
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    return data, sr
+
+
+def synthesize_audio(
+    spark: SparkSession, n: int = 64, n_samples: int = 800, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic audio table in MEDIA_SCHEMA (media_type='audio/wav',
+    payloads are genuine RIFF/WAV files)."""
+    rows = [
+        (
+            i,
+            encode_wav(i, n_samples, sample_rate),
+            "audio/wav",
+            (None, None, 1, sample_rate, n_samples),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthesize_media(
@@ -120,6 +176,55 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """[media_id, n_samples, sample_rate, duration_ms, sum_sq,
+    zero_crossings] per WAV payload — the REAL-codec feature kernel:
+    every batch runs the stdlib wave decoder, numpy does the math.
+
+    Features are all exact integers (sum of squares instead of fp RMS), so
+    the oracle parity is hash-exact."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, srs, durs, sqs, zcs = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                s, sr = decode_wav(payload)
+                n = len(s)
+                s64 = s.astype(np.int64)
+                ids.append(mid)
+                ns.append(n)
+                srs.append(sr)
+                durs.append(n * 1000 // sr)
+                sqs.append(int((s64 * s64).sum()))
+                # sign change between consecutive samples (>=0 vs <0)
+                nonneg = s64 >= 0
+                zcs.append(int((nonneg[1:] != nonneg[:-1]).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": ns,
+                    "sample_rate": srs,
+                    "duration_ms": durs,
+                    "sum_sq": sqs,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return media.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
 
 
 def resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:

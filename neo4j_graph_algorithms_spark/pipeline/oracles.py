@@ -449,3 +449,28 @@ SELECT media_id,
        CAST(floor(100.0 * sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) / {npx}) AS INT)
          AS nonzero_frac_pct
 FROM px GROUP BY media_id"""
+
+
+def audio_features_sql(n: int = 64, n_samples: int = 800, sample_rate: int = 8000) -> str:
+    """Twin of multimodal.audio_features over synthesize_audio's REAL WAV
+    payloads: sample t of media m = ((t*(m%17+3)) % 1024) - 512, so the SQL
+    regenerates the waveform by formula while the Spark side round-trips
+    the genuine stdlib-wave RIFF encode/decode.  All features are exact
+    integers (sum-of-squares, sign-change count)."""
+    return f"""WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({n}) t(i)),
+s AS (
+  SELECT media_id, CAST(j AS BIGINT) AS t,
+         (CAST(j AS BIGINT) * (media_id % 17 + 3)) % 1024 - 512 AS v
+  FROM ids, range({n_samples}) tt(j)),
+sc AS (
+  SELECT media_id, v,
+         CASE WHEN (v >= 0) <> (lag(v) OVER (PARTITION BY media_id ORDER BY t) >= 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM s)
+SELECT media_id,
+       CAST({n_samples} AS BIGINT) AS n_samples,
+       CAST({sample_rate} AS INT) AS sample_rate,
+       CAST({n_samples} * 1000 // {sample_rate} AS BIGINT) AS duration_ms,
+       SUM(v * v) AS sum_sq,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings
+FROM sc GROUP BY media_id"""

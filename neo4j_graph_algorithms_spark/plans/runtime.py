@@ -35,6 +35,11 @@ class SuperstepResult:
     iterations: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
+    # physical plan of the FIRST superstep (captured before lineage
+    # truncation): lets tests/operators assert plan shape — e.g. that no
+    # BroadcastHashJoin of vertex state crept in (the serial driver-side
+    # build the shuffle_hash hints exist to prevent)
+    first_plan: str | None = None
 
     @property
     def did_converge(self) -> bool:  # reference result DTO naming
@@ -131,11 +136,14 @@ class SuperstepRunner:
 
         metrics: list[dict] = []
         converged = False
+        first_plan: str | None = None
         i = start_iter
         gc_interval = 4  # see below: shuffle-file cleanup is GC-driven
         while i < self.max_iterations:
             t0 = time.time()
             new_state = step(state, i)
+            if first_plan is None:
+                first_plan = new_state._jdf.queryExecution().toString()
             # Lineage truncation: REQUIRED for iterative DataFrame plans.
             new_state = new_state.localCheckpoint(eager=True)
             run_metric = self.metric is not None and (
@@ -166,7 +174,13 @@ class SuperstepRunner:
             # final state always durable when a checkpoint dir is configured
             self._write_checkpoint(state, i, metrics[-1]["metric"] if metrics else float("nan"))
         sc.setJobGroup("", "")
-        return SuperstepResult(state=state, iterations=i, converged=converged, metrics=metrics)
+        return SuperstepResult(
+            state=state,
+            iterations=i,
+            converged=converged,
+            metrics=metrics,
+            first_plan=first_plan,
+        )
 
     def cancel(self) -> None:
         self.spark.sparkContext.cancelJobGroup(self.job_group)

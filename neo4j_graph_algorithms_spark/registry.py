@@ -80,6 +80,8 @@ PROCEDURES: dict[str, str] = {
     "algo.unionFind.forkJoin": "neo4j_graph_algorithms_spark.csr.wcc.wcc_csr",
     "algo.unionFind.forkJoinMerge": "neo4j_graph_algorithms_spark.csr.wcc.wcc_csr",
     "algo.labelPropagation": "neo4j_graph_algorithms_spark.operators.lpa.lpa",
+    # Tier B twin: cogrouped pandas vote kernels, same output contract
+    "algo.labelPropagation.csr": "neo4j_graph_algorithms_spark.csr.lpa.lpa_csr",
     "algo.triangleCount": "neo4j_graph_algorithms_spark.operators.triangles.triangle_count",
     "algo.triangle.stream": "neo4j_graph_algorithms_spark.operators.triangles.triangle_stream",
     "algo.scc": "neo4j_graph_algorithms_spark.operators.scc.scc",
@@ -92,6 +94,8 @@ PROCEDURES: dict[str, str] = {
     # reconstructs it (sssp serves the distances-only stream mode)
     "algo.shortestPath": "neo4j_graph_algorithms_spark.operators.paths.shortest_path",
     "algo.shortestPath.stream": "neo4j_graph_algorithms_spark.operators.paths.sssp",
+    # Tier B twin: cogrouped pandas relaxation kernels, same output contract
+    "algo.shortestPath.stream.csr": "neo4j_graph_algorithms_spark.csr.paths.sssp_csr",
     "algo.shortestPath.deltaStepping": "neo4j_graph_algorithms_spark.operators.paths.delta_stepping",
     "algo.shortestPaths": "neo4j_graph_algorithms_spark.operators.paths.shortest_paths",
     "algo.allShortestPaths.stream.weighted": "neo4j_graph_algorithms_spark.operators.paths.all_shortest_paths_weighted",

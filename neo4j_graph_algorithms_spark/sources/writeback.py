@@ -33,6 +33,71 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from neo4j_graph_algorithms_spark.graph import VID
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured on this session (any
+    `spark.sql.catalog.<name>` whose implementation mentions iceberg).
+    Capability check for routing write-back through native `MERGE INTO`
+    instead of the parquet swap."""
+    try:
+        confs = dict(spark.sparkContext.getConf().getAll())
+    except Exception:  # pragma: no cover - defensive
+        return False
+    return any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+        for k, v in confs.items()
+    )
+
+
+def write_vertex_property_merge(
+    spark: SparkSession,
+    table_ident: str,
+    result: DataFrame,
+    property_name: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Native MERGE write-back for catalog tables (Iceberg/Delta): the
+    direct translation of the parquet-swap path below —
+
+        MERGE INTO t USING updates s ON t.vid = s.vid
+        WHEN MATCHED THEN UPDATE SET t.<prop> = s._new_value
+        WHEN NOT MATCHED THEN INSERT (vid, <prop>) VALUES (...)
+
+    `table_ident` is a catalog identifier (e.g. `iceberg.db.vertex_props`);
+    the table is created (and the property column added) if missing.
+    Requires a MERGE-capable catalog — gate with `iceberg_available`."""
+    if not property_name.replace("_", "").isalnum():
+        raise ValueError(f"bad property name {property_name!r}")
+    cols = [c for c in result.columns if c != VID]
+    if value_col is None:
+        if len(cols) != 1:
+            raise ValueError(
+                f"result must have exactly one value column (or pass value_col); got {cols}"
+            )
+        value_col = cols[0]
+    new = result.select(F.col(VID), F.col(value_col).alias("_new_value"))
+    view = f"_wb_updates_{uuid.uuid4().hex[:8]}"
+    new.createOrReplaceTempView(view)
+    try:
+        if not spark.catalog.tableExists(table_ident):
+            spark.sql(
+                f"CREATE TABLE {table_ident} "
+                f"AS SELECT {VID}, _new_value AS {property_name} FROM {view}"
+            )
+            return spark.table(table_ident)
+        if property_name not in spark.table(table_ident).columns:
+            spark.sql(
+                f"ALTER TABLE {table_ident} ADD COLUMN {property_name} DOUBLE"
+            )
+        spark.sql(
+            f"""MERGE INTO {table_ident} t USING {view} s ON t.{VID} = s.{VID}
+WHEN MATCHED THEN UPDATE SET t.{property_name} = s._new_value
+WHEN NOT MATCHED THEN INSERT ({VID}, {property_name}) VALUES (s.{VID}, s._new_value)"""
+        )
+        return spark.table(table_ident)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def write_vertex_property(
     spark: SparkSession,
     table_path: str,

@@ -166,6 +166,10 @@ def merge_edge_increments(
         # directory (written before the atomic swap), so data + marker commit
         # together; batch_id <= marker ⇒ already applied, skip.
         if os.path.exists(table_path) and batch_id <= _last_applied(table_path):
+            # Still DRAIN the batch: the upstream stateful operator's state
+            # stores only commit when every partition is processed (Spark
+            # validates this); the noop sink consumes without side effects.
+            batch.write.format("noop").mode("overwrite").save()
             return
         inc = batch.groupBy("src", "dst").agg(F.sum("weight").alias("_inc"))
         if os.path.exists(table_path):

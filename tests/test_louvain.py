@@ -58,3 +58,45 @@ def test_louvain_improves_modularity_over_singletons(spark):
 def test_louvain_empty(spark):
     empty = edge_df(spark, [])
     assert louvain(spark, empty).count() == 0
+
+
+def test_louvain_metric_every_matches_default(spark):
+    """metric_every only changes WHEN the moved-count join runs, never the
+    move trajectory: identical assignments for a fixed iteration budget."""
+    from neo4j_graph_algorithms_spark.sources.synth import planted_partition_graph
+
+    g = planted_partition_graph(spark, groups=4, group_size=6)
+    a = {r.vid: r.community for r in louvain(spark, g, max_iterations=4).collect()}
+    b = {
+        r.vid: r.community
+        for r in louvain(spark, g, max_iterations=4, metric_every=3).collect()
+    }
+    assert a == b
+
+
+def test_louvain_fixed2_planted_deterministic(spark):
+    """The louvain_fixed2_planted gate's Spark half is run-to-run
+    deterministic (the oracle parity then hinges only on exact arithmetic,
+    which the power-of-two m guarantees)."""
+    from neo4j_graph_algorithms_spark.sources.synth import planted_partition_graph
+
+    g = planted_partition_graph(spark, groups=4, group_size=6)
+    runs = [
+        {r.vid: r.community for r in louvain(spark, g, max_iterations=2).collect()}
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    # after both halves moved once, the four planted groups are already
+    # separated (each node sits with >= its own group)
+    import collections
+
+    sizes = collections.Counter(runs[0].values())
+    assert len(sizes) <= 8  # moving toward 4 communities, never fragmenting up
+
+
+def test_planted_partition_edge_count_power_of_two(spark):
+    from neo4j_graph_algorithms_spark.sources.synth import planted_partition_graph
+
+    g = planted_partition_graph(spark, groups=4, group_size=6)
+    n = g.count()
+    assert n == 64 and (n & (n - 1)) == 0

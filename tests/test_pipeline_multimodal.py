@@ -62,3 +62,43 @@ def test_feature_extraction_distributed(spark):
     """Kernel runs per Arrow batch across partitions (no driver collect)."""
     m = synthesize_media(spark, n=64).repartition(4)
     assert extract_features(m).count() == 64
+
+
+def test_wav_roundtrip_real_codec(spark):
+    """encode_wav produces a genuine RIFF container; decode_wav (stdlib
+    wave) recovers the exact int16 samples."""
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    payload = encode_wav(7, n_samples=100, sample_rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    samples, sr = decode_wav(payload)
+    assert sr == 8000 and len(samples) == 100
+    t = np.arange(100, dtype=np.int64)
+    want = (t * (7 % 17 + 3)) % 1024 - 512
+    assert (samples.astype(np.int64) == want).all()
+
+
+def test_audio_features_exact(spark):
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        audio_features,
+        synthesize_audio,
+    )
+
+    media = synthesize_audio(spark, n=4, n_samples=50, sample_rate=1000)
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    import numpy as np
+
+    for mid, r in rows.items():
+        t = np.arange(50, dtype=np.int64)
+        s = (t * (mid % 17 + 3)) % 1024 - 512
+        assert r.n_samples == 50 and r.sample_rate == 1000
+        assert r.duration_ms == 50 * 1000 // 1000
+        assert r.sum_sq == int((s * s).sum())
+        nonneg = s >= 0
+        assert r.zero_crossings == int((nonneg[1:] != nonneg[:-1]).sum())

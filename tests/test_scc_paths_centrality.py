@@ -203,3 +203,25 @@ def test_all_shortest_paths_directed_sources_subset(spark):
         for r in all_shortest_paths(spark, edges, sources=srcs, direction="OUTGOING").collect()
     }
     assert got == {(0, 1): 1, (0, 2): 2}
+
+
+def test_scc_tarjan_edge_collect_capped(spark):
+    """A dense remainder under the vertex cutoff but over the 20x-cutoff
+    edge cap must NOT be collected: the loop warns and finishes on the
+    distributed path, still producing the right components."""
+    import itertools
+    import warnings
+
+    n = 30  # n(n-1) = 870 > 20 * 30 = 600
+    dense = spark.createDataFrame(
+        [(a, b) for a, b in itertools.permutations(range(n), 2)],
+        "src long, dst long",
+    )
+    metrics: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = scc(spark, dense, tarjan_cutoff=n, metrics=metrics)
+        assert any("distributed path" in str(x.message) for x in w)
+    assert metrics["tarjan_vertices"] == 0  # fallback never ran
+    rows = out.collect()
+    assert len(rows) == n and len({r.comp for r in rows}) == 1

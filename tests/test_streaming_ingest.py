@@ -80,3 +80,21 @@ def test_commit_activity_windowing(spark):
     out = commit_activity(df, window="1 hour").collect()
     by_repo = {r.repo: r.n_touches for r in out}
     assert by_repo == {"r1": 2, "r2": 1}
+
+
+def test_replayed_batches_not_double_merged(spark, corpus, tmp_path):
+    """foreachBatch is at-least-once: wiping the CHECKPOINT (but not the
+    table) replays every micro-batch with the same batch ids — the
+    batch-id marker inside the table directory must skip them, leaving
+    weights un-inflated (the crash-between-swap-and-commit scenario)."""
+    import shutil
+
+    in_dir = str(tmp_path / "in")
+    corpus.write.parquet(f"{in_dir}/wave=0")
+    table, ckpt = str(tmp_path / "edges"), str(tmp_path / "ck")
+    _run_stream(spark, in_dir, table, ckpt)
+    want = {(r.src, r.dst): r.weight for r in spark.read.parquet(table).collect()}
+    shutil.rmtree(ckpt)  # lose the stream's commit log; table survives
+    got = _run_stream(spark, in_dir, table, ckpt)
+    have = {(r.src, r.dst): r.weight for r in got.collect()}
+    assert have == want  # replayed batches were skipped, not re-summed

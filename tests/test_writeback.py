@@ -39,3 +39,24 @@ def test_writeback_overwrites_same_property(spark, tmp_path):
     # vid 2 updated; vid 1 keeps its previous value (MERGE WHEN MATCHED only
     # touches matched rows)
     assert got == {1: 1.0, 2: 20.0}
+
+
+def test_iceberg_merge_writeback_or_skip(spark):
+    """Native MERGE INTO route: green when an Iceberg catalog is on the
+    session, skipped otherwise (this sandbox ships no Iceberg jars — the
+    parquet-swap tests above cover the same merge semantics)."""
+    import pytest
+
+    from neo4j_graph_algorithms_spark.sources.writeback import (
+        iceberg_available,
+        write_vertex_property_merge,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg catalog configured on this session")
+    res = spark.createDataFrame([(0, 1.5), (1, 2.5)], "vid long, rank double")
+    out = write_vertex_property_merge(
+        spark, "iceberg.db.test_vertex_props", res, "rank"
+    )
+    got = {r.vid: r.rank for r in out.collect()}
+    assert got == {0: 1.5, 1: 2.5}
