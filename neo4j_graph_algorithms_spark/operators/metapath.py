@@ -114,15 +114,23 @@ def compute_all_metapaths(
             .localCheckpoint(eager=True)
         )
         state = expanded
-        # guard uses approx_count_distinct: one aggregate over the cached
-        # blocks instead of a distinct shuffle (2% accuracy is plenty for an
-        # explosion trip-wire)
-        n_paths = state.agg(F.approx_count_distinct(PATH).alias("n")).collect()[0]["n"]
+        # Per-level record materialized EAGERLY: its row count IS the exact
+        # distinct-path count, so the explosion guard is a free count() over
+        # the tiny cached record instead of a full-state scan — and the
+        # final union then reads cached rows instead of re-aggregating every
+        # level's state.  (With end_labels the record is filtered, so the
+        # guard falls back to one approx aggregate over the state blocks.)
+        if end_labels is None:
+            rec = _record(state).localCheckpoint(eager=True)
+            n_paths = rec.count()
+        else:
+            rec = _record(state)
+            n_paths = state.agg(F.approx_count_distinct(PATH).alias("n")).collect()[0]["n"]
         if n_paths > max_paths:
             raise RuntimeError(
                 f"metapath state explosion: ~{n_paths} distinct paths > max_paths={max_paths}"
             )
-        results.append(_record(state))
+        results.append(rec)
 
     out = results[0]
     for r in results[1:]:
