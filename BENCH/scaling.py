@@ -46,6 +46,10 @@ PR_ITERS = 14
 PR_WARMUP = 4
 TRI_VERTICES = 1_000_000
 TRI_EDGES = 4_000_000
+# 4M edges is fixed-cost-dominated at 32 cores (12s@8 vs 13.5s@32 measured
+# round 3); the 16M variant gives the closure join enough work to scale
+TRI16_VERTICES = 2_000_000
+TRI16_EDGES = 16_000_000
 ANN_CORPUS = 400_000
 ANN_DIM = 64
 ANN_QUERIES = 64
@@ -103,6 +107,20 @@ def _w_triangle(cpus: int) -> dict:
     return {"triangle_sec": round(dt, 2), "triangles": total}
 
 
+def _w_triangle16(cpus: int) -> dict:
+    spark = _session(cpus, "tri16")
+    tri_edges = synth_edges(
+        spark, TRI16_VERTICES, TRI16_EDGES, alpha_dst=1.0, seed=7, num_partitions=cpus * 2
+    )
+    tri_edges.persist()
+    tri_edges.count()
+    t0 = time.time()
+    _, total = triangle_count(spark, tri_edges)
+    dt = time.time() - t0
+    spark.stop()
+    return {"triangle16m_sec": round(dt, 2), "triangles16m": total}
+
+
 def _w_ann(cpus: int) -> dict:
     spark = _session(cpus, "ann")
     corpus = (
@@ -132,7 +150,7 @@ def run(cpus: int) -> dict:
     # one fresh JVM per workload: shared-session GC/caching pressure from a
     # prior workload otherwise contaminates the next one's measurement
     out: dict = {"cpus": cpus, "loadavg_start": os.getloadavg()[0]}
-    for w in (_w_pagerank, _w_wcc, _w_triangle, _w_ann):
+    for w in (_w_pagerank, _w_wcc, _w_triangle, _w_triangle16, _w_ann):
         out.update(w(cpus))
     out["loadavg_end"] = os.getloadavg()[0]
     return out
@@ -162,6 +180,7 @@ def report() -> None:
             ("pagerank_edges_per_sec", max),
             ("wcc_sec", min),
             ("triangle_sec", min),
+            ("triangle16m_sec", min),
             ("ann_dots_per_sec", max),
         ]:
             vals = [r[key] for r in runs if key in r]
@@ -176,6 +195,7 @@ def report() -> None:
         ("pagerank_edges_per_sec", "higher"),
         ("wcc_sec", "lower"),
         ("triangle_sec", "lower"),
+        ("triangle16m_sec", "lower"),
         ("ann_dots_per_sec", "higher"),
     ]:
         if key not in a or key not in b:

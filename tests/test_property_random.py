@@ -174,3 +174,53 @@ def test_sssp_random(spark, pairs):
 def test_triangles_random(spark, pairs):
     _, total = triangle_count(spark, edge_df(spark, pairs))
     assert total == py_triangles(pairs)
+
+
+WEIGHTED_EDGES = st.lists(
+    st.tuples(
+        st.integers(0, 11), st.integers(0, 11), st.integers(1, 9)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(WEIGHTED_EDGES)
+@SETTINGS
+def test_sssp_csr_matches_tier_a_random(spark, triples):
+    """Tier B SSSP == Tier A on random weighted digraphs (bit-exact:
+    integer weights, order-independent min)."""
+    from neo4j_graph_algorithms_spark.csr.paths import sssp_csr
+
+    pairs = [(s, d) for s, d, _ in triples]
+    weights = [float(w) for _, _, w in triples]
+    edges = edge_df(spark, pairs, weights)
+    src = min(min(s, d) for s, d in pairs)
+    a = {r.vid: r.dist for r in sssp(spark, edges, source=src).collect()}
+    b = {
+        r.vid: r.dist
+        for r in sssp_csr(spark, edges, source=src, num_buckets=3).collect()
+    }
+    assert a == b
+
+
+@given(EDGES)
+@SETTINGS
+def test_lpa_csr_matches_tier_a_random(spark, pairs):
+    """Tier B LPA == Tier A on random digraphs (unit weights: exact vote
+    sums, identical argmax tie-breaks)."""
+    from neo4j_graph_algorithms_spark.csr.lpa import lpa_csr
+    from neo4j_graph_algorithms_spark.operators.lpa import lpa
+
+    edges = edge_df(spark, pairs)
+    a = {
+        r.vid: r.label
+        for r in lpa(spark, edges, direction="BOTH", max_iterations=3).state.collect()
+    }
+    b = {
+        r.vid: r.label
+        for r in lpa_csr(
+            spark, edges, direction="BOTH", max_iterations=3, num_buckets=3
+        ).state.collect()
+    }
+    assert a == b
