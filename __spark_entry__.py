@@ -430,6 +430,12 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
 
+def _q_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.pipeline.text import subword_count
+
+    return subword_count(_docs(spark, sf_dir))
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_docs(spark, sf_dir))
 
@@ -515,6 +521,16 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return audio_features(synthesize_audio(spark, n=64, n_samples=800, sample_rate=8000))
+
+
+def _q_closeness_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.csr.msbfs import closeness_csr
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+
+    ef = EdgeFrame(lineseq_edges(spark, sf_dir))
+    srcs = ef.vertices().filter(F.col("vid") < 32)
+    res = closeness_csr(spark, ef, sources=srcs, max_depth=8)
+    return res.select("vid", F.round("centrality", 6).alias("centrality"))
 
 
 def _q_sssp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,12 +681,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_q_invariant": _q_louvain_invariant,
         "metapath_filtered": _q_metapath_filter,
         "label_dictionary": _q_label_dictionary,
-        "doc_token_count": _q_token_count,
+        "doc_subword_count": _q_subword_count,
         "doc_quality_score": _q_quality,
         "doc_fingerprint": _q_fingerprint,
         "dedup_exact": _q_exact_dedup,
         # --- tail: variants with an in-window sibling on the same path ------
         "doc_language_id": _q_language_id,  # pure column exprs: quality_score in window
+        "doc_token_count": _q_token_count,  # pure column exprs: subword_count in window
         "modularity_vid_mod7": _q_modularity,  # modularity path: louvain_q_invariant
         "wcc_stats": _q_wcc_stats,
         "wcc_threshold2": _q_wcc_threshold,
@@ -685,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath_instance_pair": _q_metapath_instance_pair,
         "out_degree_distribution": _q_out_degree_distribution,
         "sssp_csr_from_0": _q_sssp_csr,  # sssp path: sssp_from_0 in window
+        "closeness_csr_sampled": _q_closeness_csr,  # closeness_sampled in window
     }
 
 
@@ -719,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_from_0": oracles.sssp_sql(source=0, rounds=10),
         "sssp_csr_from_0": oracles.sssp_sql(source=0, rounds=10),
         "closeness_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
+        "closeness_csr_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
         "harmonic_sampled": oracles.harmonic_sql(n_sources=32, max_depth=8),
         "corpus_cocommit_edges": oracles.corpus_cocommit_sql(),
         "corpus_cocommit_pagerank": oracles.corpus_pagerank_sql(iterations=10),
@@ -757,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "label_dictionary": oracles.label_dictionary_sql(),
         "doc_token_count": pipeline_oracles.token_count_sql(),
+        "doc_subword_count": pipeline_oracles.subword_count_sql(),
         "doc_language_id": pipeline_oracles.language_id_sql(),
         "doc_quality_score": pipeline_oracles.quality_score_sql(),
         "doc_fingerprint": pipeline_oracles.fingerprint_sql(),

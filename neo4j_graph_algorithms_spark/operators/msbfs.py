@@ -248,6 +248,7 @@ def closeness(
     edges: EdgeFrame | DataFrame,
     sources: DataFrame | None = None,
     max_depth: int = 64,
+    depths_fn=None,
 ) -> DataFrame:
     """[vid, centrality] normalized closeness (MSClosenessCentrality).
 
@@ -258,7 +259,11 @@ def closeness(
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     verts = ef.vertices()
     n = verts.count()
-    depths = msbfs_depths(spark, ef, sources, "OUTGOING", max_depth)
+    # depths_fn: injectable depth engine (csr/msbfs.py's Tier B kernel
+    # plugs in here); same (spark, edges, sources, direction, max_depth)
+    # contract as msbfs_depths
+    fn = depths_fn or msbfs_depths
+    depths = fn(spark, ef, sources, "OUTGOING", max_depth)
     farness = depths.groupBy(VID).agg(
         F.sum(F.col("depth") * F.col("n_sources")).alias("farness")
     )
@@ -281,13 +286,15 @@ def harmonic(
     edges: EdgeFrame | DataFrame,
     sources: DataFrame | None = None,
     max_depth: int = 64,
+    depths_fn=None,
 ) -> DataFrame:
     """[vid, centrality] harmonic centrality (MSHarmonicCentrality):
     Σ_s 1/d(s,v) / (n-1), BFS over BOTH directions (:62)."""
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     verts = ef.vertices()
     n = verts.count()
-    depths = msbfs_depths(spark, ef, sources, "BOTH", max_depth)
+    fn = depths_fn or msbfs_depths
+    depths = fn(spark, ef, sources, "BOTH", max_depth)
     inv = depths.groupBy(VID).agg(
         F.sum(F.col("n_sources") / F.col("depth")).alias("inv_farness")
     )

@@ -474,3 +474,20 @@ SELECT media_id,
        SUM(v * v) AS sum_sq,
        CAST(SUM(zc) AS BIGINT) AS zero_crossings
 FROM sc GROUP BY media_id"""
+
+
+def subword_count_sql() -> str:
+    """Twin of text.subword_count — the BPE-ish regex pre-tokenizer is the
+    same RE2-compatible pattern in both engines."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return f"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{pat}') AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         len(toks) AS n_subwords,
+         len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha_runs,
+         len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS n_digit_runs
+  FROM t)
+SELECT doc_id, n_subwords, n_alpha_runs, n_digit_runs,
+       n_subwords - n_alpha_runs - n_digit_runs AS n_punct
+FROM c"""

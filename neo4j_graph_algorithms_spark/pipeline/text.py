@@ -39,6 +39,33 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / single punctuation —
+# the GPT-2-family pre-split shape (each match is what a BPE merge table
+# would then subdivide).  Pure regex ⇒ JVM-side AND SQL-reproducible.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_count(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_subwords, n_alpha_runs, n_digit_runs, n_punct] — BPE-ish
+    pre-token counts (a cheap proxy for LLM token budgeting: alpha runs
+    average ~1.3 BPE tokens each, digits/punct ~1).  regexp_extract_all
+    stays in whole-stage codegen; no Python."""
+    # F.lit keeps the pattern out of SQL string-literal escaping ('\s'
+    # inside F.expr quotes would collapse to 's')
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    alpha = F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))
+    digit = F.filter(toks, lambda t: t.rlike("^[0-9]+$"))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_subwords"),
+        F.size(alpha).alias("n_alpha_runs"),
+        F.size(digit).alias("n_digit_runs"),
+        (F.size(toks) - F.size(alpha) - F.size(digit)).alias("n_punct"),
+    )
+
+
 # -- language id ---------------------------------------------------------------
 
 # Marker-token sets per language (tiny stopword lists — the classic n-gram /

@@ -100,6 +100,9 @@ PROCEDURES: dict[str, str] = {
     "algo.shortestPaths": "neo4j_graph_algorithms_spark.operators.paths.shortest_paths",
     "algo.allShortestPaths.stream.weighted": "neo4j_graph_algorithms_spark.operators.paths.all_shortest_paths_weighted",
     "algo.closeness": "neo4j_graph_algorithms_spark.operators.msbfs.closeness",
+    # Tier B twins: cogrouped pandas bitmask kernels, same output contract
+    "algo.closeness.csr": "neo4j_graph_algorithms_spark.csr.msbfs.closeness_csr",
+    "algo.harmonic.csr": "neo4j_graph_algorithms_spark.csr.msbfs.harmonic_csr",
     "algo.harmonic": "neo4j_graph_algorithms_spark.operators.msbfs.harmonic",
     "algo.allShortestPaths.stream": "neo4j_graph_algorithms_spark.operators.msbfs.all_shortest_paths",
     "algo.betweenness": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness",

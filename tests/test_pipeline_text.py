@@ -77,3 +77,23 @@ def test_fingerprint_order_sensitive(spark):
     )
     fps = {r.doc_id: r.fingerprint for r in fingerprint(docs2, token_dictionary(docs2)).collect()}
     assert fps[0] != fps[1]
+
+
+def test_subword_count_bpe_ish(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import subword_count
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world2 v2.0!"),
+            (1, ""),
+            (2, "a-b c_d"),  # '_' is punct class here, '-' too
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in subword_count(docs).collect()}
+    # "hello world2 v2.0!" -> hello, world, 2, v, 2, '.', 0, '!'
+    assert rows[0].n_subwords == 8
+    assert rows[0].n_alpha_runs == 3 and rows[0].n_digit_runs == 3
+    assert rows[0].n_punct == 2
+    assert rows[1].n_subwords == 0
+    assert rows[2].n_subwords == 6 and rows[2].n_punct == 2
