@@ -27,6 +27,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, WEIGHT, EdgeFrame
+from neo4j_graph_algorithms_spark.plans.runtime import SuperstepRunner
 
 DIST = "dist"
 
@@ -37,43 +38,68 @@ def sssp(
     source: int,
     direction: str = "OUTGOING",
     max_iterations: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """[vid, dist] shortest weighted distance from `source` to every
     reachable vertex (unreachable vertices are absent, matching the
-    reference's stream output of touched nodes only)."""
+    reference's stream output of touched nodes only).
+
+    Runs on SuperstepRunner: state = [vid, dist, improved] where
+    `improved` marks the live frontier, so the loop gets the runtime's
+    durable per-superstep checkpoints + resume + metrics like the other
+    iterative operators (north rule: runs resume mid-algorithm)."""
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     e = ef.with_direction(direction).df.select(SRC, DST, WEIGHT)
-    # multi-edges: keep the cheapest parallel edge once up front
-    e = e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT))
+    # multi-edges: keep the cheapest parallel edge once up front; cached
+    # pre-partitioned on the superstep join key
+    e = e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT)).repartition(SRC)
     e.persist()
     e.count()
 
-    dist = spark.createDataFrame([(int(source), 0.0)], f"{VID} long, {DIST} double")
-    frontier = dist
-    for _ in range(max_iterations):
+    state0 = spark.createDataFrame(
+        [(int(source), 0.0, True)], f"{VID} long, {DIST} double, improved boolean"
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        frontier = state.filter(F.col("improved")).select(VID, DIST)
         relaxed = (
-            e.join(frontier.withColumnRenamed(VID, SRC), on=SRC)
+            e.join(
+                frontier.withColumnRenamed(VID, SRC).hint("shuffle_hash"), on=SRC
+            )
             .select(F.col(DST).alias(VID), (F.col(DIST) + F.col(WEIGHT)).alias(DIST))
             .groupBy(VID)
-            .agg(F.min(DIST).alias(DIST))
+            .agg(F.min(DIST).alias("_cand"))
         )
-        improved = (
-            relaxed.alias("r")
-            .join(dist.alias("d"), on=VID, how="left")
-            .filter(F.col(f"d.{DIST}").isNull() | (F.col(f"r.{DIST}") < F.col(f"d.{DIST}")))
-            .select(VID, F.col(f"r.{DIST}").alias(DIST))
-            .localCheckpoint(eager=True)
+        return (
+            state.select(VID, DIST)
+            .join(relaxed, on=VID, how="full_outer")
+            .select(
+                VID,
+                F.least(F.col(DIST), F.col("_cand")).alias(DIST),
+                (
+                    F.col(DIST).isNull()
+                    | (F.col("_cand").isNotNull() & (F.col("_cand") < F.col(DIST)))
+                ).alias("improved"),
+            )
         )
-        if improved.isEmpty():
-            break
-        dist = (
-            dist.join(improved, on=VID, how="left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
-        )
-        frontier = improved
+
+    def metric(new: DataFrame, old: DataFrame, i: int) -> float:
+        return float(new.filter(F.col("improved")).count())
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        metric=metric,
+        converged=lambda n_improved: n_improved == 0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group="linkgraph-sssp",
+    )
+    result = runner.run(state0, step, resume=resume)
     e.unpersist()
-    return dist
+    return result.state.select(VID, DIST)
 
 
 def delta_stepping(

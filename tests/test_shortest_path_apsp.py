@@ -80,3 +80,25 @@ def test_apsp_weighted_source_subset(spark):
     }
     assert all(s == ids["s"] for s, _ in got)
     assert got[(ids["s"], ids["x"])] == 8.0
+
+
+def test_sssp_resume_from_checkpoint(spark, tmp_path):
+    """North rule: sssp resumes mid-algorithm from durable checkpoints
+    (same contract the pagerank/wcc resume tests pin)."""
+    from neo4j_graph_algorithms_spark.operators.paths import sssp
+    from tests.conftest import edge_df
+
+    pairs = [(i, i + 1) for i in range(12)]
+    weights = [1.0] * 12
+    edges = edge_df(spark, pairs, weights)
+    ck = str(tmp_path / "sssp-ck")
+    # run 1: stop early (4 supersteps), durable checkpoint written
+    partial = sssp(spark, edges, source=0, max_iterations=4, checkpoint_dir=ck,
+                   checkpoint_interval=2)
+    got_partial = {r.vid: r.dist for r in partial.collect()}
+    assert max(got_partial.values()) <= 4.0
+    # run 2: resume to convergence; distances complete the chain
+    full = sssp(spark, edges, source=0, max_iterations=50, checkpoint_dir=ck,
+                resume=True)
+    got = {r.vid: r.dist for r in full.collect()}
+    assert got == {i: float(i) for i in range(13)}
