@@ -278,6 +278,9 @@ def all_shortest_paths_weighted(
     sources: DataFrame | None = None,
     direction: str = "OUTGOING",
     max_iterations: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """[source, vid, dist] weighted all-pairs shortest distances — the
     algo.allShortestPaths.stream WEIGHTED variant
@@ -297,11 +300,15 @@ def all_shortest_paths_weighted(
     e.count()
 
     src_df = sources.select(VID) if sources is not None else ef.vertices()
-    dist = src_df.select(
-        F.col(VID).alias("source"), F.col(VID), F.lit(0.0).alias(DIST)
-    ).localCheckpoint(eager=True)
-    frontier = dist
-    for _ in range(max_iterations):
+    state0 = src_df.select(
+        F.col(VID).alias("source"),
+        F.col(VID),
+        F.lit(0.0).alias(DIST),
+        F.lit(True).alias("improved"),
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        frontier = state.filter(F.col("improved")).select("source", VID, DIST)
         # shuffle_hash hint on the EDGE side: same no-broadcast-of-state
         # strategy, but hinting the checkpointed frontier side trips a
         # Catalyst NoSuchElementException in Spark 4.1 (key not found:
@@ -312,14 +319,13 @@ def all_shortest_paths_weighted(
                 "source", F.col(DST).alias(VID), (F.col(DIST) + F.col(WEIGHT)).alias(DIST)
             )
             .groupBy("source", VID)
-            .agg(F.min(DIST).alias(DIST))
+            .agg(F.min(DIST).alias("_cand"))
         )
         # single full-outer merge per round: new dist + improved flag in ONE
-        # checkpointed frame (no anti-join + union, half the checkpoints)
-        merged = (
-            dist.join(
-                relaxed.withColumnRenamed(DIST, "_cand"), on=["source", VID], how="full_outer"
-            )
+        # state frame (the runner checkpoints it)
+        return (
+            state.select("source", VID, DIST)
+            .join(relaxed, on=["source", VID], how="full_outer")
             .select(
                 "source",
                 VID,
@@ -327,19 +333,28 @@ def all_shortest_paths_weighted(
                 (
                     F.col(DIST).isNull()
                     | (F.col("_cand").isNotNull() & (F.col("_cand") < F.col(DIST)))
-                ).alias("_improved"),
+                ).alias("improved"),
             )
-            .localCheckpoint(eager=True)
         )
-        dist = merged.select("source", VID, DIST)
-        frontier = merged.filter(F.col("_improved")).select("source", VID, DIST)
-        if frontier.isEmpty():
-            break
-    else:
+
+    def metric(new: DataFrame, old: DataFrame, i: int) -> float:
+        return float(new.filter(F.col("improved")).count())
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        metric=metric,
+        converged=lambda n_improved: n_improved == 0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group="linkgraph-apsp-weighted",
+    )
+    result = runner.run(state0, step, resume=resume)
+    if not result.converged:
         warnings.warn(
             f"all_shortest_paths_weighted: frontier still active after "
             f"max_iterations={max_iterations}; distances may be non-final",
             RuntimeWarning,
         )
     e.unpersist()
-    return dist.select("source", VID, DIST)
+    return result.state.select("source", VID, DIST)
