@@ -124,8 +124,12 @@ def wcc_csr(
             .groupBy(VID)
             .agg(F.min(COMP).alias(COMP))
         )
-        # pointer jump (comp values are vids): comp'(v) = comp(comp(v))
-        mapping = merged.select(F.col(VID).alias("_m"), F.col(COMP).alias("_mc"))
+        # pointer jump (comp values are vids): comp'(v) = comp(comp(v)).
+        # shuffle_hash: the mapping is |V|-sized — keep the plan
+        # stats-independent, same convention as operators/wcc.py
+        mapping = merged.select(F.col(VID).alias("_m"), F.col(COMP).alias("_mc")).hint(
+            "shuffle_hash"
+        )
         jumped = (
             merged.join(mapping, merged[COMP] == F.col("_m"), "left")
             .select(VID, F.coalesce("_mc", COMP).alias(COMP))

@@ -103,7 +103,10 @@ def mst(
                 .groupBy("c")
                 .agg(F.min("root").alias("root"))
             )
-            mapping = cand.select(F.col("c").alias("_m"), F.col("root").alias("_mr"))
+            # shuffle_hash: component-sized jump mapping, stats-independent
+            mapping = cand.select(
+                F.col("c").alias("_m"), F.col("root").alias("_mr")
+            ).hint("shuffle_hash")
             labels = (
                 cand.join(mapping, cand["root"] == F.col("_m"), "left")
                 .select("c", F.coalesce("_mr", "root").alias("root"))

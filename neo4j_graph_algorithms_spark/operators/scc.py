@@ -156,9 +156,11 @@ def _max_fixpoint(
             .groupBy(VID, *gcols)
             .agg(F.max(value_col).alias(value_col))
         )
+        # shuffle_hash: |V|-sized jump mapping — stats-independent plan,
+        # same convention as operators/wcc.py
         mapping = hop.select(
             F.col(VID).alias("_m_vid"), F.col(value_col).alias("_m_val")
-        )
+        ).hint("shuffle_hash")
         state = (
             hop.join(mapping, hop[value_col]["v"] == F.col("_m_vid"), "left")
             .select(
