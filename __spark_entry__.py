@@ -523,6 +523,29 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthesize_audio(spark, n=64, n_samples=800, sample_rate=8000))
 
 
+def _q_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup grouping: SRP-LSH pairs -> pointer-jumped
+    WCC components -> MIN-id representative (pipeline/dedup.py)."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import embedding_near_dedup
+
+    return embedding_near_dedup(
+        _embs(spark, sf_dir), threshold=0.4, n_planes=16, bands=4, dim=64
+    )
+
+
+def _q_image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec image gate: genuine PNG payloads (stdlib-zlib encoder,
+    mixed scanline filters) decoded by pipeline/png.py's full five-filter
+    CRC-checking decoder inside the Arrow-batched kernel; the oracle
+    regenerates the deterministic pixel grid by formula."""
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        extract_features,
+        synthesize_png_media,
+    )
+
+    return extract_features(synthesize_png_media(spark, n=64, width=8, height=8))
+
+
 def _q_closeness_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.csr.msbfs import closeness_csr
     from neo4j_graph_algorithms_spark.graph import EdgeFrame
@@ -639,9 +662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_stage_counts": _q_curate,
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
+        "image_png_features": _q_image_png_features,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash_dedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_embedding_cosine": _q_embedding_near_dedup,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_cosine_pairs": _q_cosine_pairs,
         "ann_srp_lsh_pairs": _q_srp_lsh_pairs,
@@ -683,9 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_dictionary": _q_label_dictionary,
         "doc_subword_count": _q_subword_count,
         "doc_quality_score": _q_quality,
-        "doc_fingerprint": _q_fingerprint,
-        "dedup_exact": _q_exact_dedup,
         # --- tail: variants with an in-window sibling on the same path ------
+        "doc_fingerprint": _q_fingerprint,  # one explode+shuffle: r1+r2 green, subword_count in window
+        "dedup_exact": _q_exact_dedup,  # 32-byte-hash groupBy: r1+r2 green, minhash/simhash in window
         "doc_language_id": _q_language_id,  # pure column exprs: quality_score in window
         "doc_token_count": _q_token_count,  # pure column exprs: subword_count in window
         "modularity_vid_mod7": _q_modularity,  # modularity path: louvain_q_invariant
@@ -803,5 +828,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "audio_features": pipeline_oracles.audio_features_sql(
             n=64, n_samples=800, sample_rate=8000
+        ),
+        "image_png_features": pipeline_oracles.png_features_sql(n=64, width=8, height=8),
+        "dedup_embedding_cosine": pipeline_oracles.embedding_near_dedup_sql(
+            threshold=0.4, n_planes=16, bands=4, dim=64
         ),
     }

@@ -297,3 +297,53 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# -- Embedding-cosine near-dup -------------------------------------------------
+
+
+def embedding_near_dedup(
+    embs: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[id, rep_id, is_dup] embedding-cosine near-duplicate grouping.
+
+    The last member of the dedup family: near-dup PAIRS come from the
+    similarity tier (SRP-LSH band buckets + exact cosine verify at scale;
+    brute-force all-pairs when ``exact=True`` as the small oracle), then
+    groups are the connected components of the pair graph — computed by the
+    engine's own pointer-jumped WCC (operators/wcc.py), so the grouping
+    inherits its O(log n)-round, never-broadcast-state superstep plan.
+    Representative = MIN id per component (the canonical-extremum label the
+    reference's union-find family uses, impl/MSColoring.java:66-121);
+    ``is_dup`` = 1 for every non-representative member.
+
+    At 10^12 rows the candidate set stays band-bucket-bounded and the
+    component loop is the same plan WCC runs on the link graph itself.
+    """
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+    from neo4j_graph_algorithms_spark.operators.wcc import wcc
+    from neo4j_graph_algorithms_spark.pipeline.similarity import (
+        cosine_pairs,
+        srp_lsh_pairs,
+    )
+
+    spark = embs.sparkSession
+    if exact:
+        pairs = cosine_pairs(embs, threshold, id_col, vec_col)
+    else:
+        pairs = srp_lsh_pairs(embs, threshold, n_planes, bands, dim, seed, id_col, vec_col)
+    edges = EdgeFrame(pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    res = wcc(spark, edges, vertices=embs.select(F.col(id_col).alias("vid")))
+    return res.state.select(
+        F.col("vid").alias(id_col),
+        F.col("comp").alias("rep_id"),
+        (F.col("vid") != F.col("comp")).cast("int").alias("is_dup"),
+    )

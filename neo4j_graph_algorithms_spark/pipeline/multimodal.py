@@ -60,18 +60,25 @@ def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
 
 
 def _decode_bytes(payload: bytes, media_type: str) -> np.ndarray:
-    """Decode payload → HxW uint8 array.  Image codecs beyond the fake one
-    are stubbed (no image libraries here); audio/wav is REAL — see
-    decode_wav."""
+    """Decode payload → HxW (grey) or HxWx3 (RGB) uint8 array.
+
+    REAL codecs: image/png (stdlib-zlib decoder, pipeline/png.py) and
+    audio/wav (stdlib wave, decode_wav).  'image/fake' is the deterministic
+    struct-packed fixture codec.  JPEG/video stay stubbed — those genuinely
+    need libraries absent from this environment."""
     if media_type == "image/fake":
         if payload[:4] != _FAKE_MAGIC:
             raise ValueError("bad fake-image payload")
         w, h = struct.unpack("<II", payload[4:12])
         return np.frombuffer(payload[12:], dtype=np.uint8).reshape(h, w)
+    if media_type == "image/png":
+        from .png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
         f"codec for {media_type!r} requires image/video libraries not present "
-        "in this environment; plumbing is exercised via the 'image/fake' codec "
-        "and the REAL stdlib audio/wav path (encode_wav/decode_wav)"
+        "in this environment; REAL paths: 'image/png' (stdlib-zlib decoder) "
+        "and 'audio/wav' (stdlib wave); plumbing fixture: 'image/fake'"
     )
 
 
@@ -122,6 +129,34 @@ def synthesize_audio(
             encode_wav(i, n_samples, sample_rate),
             "audio/wav",
             (None, None, 1, sample_rate, n_samples),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def png_pixels(media_id: int, width: int, height: int) -> np.ndarray:
+    """Deterministic greyscale grid whose value any SQL engine regenerates:
+    pixel (y, x) of media m = (7x + 13y + 31m) % 256."""
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    return ((7 * x[None, :] + 13 * y[:, None] + 31 * media_id) % 256).astype(np.uint8)
+
+
+def synthesize_png_media(
+    spark: SparkSession, n: int = 64, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic media table whose payloads are genuine PNG files
+    (media_type='image/png', stdlib-zlib encoder, mixed scanline filters so
+    decode exercises every inverse-filter path)."""
+    from .png import encode_png
+
+    rows = [
+        (
+            i,
+            encode_png(png_pixels(i, width, height), filter_type="mixed"),
+            "image/png",
+            (width, height, 1, None, 1),
         )
         for i in range(n)
     ]

@@ -234,13 +234,12 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {threshold}"""
 
 
-def srp_lsh_sql(
-    threshold: float = 0.4,
-    n_planes: int = 16,
-    bands: int = 4,
-    dim: int = 64,
-    seed: int = 42,
+def _srp_pairs_ctes(
+    threshold: float, n_planes: int, bands: int, dim: int, seed: int
 ) -> str:
+    """CTE chain ending in `pairs AS ([a, b, cosine])` — the SRP-LSH
+    candidate + exact-verify construction, shared by srp_lsh_sql and
+    embedding_near_dedup_sql."""
     planes = srp_hyperplanes(dim, n_planes, seed)
     terms = []
     for i, p in enumerate(planes):
@@ -258,16 +257,54 @@ def srp_lsh_sql(
             f"SELECT vec_id, concat_ws('_', {bi}, (srp_sig >> {bi * width}) & {mask}) AS bucket FROM sigs"
         )
     blocked = " UNION ALL ".join(block_selects)
-    return f"""WITH {EMB_NORM_CTE},
+    return f"""{EMB_NORM_CTE},
 sigs AS (SELECT vec_id, {sig} AS srp_sig FROM e),
 blocked AS ({blocked}),
 cands AS (
   SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-  FROM blocked x JOIN blocked y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-SELECT c.a, c.b,
-       round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
-FROM cands c JOIN n na ON na.vec_id = c.a JOIN n nb ON nb.vec_id = c.b
-WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= {threshold}"""
+  FROM blocked x JOIN blocked y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+pairs AS (
+  SELECT c.a, c.b,
+         round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
+  FROM cands c JOIN n na ON na.vec_id = c.a JOIN n nb ON nb.vec_id = c.b
+  WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= {threshold})"""
+
+
+def srp_lsh_sql(
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    return f"""WITH {_srp_pairs_ctes(threshold, n_planes, bands, dim, seed)}
+SELECT a, b, cosine FROM pairs"""
+
+
+def embedding_near_dedup_sql(
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Twin of dedup.embedding_near_dedup: SRP-LSH near-dup pairs (same
+    deterministic hyperplanes as the Spark side), connected components by a
+    recursive-CTE transitive closure, representative = MIN member id —
+    engine-independent because the pair set and the min-label fixpoint are
+    both exact."""
+    return f"""WITH RECURSIVE {_srp_pairs_ctes(threshold, n_planes, bands, dim, seed)},
+und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+reach AS (
+  SELECT x, y FROM und
+  UNION
+  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+mins AS (SELECT x, min(y) AS mn FROM reach GROUP BY x)
+SELECT e.vec_id,
+       CAST(least(e.vec_id, coalesce(m.mn, e.vec_id)) AS BIGINT) AS rep_id,
+       CAST(CASE WHEN coalesce(m.mn, e.vec_id) < e.vec_id THEN 1 ELSE 0 END AS INT)
+         AS is_dup
+FROM e LEFT JOIN mins m ON m.x = e.vec_id"""
 
 
 def token_dictionary_sql() -> str:
@@ -443,6 +480,26 @@ def multimodal_features_sql(n: int = 64, width: int = 8, height: int = 8) -> str
 px AS (
   SELECT media_id, (j * 2654435761 + media_id * 97) % 251 AS v
   FROM ids, range({npx}) tt(j))
+SELECT media_id,
+       CAST(floor(avg(v)) AS INT) AS mean_intensity,
+       CAST(max(v) AS INT) AS max_intensity,
+       CAST(floor(100.0 * sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) / {npx}) AS INT)
+         AS nonzero_frac_pct
+FROM px GROUP BY media_id"""
+
+
+def png_features_sql(n: int = 64, width: int = 8, height: int = 8) -> str:
+    """Twin of multimodal.extract_features over synthesize_png_media's REAL
+    PNG payloads: pixel (y,x) of media m = (7x + 13y + 31m) % 256, so the
+    SQL regenerates the grid by formula while the Spark side round-trips a
+    genuine stdlib-zlib PNG encode (mixed scanline filters) + decode inside
+    the Arrow-batched kernel.  width*height is a power of two, so the
+    mean/percentage floats are IEEE-exact and parity is hash-exact."""
+    npx = width * height
+    return f"""WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({n}) t(i)),
+px AS (
+  SELECT media_id, (7 * x + 13 * y + 31 * media_id) % 256 AS v
+  FROM ids, range({width}) tx(x), range({height}) ty(y))
 SELECT media_id,
        CAST(floor(avg(v)) AS INT) AS mean_intensity,
        CAST(max(v) AS INT) AS max_intensity,

@@ -137,3 +137,66 @@ def test_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert exact_dedup(empty).count() == 0
     assert minhash_lsh_dedup(empty, num_hashes=8, bands=4).count() == 0
+
+
+# -- embedding-cosine near-dup -------------------------------------------------
+
+
+def test_embedding_near_dedup_exact_groups(spark):
+    """Three planted clusters of near-identical vectors + one outlier:
+    components = clusters, representative = min id, outlier is its own rep."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import embedding_near_dedup
+
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    for vid in range(9):  # cluster c = vid % 3, tiny per-member perturbation
+        v = list(base[vid % 3])
+        v[3] = 0.001 * (vid + 1)
+        rows.append((vid, [float(x) for x in v]))
+    rows.append((9, [0.5, 0.5, 0.5, 0.5]))  # outlier: cos ~0.5 to everything
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        r.vec_id: (r.rep_id, r.is_dup)
+        for r in embedding_near_dedup(embs, threshold=0.99, exact=True).collect()
+    }
+    assert len(got) == 10
+    for vid in range(9):
+        assert got[vid] == (vid % 3, int(vid >= 3))
+    assert got[9] == (9, 0)
+
+
+def test_embedding_near_dedup_lsh_matches_exact_on_planted(spark):
+    """On well-separated clusters the SRP-LSH path finds the same groups as
+    brute force (bucket recall is exact for near-identical vectors: equal
+    signatures share every band)."""
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.dedup import embedding_near_dedup
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16))
+    rows = []
+    for vid in range(12):
+        v = centers[vid % 4] + rng.normal(scale=1e-4, size=16)
+        rows.append((vid, [float(x) for x in v]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = sorted(
+        map(tuple, embedding_near_dedup(embs, threshold=0.999, exact=True).collect())
+    )
+    lsh = sorted(
+        map(
+            tuple,
+            embedding_near_dedup(
+                embs, threshold=0.999, n_planes=16, bands=4, dim=16
+            ).collect(),
+        )
+    )
+    assert exact == lsh
+    reps = {r for _, r, _ in exact}
+    assert reps == {0, 1, 2, 3}
