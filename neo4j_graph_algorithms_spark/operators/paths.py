@@ -108,80 +108,98 @@ def delta_stepping(
     source: int,
     delta: float = 3.0,
     direction: str = "OUTGOING",
-    max_buckets: int = 10_000,
-    max_inner: int = 200,
+    max_iterations: int = 10_000,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """[vid, dist] Δ-stepping SSSP (impl/ShortestPathDeltaStepping.java).
 
     Buckets b = floor(dist/Δ) processed in ascending order; light/heavy
-    split is unnecessary in the dataflow form — within a bucket we relax
-    settled frontier vertices repeatedly until no vertex of the current
-    bucket improves (covers light-edge chains), then advance.  Identical
-    result to `sssp`; bucket ordering bounds wasted relaxations when Δ
-    matches the weight scale.
+    split is unnecessary in the dataflow form — within a bucket, settled
+    frontier vertices relax repeatedly until no vertex of the bucket
+    improves (covers light-edge chains), then the bucket advances.
+    Identical result to `sssp`; bucket ordering bounds wasted relaxations
+    when Δ matches the weight scale.
+
+    Runs on SuperstepRunner as ONE flat loop (durable checkpoints + resume
+    like the other iterative operators): state = [vid, dist, improved],
+    and each superstep relaxes the flagged rows of the CURRENT bucket,
+    where current = min bucket over flagged rows — a 1-row aggregate
+    cross-joined into the plan, so bucket sequencing, in-bucket draining,
+    and empty-bucket skipping all happen declaratively with no nested
+    driver loop.  Non-negative weights mean relaxations never flag a bucket
+    below the current one, so the min is exactly the reference's ascending
+    bucket cursor.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     e = ef.with_direction(direction).df.select(SRC, DST, WEIGHT)
-    e = e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT))
+    # cheapest parallel edge once up front; cached pre-partitioned on the
+    # superstep join key
+    e = e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT)).repartition(SRC)
     e.persist()
     e.count()
 
-    dist = spark.createDataFrame([(int(source), 0.0)], f"{VID} long, {DIST} double")
-    bucket = 0
-    for _ in range(max_buckets):
-        # frontier: members of the current bucket
-        frontier = dist.filter(
-            (F.col(DIST) >= bucket * delta) & (F.col(DIST) < (bucket + 1) * delta)
-        ).localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            # advance to the next non-empty bucket (or stop)
-            nxt = dist.filter(F.col(DIST) >= (bucket + 1) * delta).agg(
-                F.min(F.floor(F.col(DIST) / delta)).alias("b")
-            ).collect()[0]["b"]
-            if nxt is None:
-                break
-            bucket = int(nxt)
-            continue
-        drained = False
-        for _i in range(max_inner):
-            relaxed = (
-                e.join(frontier.withColumnRenamed(VID, SRC), on=SRC)
-                .select(F.col(DST).alias(VID), (F.col(DIST) + F.col(WEIGHT)).alias(DIST))
-                .groupBy(VID)
-                .agg(F.min(DIST).alias(DIST))
+    state0 = spark.createDataFrame(
+        [(int(source), 0.0, True)], f"{VID} long, {DIST} double, improved boolean"
+    )
+    bucket = F.floor(F.col(DIST) / F.lit(float(delta)))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # current bucket: 1-row aggregate — a scalar, not |V| state, so
+        # broadcasting it is the right plan (CLAUDE.md's no-broadcast rule
+        # is about vertex-state-sized frames)
+        cur = state.filter(F.col("improved")).agg(F.min(bucket).alias("_b"))
+        in_frontier = F.col("improved") & bucket.eqNullSafe(F.col("_b"))
+        frontier = (
+            state.crossJoin(F.broadcast(cur)).filter(in_frontier).select(VID, DIST)
+        )
+        relaxed = (
+            e.join(frontier.withColumnRenamed(VID, SRC).hint("shuffle_hash"), on=SRC)
+            .select(F.col(DST).alias(VID), (F.col(DIST) + F.col(WEIGHT)).alias(DIST))
+            .groupBy(VID)
+            .agg(F.min(DIST).alias("_cand"))
+        )
+        improved_now = F.col("_cand").isNotNull() & (
+            F.col(DIST).isNull() | (F.col("_cand") < F.col(DIST))
+        )
+        return (
+            state.crossJoin(F.broadcast(cur))
+            .join(relaxed, on=VID, how="full_outer")
+            .select(
+                VID,
+                F.least(F.col(DIST), F.col("_cand")).alias(DIST),
+                # flag semantics = "out-edges not yet relaxed at this dist":
+                # set on improvement; kept for flagged later-bucket rows;
+                # cleared for just-relaxed frontier rows that didn't improve
+                F.when(improved_now, F.lit(True))
+                .when(F.col("improved") & ~in_frontier, F.lit(True))
+                .otherwise(F.lit(False))
+                .alias("improved"),
             )
-            improved = (
-                relaxed.alias("r")
-                .join(dist.alias("d"), on=VID, how="left")
-                .filter(F.col(f"d.{DIST}").isNull() | (F.col(f"r.{DIST}") < F.col(f"d.{DIST}")))
-                .select(VID, F.col(f"r.{DIST}").alias(DIST))
-                .localCheckpoint(eager=True)
-            )
-            if improved.isEmpty():
-                drained = True
-                break
-            dist = (
-                dist.join(improved, on=VID, how="left_anti")
-                .unionByName(improved)
-                .localCheckpoint(eager=True)
-            )
-            # re-relax only improvements still inside the current bucket;
-            # later-bucket improvements wait their turn
-            frontier = improved.filter(F.col(DIST) < (bucket + 1) * delta).localCheckpoint(
-                eager=True
-            )
-            if frontier.isEmpty():
-                drained = True
-                break
-        if not drained:
-            warnings.warn(
-                f"delta_stepping: bucket {bucket} not drained after max_inner="
-                f"{max_inner} relaxations; distances may be non-final",
-                RuntimeWarning,
-            )
-        bucket += 1
+        )
+
+    def metric(new: DataFrame, old: DataFrame, i: int) -> float:
+        return float(new.filter(F.col("improved")).count())
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        metric=metric,
+        converged=lambda n_flagged: n_flagged == 0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group="linkgraph-delta-stepping",
+    )
+    result = runner.run(state0, step, resume=resume)
+    if not result.converged:
+        warnings.warn(
+            f"delta_stepping: frontier non-empty after max_iterations="
+            f"{max_iterations} supersteps; distances may be non-final",
+            RuntimeWarning,
+        )
     e.unpersist()
-    return dist
+    return result.state.select(VID, DIST)
 
 
 def shortest_paths(

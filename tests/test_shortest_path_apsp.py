@@ -102,3 +102,25 @@ def test_sssp_resume_from_checkpoint(spark, tmp_path):
                 resume=True)
     got = {r.vid: r.dist for r in full.collect()}
     assert got == {i: float(i) for i in range(13)}
+
+
+def test_delta_stepping_resume_from_checkpoint(spark, tmp_path):
+    """Δ-stepping now runs the flattened bucket loop on SuperstepRunner:
+    stop mid-bucket-sequence, resume from the durable checkpoint, and the
+    state's improved-flags + the min-flagged-bucket cursor reconstruct the
+    correct bucket position with no separate cursor to persist."""
+    from neo4j_graph_algorithms_spark.operators.paths import delta_stepping
+    from tests.conftest import edge_df
+
+    pairs = [(i, i + 1) for i in range(12)]
+    weights = [1.0] * 12
+    edges = edge_df(spark, pairs, weights)
+    ck = str(tmp_path / "ds-ck")
+    partial = delta_stepping(spark, edges, source=0, delta=2.0, max_iterations=4,
+                             checkpoint_dir=ck, checkpoint_interval=2)
+    got_partial = {r.vid: r.dist for r in partial.collect()}
+    assert max(got_partial.values()) <= 4.0
+    full = delta_stepping(spark, edges, source=0, delta=2.0, max_iterations=50,
+                          checkpoint_dir=ck, resume=True)
+    got = {r.vid: r.dist for r in full.collect()}
+    assert got == {i: float(i) for i in range(13)}

@@ -43,3 +43,48 @@ def test_lpa_superstep_never_broadcasts_state(spark):
 def test_pagerank_superstep_never_broadcasts_state(spark):
     res = pagerank(spark, edge_df(spark, _PAIRS), max_iterations=2)
     _assert_no_state_broadcast(res.first_plan)
+
+
+def _capture_result(monkeypatch):
+    """Capture the SuperstepResult of operators that return a bare DataFrame
+    (sssp/delta_stepping) so first_plan can be asserted."""
+    from neo4j_graph_algorithms_spark.plans import runtime
+
+    captured = {}
+    orig = runtime.SuperstepRunner.run
+
+    def capturing(self, initial_state, step, resume=False):
+        res = orig(self, initial_state, step, resume=resume)
+        captured["res"] = res
+        return res
+
+    monkeypatch.setattr(runtime.SuperstepRunner, "run", capturing)
+    return captured
+
+
+def test_sssp_superstep_never_broadcasts_state(spark, monkeypatch):
+    from neo4j_graph_algorithms_spark.operators.paths import sssp
+
+    captured = _capture_result(monkeypatch)
+    sssp(spark, edge_df(spark, _PAIRS), source=0, max_iterations=2)
+    _assert_no_state_broadcast(captured["res"].first_plan)
+
+
+def test_delta_stepping_superstep_never_broadcasts_state(spark, monkeypatch):
+    """The flattened bucket loop broadcasts its 1-row bucket-cursor
+    aggregate (a scalar — that IS the right plan) but never the |V| state:
+    every BroadcastExchange must be fed by the cursor's single-partition
+    aggregate, and the edge⋈frontier join must stay a ShuffledHashJoin."""
+    from neo4j_graph_algorithms_spark.operators.paths import delta_stepping
+
+    captured = _capture_result(monkeypatch)
+    delta_stepping(spark, edge_df(spark, _PAIRS), source=0, delta=2.0, max_iterations=2)
+    plan = captured["res"].first_plan
+    assert plan is not None and "ShuffledHashJoin" in plan, plan
+    lines = plan.splitlines()
+    for n, line in enumerate(lines):
+        if "BroadcastExchange" in line:
+            below = "\n".join(lines[n : n + 5])
+            assert "Exchange SinglePartition" in below, (
+                "broadcast whose build side is not the 1-row cursor:\n" + below
+            )
