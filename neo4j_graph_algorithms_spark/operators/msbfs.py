@@ -83,12 +83,22 @@ def _msbfs_contribs(
     max_depth: int,
     n_words: int = N_WORDS,
     keep_mask: bool = False,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """[vid, depth, n_sources] rows: how many of this group's sources reach
     vid at BFS depth `depth` (first visit).  edges: [src, dst] directed,
     cached pre-partitioned on src by the caller.  batch_sources:
     [vid, word, bit].  With `keep_mask`, also carries the frontier mask
-    array (for APSP decode)."""
+    array (for APSP decode).
+
+    Runs on SuperstepRunner: state = [vid, visited, frontier,
+    seen: map<depth, mask>] — `seen` records each group's first-visit mask
+    per depth, so ALL per-depth contributions derive from the final state
+    (one explode at the end) and a durable checkpoint restores the whole
+    traversal mid-algorithm, accumulated contributions included."""
+    from neo4j_graph_algorithms_spark.plans.runtime import SuperstepRunner
+
     word_mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
     per_word = [
         F.bit_or(F.when(F.col("word") == i, word_mask).otherwise(F.lit(0).cast("long"))).alias(
@@ -96,24 +106,24 @@ def _msbfs_contribs(
         )
         for i in range(n_words)
     ]
-    seed_masks = (
+    empty_seen = F.expr("cast(map() as map<int, array<bigint>>)")
+    state0 = (
         batch_sources.groupBy(VID)
         .agg(*per_word)
         .select(VID, F.array(*[f"_w{i}" for i in range(n_words)]).alias("mask"))
+        .select(
+            VID,
+            F.col("mask").alias("visited"),
+            F.col("mask").alias("frontier"),
+            empty_seen.alias("seen"),
+        )
     )
-    state = seed_masks.select(
-        VID, F.col("mask").alias("visited"), F.col("mask").alias("frontier")
-    ).localCheckpoint(eager=True)
     nonzero = F.exists("frontier", lambda x: x != 0)
-    popcount = F.aggregate(
-        F.transform("frontier", lambda x: F.bit_count(x)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    out: list[DataFrame] = []
-    for depth in range(1, max_depth + 1):
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        depth = i + 1
         word_aggs = [
-            F.bit_or(F.element_at("frontier", i + 1)).alias(f"_w{i}") for i in range(n_words)
+            F.bit_or(F.element_at("frontier", w + 1)).alias(f"_w{w}") for w in range(n_words)
         ]
         msgs = (
             edges.join(
@@ -122,39 +132,60 @@ def _msbfs_contribs(
             )
             .groupBy(F.col(DST).alias(VID))
             .agg(*word_aggs)
-            .select(VID, F.array(*[f"_w{i}" for i in range(n_words)]).alias("incoming"))
+            .select(VID, F.array(*[f"_w{w}" for w in range(n_words)]).alias("incoming"))
         )
         merged = (
-            state.select(VID, "visited")
+            state.select(VID, "visited", "seen")
             .join(msgs, on=VID, how="full_outer")
             .select(
                 VID,
                 F.coalesce(F.col("visited"), _empty_masks(n_words)).alias("visited"),
                 F.coalesce(F.col("incoming"), _empty_masks(n_words)).alias("incoming"),
+                F.coalesce(F.col("seen"), empty_seen).alias("seen"),
             )
             .withColumn(
                 "new",
                 F.zip_with(
-                    "incoming", "visited", lambda i, v: i.bitwiseAND(F.bitwise_not(v))
+                    "incoming", "visited", lambda i_, v: i_.bitwiseAND(F.bitwise_not(v))
                 ),
             )
         )
-        state = merged.select(
+        return merged.select(
             VID,
             F.zip_with("visited", "new", lambda a, b: a.bitwiseOR(b)).alias("visited"),
             F.col("new").alias("frontier"),
-        ).localCheckpoint(eager=True)
-        cols = [VID, F.lit(depth).alias("depth"), popcount.alias("n_sources")]
-        if keep_mask:
-            cols.append(F.col("frontier").alias("mask"))
-        contrib = state.filter(nonzero).select(*cols)
-        out.append(contrib.localCheckpoint(eager=True))
-        if state.filter(nonzero).isEmpty():
-            break
-    res = out[0]
-    for c in out[1:]:
-        res = res.unionByName(c)
-    return res
+            F.when(
+                F.exists("new", lambda x: x != 0),
+                F.map_concat(
+                    "seen",
+                    F.map_from_arrays(
+                        F.array(F.lit(depth).cast("int")), F.array(F.col("new"))
+                    ),
+                ),
+            )
+            .otherwise(F.col("seen"))
+            .alias("seen"),
+        )
+
+    def metric(new: DataFrame, old: DataFrame, i: int) -> float:
+        return float(new.filter(nonzero).count())
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_depth,
+        metric=metric,
+        converged=lambda live: live == 0,
+        checkpoint_dir=checkpoint_dir,
+        job_group="linkgraph-msbfs",
+    )
+    final = runner.run(state0, step, resume=resume).state
+    popcount_mask = F.aggregate(
+        F.transform("mask", lambda x: F.bit_count(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    cols = [VID, F.col("depth"), popcount_mask.alias("n_sources")]
+    if keep_mask:
+        cols.append(F.col("mask"))
+    return final.select(VID, F.explode("seen").alias("depth", "mask")).select(*cols)
 
 
 def _empty_depths(spark: SparkSession) -> DataFrame:
@@ -168,9 +199,14 @@ def msbfs_depths(
     direction: str = "OUTGOING",
     max_depth: int = 64,
     n_words: int = N_WORDS,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """[vid, depth, n_sources] over all source groups (64·n_words BFS per
-    pass)."""
+    pass).  With `checkpoint_dir`, each group's traversal checkpoints
+    durably under `<dir>/grp=<g>` and `resume=True` restarts every group
+    from its newest checkpoint (finished groups replay only their final
+    state read)."""
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     # cached pre-partitioned on the superstep join key (src)
     e = ef.with_direction(direction).df.select(SRC, DST).distinct().repartition(SRC)
@@ -185,7 +221,12 @@ def msbfs_depths(
     parts = []
     for g in sorted(groups):
         batch = ranked.filter(F.col("grp") == g).select(VID, "word", "bit")
-        parts.append(_msbfs_contribs(spark, e, batch, max_depth, n_words))
+        ck = f"{checkpoint_dir}/grp={g}" if checkpoint_dir else None
+        parts.append(
+            _msbfs_contribs(
+                spark, e, batch, max_depth, n_words, checkpoint_dir=ck, resume=resume
+            )
+        )
     res = parts[0]
     for p in parts[1:]:
         res = res.unionByName(p)

@@ -124,3 +124,23 @@ def test_delta_stepping_resume_from_checkpoint(spark, tmp_path):
                           checkpoint_dir=ck, resume=True)
     got = {r.vid: r.dist for r in full.collect()}
     assert got == {i: float(i) for i in range(13)}
+
+
+def test_msbfs_depths_resume_from_checkpoint(spark, tmp_path):
+    """MS-BFS now carries per-depth first-visit masks in state (seen map),
+    so a durable checkpoint restores the whole traversal — accumulated
+    depth contributions included — and resume completes the chain."""
+    from neo4j_graph_algorithms_spark.operators.msbfs import msbfs_depths
+    from tests.conftest import edge_df
+
+    edges = edge_df(spark, [(i, i + 1) for i in range(12)], [1.0] * 12)
+    src = spark.createDataFrame([(0,)], "vid long")
+    ck = str(tmp_path / "msbfs-ck")
+    partial = msbfs_depths(spark, edges, sources=src, direction="OUTGOING",
+                           max_depth=4, checkpoint_dir=ck)
+    got_partial = {(r.vid, r.depth) for r in partial.collect()}
+    assert got_partial == {(i, i) for i in range(1, 5)}
+    full = msbfs_depths(spark, edges, sources=src, direction="OUTGOING",
+                        max_depth=50, checkpoint_dir=ck, resume=True)
+    got = {(r.vid, r.depth, r.n_sources) for r in full.collect()}
+    assert got == {(i, i, 1) for i in range(1, 13)}
