@@ -39,11 +39,15 @@ finisher touches at most `tarjan_cutoff` vertices and their edges.
 
 from __future__ import annotations
 
+import json
+import os
+import time
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
+from neo4j_graph_algorithms_spark.plans.runtime import SuperstepRunner
 
 COMP = "comp"
 
@@ -126,13 +130,19 @@ def _tarjan(vids: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _max_fixpoint(
+    spark: SparkSession,
     state: DataFrame,
     push_edges: DataFrame,
     value_col: str,
     max_rounds: int,
     group_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> tuple[DataFrame, bool, int]:
-    """Generic max-propagation fixpoint with pointer jumping.
+    """Generic max-propagation fixpoint with pointer jumping, run on
+    SuperstepRunner (durable per-round checkpoints + resume + metrics, the
+    same contract as pagerank/wcc/sssp supersteps).
 
     state: [vid, *group_cols, value_col]; values are `_rand_val` structs
     (h, v) with v a vid present in state — the jump mapping is keyed on the
@@ -143,15 +153,13 @@ def _max_fixpoint(
     Returns (state, converged, rounds).
     """
     gcols = group_cols or []
-    prev: tuple[int, int] | None = None
-    rounds = 0
-    for _r in range(max_rounds):
-        rounds += 1
+
+    def step(st: DataFrame, i: int) -> DataFrame:
         pushed = push_edges.join(
-            state.withColumnRenamed(VID, SRC), on=[SRC, *gcols]
+            st.withColumnRenamed(VID, SRC), on=[SRC, *gcols]
         ).select(F.col(DST).alias(VID), *gcols, value_col)
         hop = (
-            state.select(VID, *gcols, value_col)
+            st.select(VID, *gcols, value_col)
             .unionByName(pushed)
             .groupBy(VID, *gcols)
             .agg(F.max(value_col).alias(value_col))
@@ -161,26 +169,53 @@ def _max_fixpoint(
         mapping = hop.select(
             F.col(VID).alias("_m_vid"), F.col(value_col).alias("_m_val")
         ).hint("shuffle_hash")
-        state = (
-            hop.join(mapping, hop[value_col]["v"] == F.col("_m_vid"), "left")
-            .select(
-                VID,
-                *gcols,
-                F.greatest(F.coalesce("_m_val", value_col), F.col(value_col)).alias(
-                    value_col
-                ),
-            )
-            .localCheckpoint(eager=True)
+        return hop.join(mapping, hop[value_col]["v"] == F.col("_m_vid"), "left").select(
+            VID,
+            *gcols,
+            F.greatest(F.coalesce("_m_val", value_col), F.col(value_col)).alias(
+                value_col
+            ),
         )
-        row = state.agg(
+
+    prev: dict = {}
+
+    def metric(new: DataFrame, old: DataFrame, i: int) -> float:
+        row = new.agg(
             F.sum(F.col(value_col)["h"].cast("decimal(38,0)")).alias("sh"),
             F.sum(F.col(value_col)["v"].cast("decimal(38,0)")).alias("sv"),
         ).collect()[0]
         s = (int(row["sh"] or 0), int(row["sv"] or 0))
-        if prev is not None and s == prev:
-            return state, True, rounds
-        prev = s
-    return state, False, rounds
+        changed = prev.get("s") != s
+        prev["s"] = s
+        return 1.0 if changed else 0.0
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_rounds,
+        metric=metric,
+        converged=lambda m: m == 0.0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group="linkgraph-scc-fixpoint",
+    )
+    res = runner.run(state, step, resume=resume)
+    return res.state, res.converged, res.iterations
+
+
+def _latest_outer_round(checkpoint_dir: str) -> int | None:
+    """Newest committed outer round: a round is committed once its
+    `remaining/round=<k>` parquet carries _SUCCESS (written AFTER the
+    round's `assigned/round=<k>`, so assigned for all k' ≤ k is durable)."""
+    root = os.path.join(checkpoint_dir, "remaining")
+    if not os.path.isdir(root):
+        return None
+    rounds = [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(root)
+        if name.startswith("round=")
+        and os.path.exists(os.path.join(root, name, "_SUCCESS"))
+    ]
+    return max(rounds) if rounds else None
 
 
 def scc(
@@ -191,6 +226,9 @@ def scc(
     max_color_rounds: int = 200,
     tarjan_cutoff: int = 10_000,
     metrics: dict | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """[vid, comp] with comp = min member id of the strongly connected
     component.  Directed edges; parallel edges/self-loops tolerated.
@@ -199,6 +237,17 @@ def scc(
     driver-side with iterative Tarjan (0 disables the fallback).
     `metrics`: optional dict filled with {'outer_rounds', 'color_rounds',
     'bcolor_rounds', 'tarjan_vertices'} for observability/testing.
+
+    Durable checkpoints (north rule: runs resume mid-algorithm): with
+    `checkpoint_dir` set, each completed outer round commits the newly
+    assigned components to `<dir>/assigned/round=<k>` and the unassigned
+    set to `<dir>/remaining/round=<k>` (commit marker = the remaining
+    write's _SUCCESS), appending a convergence-metrics row to
+    `<dir>/outer_metrics.jsonl`; the color/bcolor fixpoints additionally
+    run on SuperstepRunner with per-superstep durable state under
+    `<dir>/fix/round=<k>/{color,bcolor}`.  `resume=True` restarts after
+    the newest committed round (and mid-fixpoint inside the first
+    uncommitted one).  Use a fresh dir for non-resume runs.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     e = ef.df.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
@@ -207,14 +256,46 @@ def scc(
     mx: dict = metrics if metrics is not None else {}
     mx.update(outer_rounds=0, color_rounds=[], bcolor_rounds=[], tarjan_vertices=0)
 
+    def _assigned_path(k: int) -> str:
+        return os.path.join(checkpoint_dir, "assigned", f"round={k}")
+
+    def _remaining_path(k: int) -> str:
+        return os.path.join(checkpoint_dir, "remaining", f"round={k}")
+
+    def _commit_round(k: int, round_assigned: DataFrame, rem: DataFrame, n_rem: int) -> None:
+        if not checkpoint_dir:
+            return
+        round_assigned.write.mode("overwrite").parquet(_assigned_path(k))
+        rem.write.mode("overwrite").parquet(_remaining_path(k))
+        row = {
+            "round": k,
+            "remaining": n_rem,
+            "color_rounds": mx["color_rounds"][-1] if mx["color_rounds"] else None,
+            "bcolor_rounds": mx["bcolor_rounds"][-1] if mx["bcolor_rounds"] else None,
+            "ts": time.time(),
+        }
+        with open(os.path.join(checkpoint_dir, "outer_metrics.jsonl"), "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+
     # vertices come from the UNFILTERED edge set: a vertex with only a
     # self-loop is still a (singleton) SCC
     verts = vertices.select(VID) if vertices is not None else ef.vertices()
     remaining = verts.localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
+    start_round = 0
+    if checkpoint_dir and resume:
+        latest = _latest_outer_round(checkpoint_dir)
+        if latest is not None:
+            remaining = spark.read.parquet(_remaining_path(latest)).localCheckpoint(
+                eager=True
+            )
+            for k in range(latest + 1):
+                assigned_parts.append(spark.read.parquet(_assigned_path(k)))
+            start_round = latest + 1
+            mx["resumed_round"] = latest
     exhausted = True
 
-    for _ in range(max_outer):
+    for outer_k in range(start_round, max_outer):
         n_remaining = remaining.count()
         if n_remaining == 0:
             break
@@ -266,9 +347,11 @@ def scc(
         # singleton: itself; colored SCC: its root; Tarjan: min member) —
         # classes are disjoint vertex sets, so comp values never collide
         trimmed = remaining.join(core, on=VID, how="left_anti")
-        assigned_parts.append(trimmed.select(VID, F.col(VID).alias(COMP)))
+        trimmed_assigned = trimmed.select(VID, F.col(VID).alias(COMP))
+        assigned_parts.append(trimmed_assigned)
         if core.isEmpty():
             remaining = core
+            _commit_round(outer_k, trimmed_assigned, remaining, 0)
             break
         core = core.localCheckpoint(eager=True)
         ec = (
@@ -281,7 +364,21 @@ def scc(
         #    Jump soundness: color(v)=(h(u),u) means u ⤳ v, and
         #    color(u) ⤳ u ⤳ v, so color(color(v)) is a valid (≥) color.
         color0 = core.select(VID, _rand_val(VID).alias("color"))
-        colorst, ok, rounds = _max_fixpoint(color0, ec, "color", max_color_rounds)
+        fix_dir = (
+            os.path.join(checkpoint_dir, "fix", f"round={outer_k}")
+            if checkpoint_dir
+            else None
+        )
+        colorst, ok, rounds = _max_fixpoint(
+            spark,
+            color0,
+            ec,
+            "color",
+            max_color_rounds,
+            checkpoint_dir=os.path.join(fix_dir, "color") if fix_dir else None,
+            checkpoint_interval=checkpoint_interval,
+            resume=resume and outer_k == start_round,
+        )
         # flatten to the root vid: unique per class (vid tiebreak in the
         # struct), so the class id IS a member vertex
         color = colorst.select(VID, F.col("color")["v"].alias("color"))
@@ -317,7 +414,16 @@ def scc(
         )
         rev = edge_col.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
         b0 = color.select(VID, _rand_val(VID).alias("bcolor"))
-        bstate_st, ok_b, rounds_b = _max_fixpoint(b0, rev, "bcolor", max_color_rounds)
+        bstate_st, ok_b, rounds_b = _max_fixpoint(
+            spark,
+            b0,
+            rev,
+            "bcolor",
+            max_color_rounds,
+            checkpoint_dir=os.path.join(fix_dir, "bcolor") if fix_dir else None,
+            checkpoint_interval=checkpoint_interval,
+            resume=resume and outer_k == start_round,
+        )
         bstate = bstate_st.select(VID, F.col("bcolor")["v"].alias("bcolor")).join(
             color, on=VID
         )
@@ -331,8 +437,15 @@ def scc(
         in_scc = bstate.filter(F.col("bcolor") == F.col("color")).select(
             VID, "color"
         ).localCheckpoint(eager=True)
-        assigned_parts.append(in_scc.select(VID, F.col("color").alias(COMP)))
+        scc_assigned = in_scc.select(VID, F.col("color").alias(COMP))
+        assigned_parts.append(scc_assigned)
         remaining = core.join(in_scc, on=VID, how="left_anti").localCheckpoint(eager=True)
+        _commit_round(
+            outer_k,
+            trimmed_assigned.unionByName(scc_assigned),
+            remaining,
+            remaining.count() if checkpoint_dir else -1,
+        )
     else:
         exhausted = False
 

@@ -225,3 +225,52 @@ def test_scc_tarjan_edge_collect_capped(spark):
     assert metrics["tarjan_vertices"] == 0  # fallback never ran
     rows = out.collect()
     assert len(rows) == n and len({r.comp for r in rows}) == 1
+
+
+def test_scc_resume_from_checkpoint(spark, tmp_path):
+    """North rule: scc resumes mid-algorithm from durable checkpoints.
+    A DAG chain forces multiple outer trim/color rounds (each round peels
+    only the prefix-hash-maxima roots + the two trim ends); run 1 stops
+    after one committed outer round, run 2 resumes past it and must not
+    redo it (resumed_round recorded, fewer outer rounds executed)."""
+    import warnings as _w
+
+    pairs = [(i, i + 1) for i in range(24)]
+    edges = edge_df(spark, pairs)
+    ck = str(tmp_path / "scc-ck")
+
+    mx_full: dict = {}
+    expected = {
+        r.vid: r.comp
+        for r in scc(
+            spark, edge_df(spark, pairs), tarjan_cutoff=0, metrics=mx_full
+        ).collect()
+    }
+    assert mx_full["outer_rounds"] >= 2  # fixture really is multi-round
+
+    mx1: dict = {}
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)  # expected: incomplete
+        scc(
+            spark,
+            edges,
+            tarjan_cutoff=0,
+            max_outer=1,
+            metrics=mx1,
+            checkpoint_dir=ck,
+        )
+    assert mx1["outer_rounds"] == 1
+
+    mx2: dict = {}
+    out = scc(
+        spark,
+        edges,
+        tarjan_cutoff=0,
+        metrics=mx2,
+        checkpoint_dir=ck,
+        resume=True,
+    )
+    assert mx2["resumed_round"] == 0
+    assert mx2["outer_rounds"] == mx_full["outer_rounds"] - 1
+    got = {r.vid: r.comp for r in out.collect()}
+    assert got == expected  # all singletons, identical to the one-shot run
