@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, WEIGHT, EdgeFrame
+from neo4j_graph_algorithms_spark.plans.runtime import SuperstepRunner
 
 COMM = "community"
 
@@ -72,35 +73,46 @@ def louvain(
     edges: EdgeFrame | DataFrame,
     max_iterations: int = 20,
     metric_every: int = 1,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """[vid, community] after the phase-1 local-move loop (communities
     canonicalized to min member id).
 
     `metric_every=k`: run the moved-count convergence join only every k-th
     sub-step (each is a |V|⋈|V| join job); skipped sub-steps assume
-    non-convergence, so worst case k-1 extra sub-steps run."""
+    non-convergence, so worst case k-1 extra sub-steps run.
+
+    Runs on SuperstepRunner: durable per-sub-step vertex-state checkpoints
+    + mid-algorithm resume + metrics like the other iterative operators
+    (north rule).  The even/odd movable half alternates on the GLOBAL
+    sub-step index, which the runner preserves across resume.
+    """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     und = _und_simple(ef)
-    # both directions for gathering
+    # both directions for gathering, cached pre-partitioned on the gather
+    # join key so each sub-step exchanges only the state side (the wcc/lpa
+    # superstep-cache convention)
     both = und.unionByName(
         und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
-    ).persist()
+    ).repartition(DST).persist()
     m = both.agg(F.sum(WEIGHT)).collect()[0][0]
     if not m:
         return spark.createDataFrame([], f"{VID} long, {COMM} long")
     m = float(m) / 2.0  # each edge counted twice in `both`
 
     deg = both.groupBy(F.col(SRC).alias(VID)).agg(F.sum(WEIGHT).alias("ki")).persist()
-    state = deg.select(VID, F.col(VID).alias(COMM), "ki").localCheckpoint(eager=True)
+    state0 = deg.select(VID, F.col(VID).alias(COMM), "ki")
 
     # Convergence = no move across a window covering BOTH halves (>= 2
     # consecutive sub-steps).  With metric_every=k the moved-count join runs
     # every k-th sub-step against the ANCHOR state from the previous check,
-    # so one join covers the whole k-sub-step span.
-    quiet = 0  # no-move sub-steps covered by clean checks
-    anchor = state
-    span = 0  # sub-steps since anchor
-    for it in range(max_iterations):
+    # so one join covers the whole k-sub-step span (the runner's `old` is
+    # only the immediately-previous state, hence the explicit anchor).
+    ctx = {"quiet": 0, "anchor": state0, "span": 0}
+
+    def step(state: DataFrame, it: int) -> DataFrame:
         # community total degrees
         sigma = state.groupBy(COMM).agg(F.sum("ki").alias("sigma"))
         # k_i_in per (node, neighbor community)
@@ -158,7 +170,8 @@ def louvain(
         )
         # alternate halves to avoid synchronous oscillation
         movable = (F.col(VID) % 2 == it % 2)
-        new_state = (
+        ctx["span"] += 1
+        return (
             state.join(best, on=VID, how="left")
             .join(stay, on=VID, how="left")
             .select(
@@ -173,23 +186,37 @@ def louvain(
                 .alias(COMM),
                 "ki",
             )
-            .localCheckpoint(eager=True)
         )
-        span += 1
-        check = (it + 1) % max(1, metric_every) == 0 or it + 1 == max_iterations
-        if check:
-            moved = (
-                new_state.alias("n")
-                .join(anchor.alias("o"), on=VID)
-                .filter(F.col(f"n.{COMM}") != F.col(f"o.{COMM}"))
-                .count()
-            )
-            quiet = quiet + span if moved == 0 else 0
-            anchor = new_state
-            span = 0
-        state = new_state
-        if quiet >= 2:  # both halves quiesced
-            break
+
+    def metric(new: DataFrame, old: DataFrame, it: int) -> float:
+        moved = (
+            new.alias("n")
+            .join(ctx["anchor"].alias("o"), on=VID)
+            .filter(F.col(f"n.{COMM}") != F.col(f"o.{COMM}"))
+            .count()
+        )
+        ctx["quiet"] = ctx["quiet"] + ctx["span"] if moved == 0 else 0
+        ctx["anchor"] = new
+        ctx["span"] = 0
+        return float(moved)
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        metric=metric,
+        # both halves quiesced across clean checks; reads ctx, not the
+        # (possibly nan on skipped sub-steps) metric value
+        converged=lambda _mv: ctx["quiet"] >= 2,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group="linkgraph-louvain",
+        metric_every=metric_every,
+    )
+    # On resume the anchor restarts at the initial state (the resumed
+    # checkpoint state isn't visible here), so the first check almost
+    # certainly counts moves and convergence re-proves itself over >= 2
+    # fresh sub-steps — conservative, never early.
+    state = runner.run(state0, step, resume=resume).state
 
     # canonicalize community ids to min member id
     canon = state.groupBy(COMM).agg(F.min(VID).alias("_c"))

@@ -100,3 +100,25 @@ def test_planted_partition_edge_count_power_of_two(spark):
     g = planted_partition_graph(spark, groups=4, group_size=6)
     n = g.count()
     assert n == 64 and (n & (n - 1)) == 0
+
+
+def test_louvain_resume_from_checkpoint(spark, tmp_path):
+    """North rule: louvain resumes mid-algorithm from durable checkpoints.
+    Run 1 stops after 2 sub-steps (checkpoint committed); run 2 resumes and
+    must land on the planted two-clique partition — and because the movable
+    half alternates on the GLOBAL sub-step index, the resumed run continues
+    with the correct parity."""
+    edges = _two_cliques(spark)
+    ck = str(tmp_path / "louvain-ck")
+    louvain(spark, edges, max_iterations=2, checkpoint_dir=ck, checkpoint_interval=1)
+    import os
+
+    assert os.path.isdir(os.path.join(ck, "state"))
+    got = {
+        r.vid: r.community
+        for r in louvain(
+            spark, edges, max_iterations=20, checkpoint_dir=ck, resume=True
+        ).collect()
+    }
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[4] == got[5] == got[6] == got[7] == 4
