@@ -122,3 +122,31 @@ def test_mst_deterministic_ties(spark):
     t1 = {(r.src, r.dst) for r in mst(spark, edge_df(spark, pairs, weights)).collect()}
     t2 = {(r.src, r.dst) for r in mst(spark, edge_df(spark, pairs, weights)).collect()}
     assert t1 == t2 == {(0, 1), (0, 2)}
+
+
+def test_mst_resume_from_checkpoint(spark, tmp_path):
+    """North rule: mst resumes mid-algorithm from durable checkpoints.
+    A weighted path needs several Borůvka rounds; run 1 stops after one
+    committed round, run 2 resumes past it (resumed_round recorded) and
+    still returns the full spanning tree."""
+    from neo4j_graph_algorithms_spark.operators.mst import mst
+
+    n = 16
+    pairs = [(i, i + 1) for i in range(n)]
+    # alternating cheap/expensive so round 1 only merges adjacent pairs
+    # (both endpoints of a cheap edge pick it), forcing ≥2 Borůvka rounds
+    weights = [1.0 + i * 0.001 if i % 2 == 0 else 100.0 + i for i in range(n)]
+    edges = edge_df(spark, pairs, weights)
+    ck = str(tmp_path / "mst-ck")
+
+    mx1: dict = {}
+    partial = mst(spark, edge_df(spark, pairs, weights), max_rounds=1,
+                  checkpoint_dir=ck, metrics=mx1)
+    assert mx1["boruvka_rounds"] == 1
+    assert partial.count() < n  # genuinely incomplete
+
+    mx2: dict = {}
+    full = mst(spark, edges, checkpoint_dir=ck, resume=True, metrics=mx2)
+    assert mx2["resumed_round"] == 0
+    got = {(r.src, r.dst) for r in full.collect()}
+    assert got == set(pairs)  # a path's MST is the path itself
