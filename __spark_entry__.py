@@ -562,6 +562,15 @@ def _q_sssp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_csr(spark, lineseq_edges(spark, sf_dir), source=0)
 
 
+def _q_triangle_total_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier B twin of triangle_total: adjacency-array intersection kernel
+    (csr/triangles.py) against the same DuckDB wedge oracle."""
+    from neo4j_graph_algorithms_spark.csr.triangles import triangle_count_csr
+
+    _, total = triangle_count_csr(spark, coorder_edges(spark, sf_dir))
+    return spark.createDataFrame([(total,)], "triangles long")
+
+
 def _q_lpa_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.csr.lpa import lpa_csr
 
@@ -728,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degree_distribution": _q_out_degree_distribution,
         "sssp_csr_from_0": _q_sssp_csr,  # sssp path: sssp_from_0 in window
         "closeness_csr_sampled": _q_closeness_csr,  # closeness_sampled in window
+        "triangle_total_csr": _q_triangle_total_csr,  # triangle_total in window
     }
 
 
@@ -763,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_csr_from_0": oracles.sssp_sql(source=0, rounds=10),
         "closeness_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
         "closeness_csr_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
+        "triangle_total_csr": oracles.triangle_total_sql(),
         "harmonic_sampled": oracles.harmonic_sql(n_sources=32, max_depth=8),
         "corpus_cocommit_edges": oracles.corpus_cocommit_sql(),
         "corpus_cocommit_pagerank": oracles.corpus_pagerank_sql(iterations=10),

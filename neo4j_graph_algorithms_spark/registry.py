@@ -83,6 +83,9 @@ PROCEDURES: dict[str, str] = {
     # Tier B twin: cogrouped pandas vote kernels, same output contract
     "algo.labelPropagation.csr": "neo4j_graph_algorithms_spark.csr.lpa.lpa_csr",
     "algo.triangleCount": "neo4j_graph_algorithms_spark.operators.triangles.triangle_count",
+    # .forkJoin = the reference's partitioned parallel variant; our Tier B
+    # per-partition CSR intersection kernel is the analogue
+    "algo.triangleCount.forkJoin": "neo4j_graph_algorithms_spark.csr.triangles.triangle_count_csr",
     "algo.triangle.stream": "neo4j_graph_algorithms_spark.operators.triangles.triangle_stream",
     "algo.scc": "neo4j_graph_algorithms_spark.operators.scc.scc",
     # Tarjan variants (iterative/tuned/recursive) and multistep/FW-BW all
