@@ -21,9 +21,31 @@ frames so the backward sweep revisits them without recompute.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
+
+
+def _committed_seq(root: str, prefix: str = "d=") -> list[int]:
+    """Committed (has _SUCCESS) partition indices, kept only while
+    CONSECUTIVE from the sequence start — a gap means everything after it
+    is from an aborted write and must be recomputed."""
+    if not os.path.isdir(root):
+        return []
+    have = {
+        int(name.split("=", 1)[1])
+        for name in os.listdir(root)
+        if name.startswith(prefix)
+        and os.path.exists(os.path.join(root, name, "_SUCCESS"))
+    }
+    out: list[int] = []
+    d = min(have) if have else 0
+    while d in have:
+        out.append(d)
+        d += 1
+    return out
 
 
 def betweenness(
@@ -32,11 +54,22 @@ def betweenness(
     sources: DataFrame | None = None,
     direction: str = "OUTGOING",
     max_depth: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """[vid, centrality] Brandes betweenness.
 
     `sources=None`: exact (every vertex a source, f=1).  Otherwise the
     RA-Brandes estimate over the given [vid] sample, scaled by n/|sample|.
+
+    Durable checkpoints (north rule: runs resume mid-algorithm): with
+    `checkpoint_dir` set, every forward BFS level commits to
+    `<dir>/levels/d=<k>` (with `<dir>/levels/_COMPLETE` written on natural
+    frontier exhaustion) and every backward δ sweep level to
+    `<dir>/deltas/d=<k>`.  `resume=True` rebuilds `visited` from the
+    committed levels and continues forward from the newest one (or, with
+    the forward phase complete, continues the backward sweep below the
+    deepest committed δ level).  Use a fresh dir for non-resume runs.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     # cached pre-partitioned on the forward-join key (src): only the
@@ -50,32 +83,84 @@ def betweenness(
     k = src_df.count()
     f = float(n) / float(k) if k else 0.0
 
+    def _lvl_path(d: int) -> str:
+        return os.path.join(checkpoint_dir, "levels", f"d={d}")
+
+    def _delta_path(d: int) -> str:
+        return os.path.join(checkpoint_dir, "deltas", f"d={d}")
+
+    complete_marker = (
+        os.path.join(checkpoint_dir, "levels", "_COMPLETE") if checkpoint_dir else None
+    )
+
     # ---- forward: levels[d] = (s, vid, sigma) discovered at depth d --------
-    level0 = src_df.select(
-        F.col(VID).alias("s"), F.col(VID), F.lit(1).cast("double").alias("sigma")
-    ).localCheckpoint(eager=True)
-    levels = [level0]
-    visited = level0.select("s", VID).localCheckpoint(eager=True)
-    for _d in range(max_depth):
-        frontier = levels[-1]
-        pushed = (
-            frontier.join(e.withColumnRenamed(SRC, VID), on=VID)
-            .groupBy("s", F.col(DST).alias(VID))
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        new = pushed.join(visited, on=["s", VID], how="left_anti").localCheckpoint(
-            eager=True
-        )
-        if new.isEmpty():
-            break
-        levels.append(new)
-        visited = visited.unionByName(new.select("s", VID)).localCheckpoint(eager=True)
+    levels: list[DataFrame] = []
+    forward_complete = False
+    if checkpoint_dir and resume:
+        for d in _committed_seq(os.path.join(checkpoint_dir, "levels")):
+            levels.append(spark.read.parquet(_lvl_path(d)).localCheckpoint(eager=True))
+        forward_complete = bool(levels) and os.path.exists(complete_marker)
+    if not levels:
+        level0 = src_df.select(
+            F.col(VID).alias("s"), F.col(VID), F.lit(1).cast("double").alias("sigma")
+        ).localCheckpoint(eager=True)
+        levels = [level0]
+        if checkpoint_dir:
+            level0.write.mode("overwrite").parquet(_lvl_path(0))
+    # visited is derivable state: the union of all committed levels
+    visited = levels[0].select("s", VID)
+    for lv in levels[1:]:
+        visited = visited.unionByName(lv.select("s", VID))
+    visited = visited.localCheckpoint(eager=True)
+    if not forward_complete:
+        for _d in range(len(levels) - 1, max_depth):
+            frontier = levels[-1]
+            pushed = (
+                frontier.join(e.withColumnRenamed(SRC, VID), on=VID)
+                .groupBy("s", F.col(DST).alias(VID))
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            new = pushed.join(visited, on=["s", VID], how="left_anti").localCheckpoint(
+                eager=True
+            )
+            if new.isEmpty():
+                # natural exhaustion (not the max_depth cap): the level set
+                # is final, so the backward sweep may trust it on resume
+                if complete_marker:
+                    with open(complete_marker, "w") as fh:
+                        fh.write(f"{len(levels)}\n")
+                break
+            if checkpoint_dir:
+                new.write.mode("overwrite").parquet(_lvl_path(len(levels)))
+            levels.append(new)
+            visited = visited.unionByName(new.select("s", VID)).localCheckpoint(eager=True)
 
     # ---- backward: δ sweep from the deepest level --------------------------
     delta_parts: list[DataFrame] = []
     # delta of the deepest level is 0
     delta_next = levels[-1].select("s", VID, F.lit(0.0).alias("delta"))
-    for d in range(len(levels) - 2, -1, -1):
+    start_d = len(levels) - 2
+    if checkpoint_dir and resume and forward_complete:
+        done_ds = [
+            d
+            for d in _committed_seq(os.path.join(checkpoint_dir, "deltas"))
+            if d <= start_d
+        ]
+        # the sweep runs DOWNWARD, so the resumable prefix is the committed
+        # ds consecutive from the TOP (start_d, start_d-1, ...)
+        resumable = []
+        d = start_d
+        while d in done_ds:
+            resumable.append(d)
+            d -= 1
+        if resumable:
+            for rd in resumable:
+                delta_parts.append(
+                    spark.read.parquet(_delta_path(rd)).localCheckpoint(eager=True)
+                )
+            delta_next = delta_parts[-1]
+            start_d = resumable[-1] - 1
+    for d in range(start_d, -1, -1):
         succ = delta_next.join(levels[d + 1], on=["s", VID]).select(
             "s",
             F.col(VID).alias(DST),
@@ -104,13 +189,16 @@ def betweenness(
             .select("s", VID, F.coalesce("delta", F.lit(0.0)).alias("delta"))
             .localCheckpoint(eager=True)
         )
-        delta_parts.append(delta_cur.filter(F.col("s") != F.col(VID)))
+        if checkpoint_dir:
+            delta_cur.write.mode("overwrite").parquet(_delta_path(d))
+        delta_parts.append(delta_cur)
         delta_next = delta_cur
 
     if delta_parts:
-        all_delta = delta_parts[0]
+        # sources don't accumulate their own dependency (Brandes s != v)
+        all_delta = delta_parts[0].filter(F.col("s") != F.col(VID))
         for p in delta_parts[1:]:
-            all_delta = all_delta.unionByName(p)
+            all_delta = all_delta.unionByName(p.filter(F.col("s") != F.col(VID)))
         bc = all_delta.groupBy(VID).agg((F.lit(f) * F.sum("delta")).alias("centrality"))
     else:
         bc = spark.createDataFrame([], f"{VID} long, centrality double")
@@ -130,6 +218,8 @@ def betweenness_sampled(
     seed: int = 42,
     direction: str = "OUTGOING",
     max_depth: int = 100,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """RA-Brandes with the reference's two selection strategies:
     'random' (RandomSelectionStrategy: Bernoulli sample of vertices) or
@@ -149,4 +239,12 @@ def betweenness_sampled(
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
-    return betweenness(spark, ef, sources=src, direction=direction, max_depth=max_depth)
+    return betweenness(
+        spark,
+        ef,
+        sources=src,
+        direction=direction,
+        max_depth=max_depth,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )

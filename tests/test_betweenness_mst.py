@@ -96,6 +96,52 @@ def test_betweenness_degree_strategy(spark):
     assert vals[2] == pytest.approx(4.0)  # k=5 covers all sources -> exact
 
 
+def test_betweenness_resume_forward_phase(spark, tmp_path):
+    """North rule: betweenness resumes mid-algorithm. Run 1 caps the forward
+    BFS at depth 2 (levels 0-2 committed, no _COMPLETE marker); run 2 resumes
+    the forward phase from the committed levels and produces exact values."""
+    import os
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    ck = str(tmp_path / "bc-ck")
+    partial = betweenness(
+        spark, edge_df(spark, pairs), max_depth=2, checkpoint_dir=ck
+    )
+    partial.collect()  # materialize so every checkpoint file commits
+    assert os.path.exists(os.path.join(ck, "levels", "d=2", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(ck, "levels", "_COMPLETE"))
+
+    got = {
+        r.vid: r.centrality
+        for r in betweenness(
+            spark, edge_df(spark, pairs), checkpoint_dir=ck, resume=True
+        ).collect()
+    }
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+    assert os.path.exists(os.path.join(ck, "levels", "_COMPLETE"))
+
+
+def test_betweenness_resume_backward_phase(spark, tmp_path):
+    """Backward δ-sweep resume: wipe the shallow delta checkpoints of a
+    complete run; resume trusts the consecutive-from-the-top committed
+    prefix (d=4,3) and recomputes only d=2..0."""
+    import os
+    import shutil
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    ck = str(tmp_path / "bc-ck2")
+    edges = edge_df(spark, pairs)
+    want = {r.vid: r.centrality for r in betweenness(spark, edges, checkpoint_dir=ck).collect()}
+    for d in (0, 1, 2):
+        shutil.rmtree(os.path.join(ck, "deltas", f"d={d}"))
+    got = {
+        r.vid: r.centrality
+        for r in betweenness(spark, edges, checkpoint_dir=ck, resume=True).collect()
+    }
+    assert got == want
+    assert os.path.exists(os.path.join(ck, "deltas", "d=0", "_SUCCESS"))
+
+
 def test_mst_prim_fixture(spark):
     # a-b:1 a-c:2 b-c:3 b-d:4 c-e:5 d-e:6 -> tree {ab,ac,bd,ce}, weight 12
     pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4), (3, 4)]
