@@ -1,7 +1,12 @@
 """Generic spark-submit entry point: run any catalogue algorithm by name.
 
     spark-submit --py-files linkgraph.zip jobs/run_algo.py \
-        --algo wcc --edges <path> --output <path> [--config '{"threshold": 2.0}']
+        --algo wcc --edges <path> --output <path> [--config '{"threshold": 2.0}'] \
+        [--checkpoint-dir <path> [--resume]]
+
+`--checkpoint-dir` turns on the durable per-superstep state commits; a job
+killed mid-algorithm resumes from the last committed superstep when
+resubmitted with `--resume` (north rule: runs resume mid-algorithm).
 
 Algorithms: pagerank, wcc, mscoloring, lpa, louvain, triangles,
 clustering_coefficients, scc, sssp, shortest_path, apsp_weighted,
@@ -24,8 +29,17 @@ def main() -> None:
     p.add_argument("--labels", help="node-labels table for metapath (vid, labels)")
     p.add_argument("--output", required=True)
     p.add_argument("--config", default="{}", help="JSON config map (reference key names)")
+    p.add_argument("--checkpoint-dir", help="durable superstep-state dir (enables resume)")
+    p.add_argument("--resume", action="store_true", help="continue from committed state")
     args = p.parse_args()
     cfg = json.loads(args.config)
+    # operators that run on SuperstepRunner (or an equivalent durable loop)
+    # all take the same two kwargs
+    ck = (
+        {"checkpoint_dir": args.checkpoint_dir, "resume": args.resume}
+        if args.checkpoint_dir
+        else {}
+    )
 
     spark = SparkSession.builder.appName(f"linkgraph-{args.algo}").getOrCreate()
     import importlib
@@ -50,49 +64,60 @@ def main() -> None:
     algo = args.algo
 
     if algo == "pagerank":
-        out = _p.pagerank(
-            spark,
-            edges,
-            damping_factor=cfg.get("dampingFactor", 0.85),
-            max_iterations=cfg.get("iterations", 20),
-            tolerance=cfg.get("tolerance"),
-        ).state
+        out = _p.pagerank_scores(
+            _p.pagerank(
+                spark,
+                edges,
+                damping_factor=cfg.get("dampingFactor", 0.85),
+                max_iterations=cfg.get("iterations", 20),
+                tolerance=cfg.get("tolerance"),
+                **ck,
+            )
+        )
     elif algo in ("wcc", "unionfind"):
-        out = _w.wcc(spark, edges, threshold=cfg.get("threshold")).state
+        out = _w.wcc(spark, edges, threshold=cfg.get("threshold"), **ck).state
     elif algo == "mscoloring":
-        out = _w.wcc(spark, edges, extremum="max").state
+        out = _w.wcc(spark, edges, extremum="max", **ck).state
     elif algo == "lpa":
-        out = _l.lpa(spark, edges, max_iterations=cfg.get("iterations", 1)).state
+        out = _l.lpa(spark, edges, max_iterations=cfg.get("iterations", 1), **ck).state
     elif algo == "louvain":
-        out = _lv.louvain(spark, edges, max_iterations=cfg.get("iterations", 20))
+        out = _lv.louvain(spark, edges, max_iterations=cfg.get("iterations", 20), **ck)
     elif algo == "triangles":
         out, _total = _tr.triangle_count(spark, edges)
     elif algo == "clustering_coefficients":
         out = _tr.clustering_coefficients(spark, edges)
     elif algo == "scc":
-        out = _s.scc(spark, edges)
+        out = _s.scc(spark, edges, **ck)
     elif algo == "sssp":
-        out = _pa.sssp(spark, edges, source=int(cfg["source"]))
+        out = _pa.sssp(spark, edges, source=int(cfg["source"]), **ck)
     elif algo == "shortest_path":
         out = _pa.shortest_path(
             spark, edges, source=int(cfg["source"]), target=int(cfg["target"])
         )
     elif algo == "apsp_weighted":
-        out = _pa.all_shortest_paths_weighted(spark, edges)
+        out = _pa.all_shortest_paths_weighted(spark, edges, **ck)
     elif algo == "all_shortest_paths":
         out = _c.all_shortest_paths(spark, edges)
     elif algo == "delta_stepping":
         out = _pa.delta_stepping(
-            spark, edges, source=int(cfg["source"]), delta=cfg.get("delta", 3.0)
+            spark, edges, source=int(cfg["source"]), delta=cfg.get("delta", 3.0), **ck
         )
     elif algo == "closeness":
-        out = _c.closeness(spark, edges)
+        out = _c.closeness(
+            spark,
+            edges,
+            depths_fn=(lambda *a: _c.msbfs_depths(*a, **ck)) if ck else None,
+        )
     elif algo == "harmonic":
-        out = _c.harmonic(spark, edges)
+        out = _c.harmonic(
+            spark,
+            edges,
+            depths_fn=(lambda *a: _c.msbfs_depths(*a, **ck)) if ck else None,
+        )
     elif algo == "betweenness":
-        out = _b.betweenness(spark, edges)
+        out = _b.betweenness(spark, edges, **ck)
     elif algo == "mst":
-        out = _t.mst(spark, edges)
+        out = _t.mst(spark, edges, **ck)
     elif algo == "metapath":
         labels = spark.read.parquet(args.labels)
         typed = spark.read.parquet(args.edges)  # keeps the `type` column

@@ -60,3 +60,49 @@ def test_spark_submit_pyfiles_wcc(spark, tmp_path):
     got = pd.read_parquet(out).sort_values("vid").reset_index(drop=True)
     assert list(got["vid"]) == [0, 1, 2, 3, 4]
     assert list(got["comp"]) == [0, 0, 0, 3, 3]
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_checkpoint_resume(spark, tmp_path):
+    """North rule end-to-end: a spark-submit job stopped mid-algorithm
+    (here: LPA after 1 of 3 supersteps, durable state committed) resumes
+    on resubmission with --resume and matches the uninterrupted run."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_pyfiles import build
+
+    zip_path = str(tmp_path / "linkgraph.zip")
+    build(zip_path, REPO)
+
+    edges = str(tmp_path / "edges")
+    ring = [(i, (i + 1) % 10, 1.0) for i in range(10)] + [(2, 7, 5.0)]
+    spark.createDataFrame(
+        ring, "src long, dst long, weight double"
+    ).write.mode("overwrite").parquet(edges)
+
+    def submit(extra, out):
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT, "--master", "local[2]",
+                "--conf", "spark.sql.shuffle.partitions=2",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "run_algo.py"),
+                "--algo", "lpa", "--edges", edges, "--output", out, *extra,
+            ],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return pd.read_parquet(out).sort_values("vid").reset_index(drop=True)
+
+    ck = str(tmp_path / "ck")
+    full = submit(["--config", '{"iterations": 3}'], str(tmp_path / "o_full"))
+    partial = submit(
+        ["--config", '{"iterations": 1}', "--checkpoint-dir", ck],
+        str(tmp_path / "o_partial"),
+    )
+    resumed = submit(
+        ["--config", '{"iterations": 3}', "--checkpoint-dir", ck, "--resume"],
+        str(tmp_path / "o_resumed"),
+    )
+    assert os.path.exists(os.path.join(ck, "state", "iter=1", "_SUCCESS"))
+    assert not partial["label"].equals(full["label"])  # 1 iter genuinely partial
+    pd.testing.assert_frame_equal(resumed[["vid", "label"]], full[["vid", "label"]])
