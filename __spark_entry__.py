@@ -80,6 +80,17 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def _q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank: cold 20 iters on the graph minus every
+    (src+dst)%97==0 edge, then warm-restart (residual init) 10 fixed
+    iterations on the full graph — oracle mirrors both phases."""
+    full = lineseq_edges(spark, sf_dir)
+    old = full.filter((F.col("src") + F.col("dst")) % 97 != 0)
+    r_old = pagerank(spark, old, max_iterations=20).state.select("vid", "rank")
+    res = pagerank(spark, full, max_iterations=10, initial_ranks=r_old)
+    return res.state.select("vid", F.round("rank", 6).alias("rank"))
+
+
 def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wcc(spark, coorder_edges(spark, sf_dir)).state.select("vid", "comp")
 
@@ -681,8 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_lsh_pairs": _q_srp_lsh_pairs,
         # --- distinct core paths --------------------------------------------
         "coorder_edges": _q_coorder_edges,
-        "lineseq_edges": _q_lineseq_edges,
         "pagerank_20iter": _q_pagerank,
+        "pagerank_warm_restart": _q_pagerank_warm,
         "wcc_components": _q_wcc,
         "triangle_total": _q_triangle_total,
         "clustering_coefficient": _q_clustering_coefficient,
@@ -718,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_subword_count": _q_subword_count,
         "doc_quality_score": _q_quality,
         # --- tail: variants with an in-window sibling on the same path ------
+        "lineseq_edges": _q_lineseq_edges,  # derivation re-verified inside every lineseq-graph oracle (LINESEQ_CTES); r1+r2 green
         "doc_fingerprint": _q_fingerprint,  # one explode+shuffle: r1+r2 green, subword_count in window
         "dedup_exact": _q_exact_dedup,  # 32-byte-hash groupBy: r1+r2 green, minhash/simhash in window
         "doc_language_id": _q_language_id,  # pure column exprs: quality_score in window
@@ -746,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "coorder_edges": oracles.coorder_edges_sql(),
         "lineseq_edges": oracles.lineseq_edges_sql(),
         "pagerank_20iter": oracles.pagerank_sql(iterations=20),
+        "pagerank_warm_restart": oracles.pagerank_warm_sql(pre_iters=20, warm_iters=10),
         "wcc_components": oracles.wcc_sql(rounds=12),
         "wcc_stats": oracles.wcc_stats_sql(rounds=12),
         "triangle_total": oracles.triangle_total_sql(),

@@ -72,6 +72,61 @@ r{i} AS MATERIALIZED (
     )
 
 
+def pagerank_warm_sql(
+    pre_iters: int = 20, warm_iters: int = 10, damping: float = 0.85, mod: int = 97
+) -> str:
+    """Two-phase warm-restart oracle mirroring
+    `pagerank(..., initial_ranks=...)`: cold delta-push `pre_iters` on the
+    sub-multigraph with every (src+dst) % mod == 0 edge removed, then the
+    residual init  delta0 = alpha + d·M·r_old − r_old,  rank0 = r_old +
+    delta0  over the FULL graph, then `warm_iters` more push rounds with
+    the |delta| ≠ 0 active filter."""
+    alpha = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        f"sub AS (SELECT src, dst FROM lineseq WHERE (src + dst) % {mod} <> 0)",
+        "subverts AS (SELECT src AS vid FROM sub UNION SELECT dst AS vid FROM sub)",
+        "sdeg AS (SELECT src, count(*) AS outdeg FROM sub GROUP BY src)",
+        "sewd AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv FROM sub e JOIN sdeg d USING (src))",
+        f"p0 AS MATERIALIZED (SELECT vid, CAST({alpha} AS DOUBLE) AS rank, CAST({alpha} AS DOUBLE) AS delta FROM subverts)",
+    ]
+    for i in range(1, pre_iters + 1):
+        parts.append(
+            f"""ps{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.delta * e.inv) AS s
+  FROM p{i - 1} r JOIN sewd e ON r.vid = e.src WHERE r.delta > 0 GROUP BY e.dst),
+p{i} AS MATERIALIZED (
+  SELECT v.vid, v.rank + {d} * coalesce(s.s, 0) AS rank, {d} * coalesce(s.s, 0) AS delta
+  FROM p{i - 1} v LEFT JOIN ps{i} s ON v.vid = s.vid)"""
+        )
+    parts += [
+        "deg AS (SELECT src, count(*) AS outdeg FROM lineseq GROUP BY src)",
+        "ewd AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv FROM lineseq e JOIN deg d USING (src))",
+        f"rold AS MATERIALIZED (SELECT v.vid, coalesce(p.rank, 0) AS r FROM verts v LEFT JOIN p{pre_iters} p ON v.vid = p.vid)",
+        """m0 AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.r * e.inv) AS m
+  FROM rold r JOIN ewd e ON r.vid = e.src GROUP BY e.dst)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT v.vid, {alpha} + {d} * coalesce(m.m, 0) AS rank,
+         {alpha} + {d} * coalesce(m.m, 0) - v.r AS delta
+  FROM rold v LEFT JOIN m0 m ON v.vid = m.vid)""",
+    ]
+    for i in range(1, warm_iters + 1):
+        parts.append(
+            f"""ws{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.delta * e.inv) AS s
+  FROM w{i - 1} r JOIN ewd e ON r.vid = e.src WHERE r.delta <> 0 GROUP BY e.dst),
+w{i} AS MATERIALIZED (
+  SELECT v.vid, v.rank + {d} * coalesce(s.s, 0) AS rank, {d} * coalesce(s.s, 0) AS delta
+  FROM w{i - 1} v LEFT JOIN ws{i} s ON v.vid = s.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vid, round(rank, 6) AS rank FROM w{warm_iters}"
+    )
+
+
 def _wcc_rounds_ctes(rounds: int) -> str:
     """c0..cK over `coorder`: hop-min then pointer-jump per round."""
     parts = [

@@ -7,7 +7,7 @@ golden values and assert 1e-6 self-consistency across partition counts.
 import math
 
 from neo4j_graph_algorithms_spark.operators.pagerank import pagerank, pagerank_scores
-from tests.conftest import F1_EXPECTED, F2_EXPECTED, collect_map
+from tests.conftest import F1_EXPECTED, F2_EXPECTED, collect_map, edge_df
 
 
 def ranks_by_name(res, ids):
@@ -76,3 +76,68 @@ def test_pagerank_hub_salting_identical(spark, f1_pagerank_wiki):
     assert set(a) == set(b)
     for v in a:
         assert math.isclose(a[v], b[v], rel_tol=0, abs_tol=1e-12), v
+
+
+def test_pagerank_warm_start_edge_added(spark):
+    """Warm-starting from the OLD graph's fixpoint on a graph with one
+    edge ADDED converges to the cold-run values (incremental mode)."""
+    old_pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
+    new_pairs = old_pairs + [(1, 3)]
+    old = edge_df(spark, old_pairs)
+    new = edge_df(spark, new_pairs)
+    r_old = pagerank(spark, old, max_iterations=300, tolerance=1e-9).state.select(
+        "vid", "rank"
+    )
+    cold = pagerank(spark, new, max_iterations=300, tolerance=1e-9)
+    warm = pagerank(
+        spark, new, max_iterations=300, tolerance=1e-9, initial_ranks=r_old
+    )
+    a = {r.vid: r.rank for r in cold.state.collect()}
+    b = {r.vid: r.rank for r in warm.state.collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert math.isclose(a[v], b[v], rel_tol=0, abs_tol=1e-6), v
+    # small perturbation -> residual mass << alpha mass -> fewer supersteps
+    assert len(warm.metrics) < len(cold.metrics)
+
+
+def test_pagerank_warm_start_edge_removed(spark):
+    """Edge REMOVAL makes the residual negative on the de-weighted targets;
+    the |delta| active filter must propagate that negative mass."""
+    old_pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3)]
+    new_pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
+    r_old = pagerank(
+        spark, edge_df(spark, old_pairs), max_iterations=300, tolerance=1e-9
+    ).state.select("vid", "rank")
+    new = edge_df(spark, new_pairs)
+    cold = {
+        r.vid: r.rank
+        for r in pagerank(spark, new, max_iterations=300, tolerance=1e-9).state.collect()
+    }
+    warm = {
+        r.vid: r.rank
+        for r in pagerank(
+            spark, new, max_iterations=300, tolerance=1e-9, initial_ranks=r_old
+        ).state.collect()
+    }
+    for v in cold:
+        assert math.isclose(cold[v], warm[v], rel_tol=0, abs_tol=1e-6), v
+
+
+def test_pagerank_warm_start_same_graph_instant(spark, f1_pagerank_wiki):
+    """Warm-starting from the SAME graph's converged ranks has ~zero
+    residual: converges immediately and returns the same values."""
+    edges, ids = f1_pagerank_wiki
+    fix = pagerank(spark, edges, max_iterations=400, tolerance=1e-10)
+    warm = pagerank(
+        spark,
+        edges,
+        max_iterations=400,
+        tolerance=1e-8,
+        initial_ranks=fix.state.select("vid", "rank"),
+    )
+    a = ranks_by_name(fix, ids)
+    b = ranks_by_name(warm, ids)
+    for name in ids:
+        assert math.isclose(a[name], b[name], rel_tol=0, abs_tol=1e-6), name
+    assert len(warm.metrics) <= 8  # residual ~1e-13: metric_every=4 window
