@@ -1,0 +1,95 @@
+"""Incremental analytics over the streaming-merged edge table.
+
+The streaming side (`streaming/ingest.py`) folds micro-batch co-commit
+increments into a persistent [src, dst, weight] edge table.  This module
+closes the loop the north star describes — a link-graph engine whose
+scores track an EVOLVING corpus: after each merge wave, PageRank is
+refreshed by WARM-STARTING from the previously published scores
+(`operators/pagerank.py pagerank(initial_ranks=...)`), so each refresh
+propagates only the residual mass of the new edges instead of re-pushing
+the whole graph's mass from scratch.  At 10^12-file scale this is the
+difference between O(log(residual)) and O(log(n·alpha)) supersteps per
+ingest wave — the residual shrinks with the batch size, so steady-state
+refreshes after small waves converge in a handful of supersteps.
+
+Reference precedent: the reference is strictly batch (graphs loaded once
+— LoadGraphProc.java:83-108); incremental refresh is part of this repo's
+beyond-reference streaming obligation, same as `streaming/ingest.py`.
+
+The published scores table is swapped atomically (write tmp + rename),
+the same commit discipline as the edge merge sink; a refresh interrupted
+mid-write leaves the previous scores intact, and the edge table's
+`_last_batch_id` marker is copied into the scores directory so a reader
+can tell which ingest wave a published score set reflects.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from neo4j_graph_algorithms_spark.operators.pagerank import (
+    pagerank,
+    pagerank_scores,
+)
+from neo4j_graph_algorithms_spark.plans.runtime import SuperstepResult
+
+
+def _edge_table_batch_id(edge_table_path: str) -> int | None:
+    meta = os.path.join(edge_table_path, "_last_batch_id")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            return int(fh.read().strip())
+    return None
+
+
+def refresh_pagerank_scores(
+    spark: SparkSession,
+    edge_table_path: str,
+    scores_table_path: str,
+    damping_factor: float = 0.85,
+    tolerance: float = 1e-6,
+    max_iterations: int = 200,
+    **pagerank_kwargs,
+) -> SuperstepResult:
+    """Recompute PageRank over the merged edge table, warm-starting from
+    the scores published by the previous refresh (cold start when no
+    scores table exists yet), and atomically republish [vid, rank].
+
+    Returns the SuperstepResult (metrics show how few supersteps the
+    residual needed).  Vertices new since the last refresh enter with
+    prior 0 (exactly the cold init for them); vertices that vanished from
+    the edge table drop out of the published scores.
+    """
+    edges = spark.read.parquet(edge_table_path)
+    prior: DataFrame | None = None
+    if os.path.exists(scores_table_path):
+        prior = spark.read.parquet(scores_table_path).select("vid", "rank")
+    res = pagerank(
+        spark,
+        edges,
+        damping_factor=damping_factor,
+        tolerance=tolerance,
+        max_iterations=max_iterations,
+        initial_ranks=prior,
+        **pagerank_kwargs,
+    )
+    scores = pagerank_scores(res)
+
+    tmp = f"{scores_table_path}.tmp-{uuid.uuid4().hex[:8]}"
+    scores.write.mode("overwrite").parquet(tmp)
+    wave = _edge_table_batch_id(edge_table_path)
+    if wave is not None:
+        with open(os.path.join(tmp, "_edge_batch_id"), "w") as fh:
+            fh.write(str(wave))
+    if os.path.exists(scores_table_path):
+        old = f"{scores_table_path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(scores_table_path, old)
+        os.rename(tmp, scores_table_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, scores_table_path)
+    return res

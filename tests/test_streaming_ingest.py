@@ -98,3 +98,49 @@ def test_replayed_batches_not_double_merged(spark, corpus, tmp_path):
     got = _run_stream(spark, in_dir, table, ckpt)
     have = {(r.src, r.dst): r.weight for r in got.collect()}
     assert have == want  # replayed batches were skipped, not re-summed
+
+
+def test_refresh_pagerank_scores_warm_tracks_merged_table(spark, tmp_path):
+    """Ingest-wave loop: publish scores for wave 1, merge more edges,
+    refresh — the warm-started republish must equal a cold run on the
+    merged graph (1e-6) and converge in fewer supersteps."""
+    import math
+    import os
+
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+    from neo4j_graph_algorithms_spark.streaming.incremental import (
+        refresh_pagerank_scores,
+    )
+
+    edges_path = str(tmp_path / "edges")
+    scores_path = str(tmp_path / "scores")
+    wave1 = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 1.0), (3, 0, 1.0)]
+    wave2 = wave1 + [(1, 3, 2.0), (4, 0, 1.0)]
+    schema = "src long, dst long, weight double"
+
+    spark.createDataFrame(wave1, schema).write.mode("overwrite").parquet(edges_path)
+    cold1 = refresh_pagerank_scores(spark, edges_path, scores_path, tolerance=1e-9)
+    assert os.path.exists(os.path.join(scores_path, "_SUCCESS"))
+
+    # wave 2 lands (simulating merge_edge_increments' swap + marker)
+    spark.createDataFrame(wave2, schema).write.mode("overwrite").parquet(edges_path)
+    with open(os.path.join(edges_path, "_last_batch_id"), "w") as fh:
+        fh.write("7")
+    warm = refresh_pagerank_scores(spark, edges_path, scores_path, tolerance=1e-9)
+
+    got = {
+        r.vid: r.rank for r in spark.read.parquet(scores_path).collect()
+    }
+    want = {
+        r.vid: r.rank
+        for r in pagerank(
+            spark, spark.createDataFrame(wave2, schema), max_iterations=200, tolerance=1e-9
+        ).state.collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=0, abs_tol=1e-6), v
+    assert len(warm.metrics) < len(cold1.metrics)
+    # published scores record which ingest wave they reflect
+    with open(os.path.join(scores_path, "_edge_batch_id")) as fh:
+        assert fh.read() == "7"
