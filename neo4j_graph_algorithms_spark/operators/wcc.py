@@ -44,6 +44,7 @@ def wcc(
     checkpoint_interval: int = 5,
     resume: bool = False,
     extremum: str = "min",
+    initial_components: DataFrame | None = None,
 ) -> SuperstepResult:
     """Return SuperstepResult whose state is [vid, comp] (comp = min member id).
 
@@ -54,6 +55,16 @@ def wcc(
     DisjointSetStruct.java:42-58).
     `extremum='max'` is the MSColoring variant (algo.unionFind.mscoloring,
     impl/MSColoring.java:66-121): component id = MAX member id.
+
+    `initial_components` ([vid, comp]) WARM-STARTS from a prior labeling —
+    the incremental mode for an ADDITIVE graph (edges only accumulate,
+    e.g. the streaming co-commit table): extremum-propagation converges to
+    the per-component extremum of the INITIAL labels, and a prior valid
+    labeling's ids are member vids whose old components stay intact under
+    edge addition, so the fixpoint is exactly the new labeling — reached
+    in rounds ~ log(merged-component count) instead of log(diameter).
+    INVALID after edge REMOVAL (stale labels may no longer be reachable);
+    run cold when edges can vanish.  Missing vids start at vid (cold).
     """
     if extremum not in ("min", "max"):
         raise ValueError(f"extremum must be 'min' or 'max', got {extremum!r}")
@@ -75,7 +86,14 @@ def wcc(
         if verts is None
         else verts.unionByName(und.select(F.col(SRC).alias(VID))).distinct()
     )
-    state0 = all_verts.select(F.col(VID), F.col(VID).alias(COMP))
+    if initial_components is None:
+        state0 = all_verts.select(F.col(VID), F.col(VID).alias(COMP))
+    else:
+        state0 = all_verts.join(
+            initial_components.select(VID, F.col(COMP).alias("_pc")),
+            on=VID,
+            how="left",
+        ).select(VID, F.coalesce("_pc", F.col(VID)).alias(COMP))
 
     def step(state: DataFrame, i: int) -> DataFrame:
         # 1. hop: min over self + neighbors.  shuffle_hash: never broadcast

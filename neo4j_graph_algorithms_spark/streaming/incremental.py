@@ -35,6 +35,7 @@ from neo4j_graph_algorithms_spark.operators.pagerank import (
     pagerank,
     pagerank_scores,
 )
+from neo4j_graph_algorithms_spark.operators.wcc import wcc
 from neo4j_graph_algorithms_spark.plans.runtime import SuperstepResult
 
 
@@ -92,4 +93,44 @@ def refresh_pagerank_scores(
         shutil.rmtree(old)
     else:
         os.rename(tmp, scores_table_path)
+    return res
+
+
+def refresh_wcc_components(
+    spark: SparkSession,
+    edge_table_path: str,
+    components_table_path: str,
+    **wcc_kwargs,
+) -> SuperstepResult:
+    """Recompute connected components over the merged edge table,
+    warm-starting from the previously published [vid, comp] labeling, and
+    atomically republish.
+
+    SOUND here because the streaming co-commit table is ADDITIVE — the
+    merge sink only ever sum-increments weights and inserts edges, never
+    deletes (`ingest.py merge_edge_increments`), which is exactly the
+    precondition `wcc(initial_components=...)` documents.  Components can
+    only merge wave-over-wave, so each refresh runs ~log(#merges this
+    wave) supersteps instead of log(graph diameter).
+    """
+    edges = spark.read.parquet(edge_table_path)
+    prior: DataFrame | None = None
+    if os.path.exists(components_table_path):
+        prior = spark.read.parquet(components_table_path).select("vid", "comp")
+    res = wcc(spark, edges, initial_components=prior, **wcc_kwargs)
+    comps = res.state.select("vid", "comp")
+
+    tmp = f"{components_table_path}.tmp-{uuid.uuid4().hex[:8]}"
+    comps.write.mode("overwrite").parquet(tmp)
+    wave = _edge_table_batch_id(edge_table_path)
+    if wave is not None:
+        with open(os.path.join(tmp, "_edge_batch_id"), "w") as fh:
+            fh.write(str(wave))
+    if os.path.exists(components_table_path):
+        old = f"{components_table_path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(components_table_path, old)
+        os.rename(tmp, components_table_path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, components_table_path)
     return res

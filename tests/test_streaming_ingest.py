@@ -144,3 +144,36 @@ def test_refresh_pagerank_scores_warm_tracks_merged_table(spark, tmp_path):
     # published scores record which ingest wave they reflect
     with open(os.path.join(scores_path, "_edge_batch_id")) as fh:
         assert fh.read() == "7"
+
+
+def test_refresh_wcc_components_warm_tracks_merged_table(spark, tmp_path):
+    import os
+
+    from neo4j_graph_algorithms_spark.operators.wcc import wcc
+    from neo4j_graph_algorithms_spark.streaming.incremental import (
+        refresh_wcc_components,
+    )
+
+    edges_path = str(tmp_path / "edges")
+    comps_path = str(tmp_path / "comps")
+    schema = "src long, dst long, weight double"
+    w1 = [(0, 1, 1.0), (1, 2, 1.0), (10, 11, 1.0)]
+    w2 = w1 + [(2, 10, 1.0), (20, 21, 1.0)]
+
+    spark.createDataFrame(w1, schema).write.parquet(edges_path)
+    refresh_wcc_components(spark, edges_path, comps_path)
+    first = {r.vid: r.comp for r in spark.read.parquet(comps_path).collect()}
+    assert first == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+
+    spark.createDataFrame(w2, schema).write.mode("overwrite").parquet(edges_path)
+    with open(os.path.join(edges_path, "_last_batch_id"), "w") as fh:
+        fh.write("9")
+    refresh_wcc_components(spark, edges_path, comps_path)
+    got = {r.vid: r.comp for r in spark.read.parquet(comps_path).collect()}
+    want = {
+        r.vid: r.comp
+        for r in wcc(spark, spark.createDataFrame(w2, schema)).state.collect()
+    }
+    assert got == want
+    with open(os.path.join(comps_path, "_edge_batch_id")) as fh:
+        assert fh.read() == "9"

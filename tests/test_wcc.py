@@ -6,7 +6,7 @@ Components canonicalized to min member id (SURVEY.md §2.12.3).
 import pytest
 
 from neo4j_graph_algorithms_spark.operators.wcc import wcc, wcc_stats
-from tests.conftest import collect_map
+from tests.conftest import collect_map, edge_df
 
 
 def comp_sets(state_df):
@@ -84,3 +84,27 @@ def test_wcc_resume_from_checkpoint(spark, tmp_path, f3_unionfind):
         spark, edges, vertices=vertices, checkpoint_dir=ckpt, checkpoint_interval=1, resume=True
     )
     assert comp_sets(res2.state) == comp_sets(res1.state)
+
+
+def test_wcc_warm_start_additive(spark):
+    """Warm-start from a prior labeling on an ADDITIVE graph change:
+    two chains merge via a new bridge edge — warm result equals cold and
+    the runner needs fewer supersteps than the cold diameter walk."""
+    old_pairs = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 13)]
+    new_pairs = old_pairs + [(3, 10)]
+    prior = wcc(spark, edge_df(spark, old_pairs)).state.select("vid", "comp")
+    cold = wcc(spark, edge_df(spark, new_pairs))
+    warm = wcc(spark, edge_df(spark, new_pairs), initial_components=prior)
+    a = {r.vid: r.comp for r in cold.state.collect()}
+    b = {r.vid: r.comp for r in warm.state.collect()}
+    assert a == b
+    assert set(a.values()) == {0}
+    assert len(warm.metrics) < len(cold.metrics)
+
+
+def test_wcc_warm_start_new_vertices_cold_init(spark):
+    """Vids absent from the prior labeling initialize at their own vid."""
+    prior = wcc(spark, edge_df(spark, [(0, 1)])).state.select("vid", "comp")
+    new = edge_df(spark, [(0, 1), (5, 6)])
+    got = {r.vid: r.comp for r in wcc(spark, new, initial_components=prior).state.collect()}
+    assert got == {0: 0, 1: 0, 5: 5, 6: 5}
