@@ -41,6 +41,7 @@ def sssp(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    initial_dists: DataFrame | None = None,
 ) -> DataFrame:
     """[vid, dist] shortest weighted distance from `source` to every
     reachable vertex (unreachable vertices are absent, matching the
@@ -49,7 +50,17 @@ def sssp(
     Runs on SuperstepRunner: state = [vid, dist, improved] where
     `improved` marks the live frontier, so the loop gets the runtime's
     durable per-superstep checkpoints + resume + metrics like the other
-    iterative operators (north rule: runs resume mid-algorithm)."""
+    iterative operators (north rule: runs resume mid-algorithm).
+
+    `initial_dists` ([vid, dist]) WARM-STARTS from a prior run's output
+    for the SAME source — the incremental mode when edges have been ADDED
+    or weights DECREASED since (prior distances remain valid upper bounds;
+    relaxation only lowers them, so the fixpoint is the true new
+    distances).  Every seeded vertex relaxes once in superstep 0, then the
+    frontier shrinks to the chains the change actually shortened —
+    one full-edge pass plus the affected depth, instead of the full
+    hop-radius walk.  INVALID after edge removal or weight increase
+    (stale too-small bounds); run cold then."""
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     e = ef.with_direction(direction).df.select(SRC, DST, WEIGHT)
     # multi-edges: keep the cheapest parallel edge once up front; cached
@@ -58,9 +69,18 @@ def sssp(
     e.persist()
     e.count()
 
-    state0 = spark.createDataFrame(
+    src_row = spark.createDataFrame(
         [(int(source), 0.0, True)], f"{VID} long, {DIST} double, improved boolean"
     )
+    if initial_dists is None:
+        state0 = src_row
+    else:
+        state0 = (
+            initial_dists.select(VID, DIST, F.lit(True).alias("improved"))
+            .unionByName(src_row)
+            .groupBy(VID)
+            .agg(F.min(DIST).alias(DIST), F.first("improved").alias("improved"))
+        )
 
     def step(state: DataFrame, i: int) -> DataFrame:
         frontier = state.filter(F.col("improved")).select(VID, DIST)

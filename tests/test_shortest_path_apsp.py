@@ -144,3 +144,25 @@ def test_msbfs_depths_resume_from_checkpoint(spark, tmp_path):
                         max_depth=50, checkpoint_dir=ck, resume=True)
     got = {(r.vid, r.depth, r.n_sources) for r in full.collect()}
     assert got == {(i, i, 1) for i in range(1, 13)}
+
+
+def test_sssp_warm_start_shortcut_added(spark):
+    """Warm-start from a prior run after a shortcut edge is added: prior
+    dists are valid upper bounds, relaxation lowers only the affected
+    suffix; result equals the cold run in far fewer supersteps."""
+    from tests.conftest import edge_df
+
+    n = 24
+    chain = [(i, i + 1) for i in range(n)]
+    w = [1.0] * n
+    prior = sssp(spark, edge_df(spark, chain, w), source=0)
+    new = edge_df(spark, chain + [(0, 20)], w + [2.5])
+
+    from neo4j_graph_algorithms_spark.operators import paths as _p
+
+    cold_res = _p.sssp(spark, new, source=0)
+    warm_res = _p.sssp(spark, new, source=0, initial_dists=prior)
+    a = {r.vid: r.dist for r in cold_res.collect()}
+    b = {r.vid: r.dist for r in warm_res.collect()}
+    assert a == b
+    assert a[20] == 2.5 and a[23] == 5.5  # shortcut rewrote the suffix
