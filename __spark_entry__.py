@@ -21,6 +21,7 @@ from neo4j_graph_algorithms_spark.pipeline import oracles as pipeline_oracles
 from neo4j_graph_algorithms_spark.pipeline.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
+    minhash_near_dup_groups,
     ngram_jaccard_pairs,
     simhash_dedup,
 )
@@ -30,9 +31,11 @@ from neo4j_graph_algorithms_spark.pipeline.similarity import (
     srp_lsh_pairs,
 )
 from neo4j_graph_algorithms_spark.pipeline.text import (
+    bm25,
     fingerprint,
     language_id,
     quality_score,
+    tf_idf,
     token_count,
     token_dictionary,
 )
@@ -468,6 +471,27 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tf_idf(_docs(spark, sf_dir), top_k=5)
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25(_docs(spark, sf_dir), query=["hash", "join", "vector"])
+
+
+def _q_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup GROUP assignment: LSH-verified pairs -> pointer-
+    jumped WCC components -> MIN-id representative (pipeline/dedup.py)."""
+    return minhash_near_dup_groups(
+        _docs(spark, sf_dir),
+        num_hashes=8,
+        bands=4,
+        threshold=0.8,
+        ngram=3,
+        hash_mode="dict",
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         _docs(spark, sf_dir),
@@ -687,6 +711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash_dedup,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding_cosine": _q_embedding_near_dedup,
+        "dedup_minhash_groups": _q_minhash_groups,
+        "doc_tfidf_topk": _q_tf_idf,
+        "doc_bm25": _q_bm25,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_cosine_pairs": _q_cosine_pairs,
         "ann_srp_lsh_pairs": _q_srp_lsh_pairs,
@@ -857,4 +884,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": pipeline_oracles.embedding_near_dedup_sql(
             threshold=0.4, n_planes=16, bands=4, dim=64
         ),
+        "dedup_minhash_groups": pipeline_oracles.minhash_groups_sql(
+            num_hashes=8, bands=4, n=3, threshold=0.8
+        ),
+        "doc_tfidf_topk": pipeline_oracles.tf_idf_sql(top_k=5),
+        "doc_bm25": pipeline_oracles.bm25_sql(query=["hash", "join", "vector"]),
     }

@@ -347,3 +347,44 @@ def embedding_near_dedup(
         F.col("comp").alias("rep_id"),
         (F.col("vid") != F.col("comp")).cast("int").alias("is_dup"),
     )
+
+
+def minhash_near_dup_groups(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    ngram: int = 1,
+    hash_mode: str = "xxhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, rep_id, is_dup] — MinHash near-duplicate GROUP assignment.
+
+    The curation step after pair detection: verified near-dup pairs from
+    `minhash_lsh_dedup` become edges, groups are the connected components
+    of the pair graph (the engine's own pointer-jumped WCC,
+    operators/wcc.py — O(log n) supersteps, state never broadcast), and the
+    representative is the MIN id per component (the canonical-extremum
+    convention of the reference's union-find family,
+    /root/reference/algo/src/main/java/org/neo4j/graphalgo/impl/msbfs/ —
+    see also impl MSColoring min-id propagation).  ``is_dup`` = 1 for every
+    non-representative member; keeping rows with is_dup = 0 yields the
+    deduplicated corpus.
+
+    At 10^12 docs the pair set stays LSH-band-bounded and the component
+    loop is the same superstep plan the link graph itself runs.
+    """
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+    from neo4j_graph_algorithms_spark.operators.wcc import wcc
+
+    pairs = minhash_lsh_dedup(
+        docs, num_hashes, bands, threshold, ngram, hash_mode, id_col, text_col
+    )
+    edges = EdgeFrame(pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    res = wcc(docs.sparkSession, edges, vertices=docs.select(F.col(id_col).alias("vid")))
+    return res.state.select(
+        F.col("vid").alias(id_col),
+        F.col("comp").alias("rep_id"),
+        (F.col("vid") != F.col("comp")).cast("int").alias("is_dup"),
+    )

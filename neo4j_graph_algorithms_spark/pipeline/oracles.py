@@ -548,3 +548,65 @@ c AS (
 SELECT doc_id, n_subwords, n_alpha_runs, n_digit_runs,
        n_subwords - n_alpha_runs - n_digit_runs AS n_punct
 FROM c"""
+
+
+def tf_idf_sql(top_k: int = 5) -> str:
+    """Twin of text.tf_idf: smooth-idf TF-IDF, top-k per doc, rounded 6dp,
+    ties broken (score DESC, tok ASC) — engine-independent."""
+    return f"""WITH {DOCS_CTE},
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+scored AS (
+  SELECT doc_id, tok, tf,
+         round(tf * (ln((1.0 + n.n) / (1.0 + df)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk
+       FROM scored)
+SELECT doc_id, tok, tf, score FROM rk WHERE rk <= {top_k}"""
+
+
+def bm25_sql(query: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """Twin of text.bm25.  Python-evaluated constants (k1+1, 1-b) are
+    injected via repr so both engines parse the identical double; avgdl is
+    an exact integer ratio on both sides."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query)
+    return f"""WITH {DOCS_CTE},
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+       WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT t.doc_id,
+         ln(1.0 + (stats.n - df + 0.5) / (df + 0.5))
+           * (t.tf * {k1 + 1.0!r})
+           / (t.tf + {k1!r} * ({1.0 - b!r} + {b!r} * d.dl / stats.avgdl)) AS c
+  FROM tf t JOIN dfreq USING (tok) JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats)
+SELECT doc_id, round(sum(c), 6) AS score, CAST(count(*) AS BIGINT) AS matched
+FROM contrib GROUP BY doc_id"""
+
+
+def minhash_groups_sql(
+    num_hashes: int = 8, bands: int = 4, n: int = 3, threshold: float = 0.8
+) -> str:
+    """Twin of dedup.minhash_near_dup_groups: the full minhash_lsh_sql pair
+    query (nested as a CTE), connected components by recursive transitive
+    closure, representative = MIN member id — same shape as
+    embedding_near_dedup_sql."""
+    pair_query = minhash_lsh_sql(num_hashes, bands, n, threshold)
+    return f"""WITH RECURSIVE pairs AS ({pair_query}),
+und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+reach AS (
+  SELECT x, y FROM und
+  UNION
+  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+mins AS (SELECT x, min(y) AS mn FROM reach GROUP BY x)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS rep_id,
+       CAST(CASE WHEN coalesce(m.mn, d.doc_id) < d.doc_id THEN 1 ELSE 0 END AS INT)
+         AS is_dup
+FROM documents d LEFT JOIN mins m ON m.x = d.doc_id"""

@@ -210,3 +210,93 @@ def fingerprint(
         lambda acc, x: (acc * 31 + x["tid"]) % HASH_P,
     )
     return seq.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# -- Relevance scoring ---------------------------------------------------------
+
+
+def tf_idf(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, tok, tf, score] — top-k TF-IDF terms per document.
+
+    score = tf * (ln((1 + N) / (1 + df)) + 1) (the smooth-idf variant),
+    rounded to 6 decimals; ranking by (rounded score DESC, tok ASC) so ties
+    are engine-independent.  Plan shape at 10^12 rows: one explode + one
+    (id, tok) aggregation for tf; df is an aggregate of the Zipf-bounded
+    vocabulary and joins back as a BROADCAST (vocab ≪ corpus); the top-k
+    window partitions by document — never a global sort.  N is a single
+    scalar aggregate job.
+    """
+    from pyspark.sql import Window
+
+    tf = doc_tokens(docs, id_col, text_col).groupBy(id_col, "tok").agg(
+        F.count("*").alias("tf")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(dfreq), on="tok").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0), 6
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .select(id_col, "tok", "tf", "score")
+    )
+
+
+def bm25(
+    docs: DataFrame,
+    query: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, score, matched] — Okapi BM25 of `query` against every document
+    containing at least one query term.
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), rounded to 6 decimals.
+    avgdl is computed as an exact integer ratio (Σ dl / N) so the scalar is
+    bit-identical across engines.  Plan shape: the tf aggregation is
+    FILTERED to the query terms before the shuffle (the corpus-sized
+    explode never aggregates non-query tokens); df/N/avgdl are scalar-sized
+    aggregates; no window, no global sort.
+    """
+    if not query:
+        raise ValueError("query must contain at least one term")
+    toks = doc_tokens(docs, id_col, text_col)
+    dl = docs.select(F.col(id_col), F.size(tokens_col(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["total"] / stats["n"]
+    qtoks = toks.filter(F.col("tok").isin(list(query)))
+    tf = qtoks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # dl joins in per-document (broadcast-ineligible at scale: dl is
+    # corpus-sized — but the join key is the same (id) the tf aggregation
+    # just shuffled on, so AQE plans it without an extra exchange)
+    return (
+        tf.join(F.broadcast(dfreq), on="tok")
+        .join(dl, on=id_col)
+        .withColumn(
+            "c",
+            F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("c"), 6).alias("score"),
+            F.count("*").alias("matched"),
+        )
+    )

@@ -200,3 +200,28 @@ def test_embedding_near_dedup_lsh_matches_exact_on_planted(spark):
     assert exact == lsh
     reps = {r for _, r, _ in exact}
     assert reps == {0, 1, 2, 3}
+
+
+def test_minhash_near_dup_groups(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import minhash_near_dup_groups
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon eta"),  # near-dup of 0
+            (2, "one two three four five six"),
+            (3, "one two three four five six"),  # exact dup of 2
+            (4, "totally different content here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.rep_id, r.is_dup)
+        for r in minhash_near_dup_groups(
+            docs, num_hashes=8, bands=4, threshold=0.5, ngram=1, hash_mode="dict"
+        ).collect()
+    }
+    assert got[2] == (2, 0) and got[3] == (2, 1)  # exact dups always group
+    assert got[4] == (4, 0)  # singleton is its own representative
+    # 0/1 share 5 of 7 tokens (J=5/7 >= 0.5): grouped under min id 0
+    assert got[0] == (0, 0) and got[1] == (0, 1)

@@ -97,3 +97,50 @@ def test_subword_count_bpe_ish(spark):
     assert rows[0].n_punct == 2
     assert rows[1].n_subwords == 0
     assert rows[2].n_subwords == 6 and rows[2].n_punct == 2
+
+
+def test_tf_idf_topk(spark, docs):
+    import math
+
+    from neo4j_graph_algorithms_spark.pipeline.text import tf_idf
+
+    rows = tf_idf(docs, top_k=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: 'the' tf=2 df=2 beats the four tf=1 df=1 singletons
+    top0 = max(by_doc[0], key=lambda r: r.score)
+    assert top0.tok == "the" and top0.tf == 2
+    assert top0.score == pytest.approx(round(2 * (math.log(5 / 3) + 1), 6))
+    # singleton terms score tf=1 * (ln(5/2)+1)
+    single = [r for r in by_doc[0] if r.tok == "cat"][0]
+    assert single.score == pytest.approx(round(math.log(5 / 2) + 1, 6))
+    # every doc emits at most k rows
+    assert all(len(v) <= 5 for v in by_doc.values())
+
+
+def test_bm25_matches_formula(spark, docs):
+    import math
+
+    from neo4j_graph_algorithms_spark.pipeline.text import bm25
+
+    got = {r.doc_id: r for r in bm25(docs, ["the"]).collect()}
+    assert set(got) == {0, 3}  # only docs containing 'the'
+    n, avgdl, k1, b = 4, (6 + 9 + 3 + 10) / 4, 1.2, 0.75
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def expect(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert got[0].score == pytest.approx(expect(2, 6))
+    assert got[3].score == pytest.approx(expect(3, 10))
+    assert got[0].matched == 1 and got[3].matched == 1
+
+
+def test_bm25_multi_term_sums(spark, docs):
+    from neo4j_graph_algorithms_spark.pipeline.text import bm25
+
+    got = {r.doc_id: r for r in bm25(docs, ["cat", "mat", "zzz"]).collect()}
+    assert got[0].matched == 2  # cat + mat
+    assert got[2].matched == 1  # zzz
+    assert got[0].score > got[2].score > 0
