@@ -723,7 +723,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_restart": _q_pagerank_warm,
         "wcc_components": _q_wcc,
         "triangle_total": _q_triangle_total,
-        "clustering_coefficient": _q_clustering_coefficient,
         "lpa_3iter": _q_lpa,
         "lpa_csr_3iter": _q_lpa_csr,
         "metapath_len3": _q_metapath,
@@ -746,16 +745,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_shortest_paths_16src": _q_all_shortest_paths,
         "apsp_weighted_8src": _q_apsp_weighted,
         "shortest_path_nodes": _q_shortest_path_nodes,
-        "metapath_get_schema": _q_get_schema,
         "graph_reducer_edges": _q_graph_reducer,
         "metapath_schema_full": _q_schema_full,
         "metapath_schema_full_weights": _q_schema_full_weights,
-        "louvain_q_invariant": _q_louvain_invariant,
-        "metapath_filtered": _q_metapath_filter,
-        "label_dictionary": _q_label_dictionary,
+        # Tier B CSR twins added this round — never driver-verified, so they
+        # outrank the r2-green metapath/louvain variants rotated to the tail
+        "sssp_csr_from_0": _q_sssp_csr,
+        "closeness_csr_sampled": _q_closeness_csr,
+        "triangle_total_csr": _q_triangle_total_csr,
         "doc_subword_count": _q_subword_count,
+        "label_dictionary": _q_label_dictionary,
         "doc_quality_score": _q_quality,
         # --- tail: variants with an in-window sibling on the same path ------
+        "metapath_get_schema": _q_get_schema,  # metapath family: len3/schema_full/weights in window; r2 green
+        "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
+        "metapath_filtered": _q_metapath_filter,  # metapath family in window; r2 green
+        "clustering_coefficient": _q_clustering_coefficient,  # triangles.py path: triangle_total in window; r2 green
         "lineseq_edges": _q_lineseq_edges,  # derivation re-verified inside every lineseq-graph oracle (LINESEQ_CTES); r1+r2 green
         "doc_fingerprint": _q_fingerprint,  # one explode+shuffle: r1+r2 green, subword_count in window
         "dedup_exact": _q_exact_dedup,  # 32-byte-hash groupBy: r1+r2 green, minhash/simhash in window
@@ -774,9 +779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath_for_instances": _q_metapath_for_instances,
         "metapath_instance_pair": _q_metapath_instance_pair,
         "out_degree_distribution": _q_out_degree_distribution,
-        "sssp_csr_from_0": _q_sssp_csr,  # sssp path: sssp_from_0 in window
-        "closeness_csr_sampled": _q_closeness_csr,  # closeness_sampled in window
-        "triangle_total_csr": _q_triangle_total_csr,  # triangle_total in window
     }
 
 
