@@ -83,6 +83,17 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (beyond the reference catalogue) on the
+    line-seq multigraph, 10 fixed iterations, L2-normalized half-steps."""
+    from neo4j_graph_algorithms_spark.operators.hits import hits
+
+    res = hits(spark, lineseq_edges(spark, sf_dir), max_iterations=10)
+    return res.state.select(
+        "vid", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
 def _q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PageRank: cold 20 iters on the graph minus every
     (src+dst)%97==0 edge, then warm-restart (residual init) 10 fixed
@@ -737,7 +748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cocommit_edges": _q_corpus_cocommit,
         "corpus_cocommit_pagerank": _q_corpus_pagerank,
         "corpus_content_sha": _q_corpus_sha,
-        "corpus_import_edges": _q_corpus_import,
         "streaming_cocommit_edges": _q_streaming_cocommit,
         "betweenness_exact": _q_betweenness,
         "mst_forest": _q_mst,
@@ -754,13 +764,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_csr_sampled": _q_closeness_csr,
         "triangle_total_csr": _q_triangle_total_csr,
         "doc_subword_count": _q_subword_count,
-        "label_dictionary": _q_label_dictionary,
+        "hits_10iter": _q_hits,
         "doc_quality_score": _q_quality,
         # --- tail: variants with an in-window sibling on the same path ------
         "metapath_get_schema": _q_get_schema,  # metapath family: len3/schema_full/weights in window; r2 green
         "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
         "metapath_filtered": _q_metapath_filter,  # metapath family in window; r2 green
         "clustering_coefficient": _q_clustering_coefficient,  # triangles.py path: triangle_total in window; r2 green
+        "label_dictionary": _q_label_dictionary,  # reducer.py path: graph_reducer_edges in window; r2 green
+        "corpus_import_edges": _q_corpus_import,  # corpus source: cocommit_edges + content_sha in window; r2 green
         "lineseq_edges": _q_lineseq_edges,  # derivation re-verified inside every lineseq-graph oracle (LINESEQ_CTES); r1+r2 green
         "doc_fingerprint": _q_fingerprint,  # one explode+shuffle: r1+r2 green, subword_count in window
         "dedup_exact": _q_exact_dedup,  # 32-byte-hash groupBy: r1+r2 green, minhash/simhash in window
@@ -891,4 +903,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_tfidf_topk": pipeline_oracles.tf_idf_sql(top_k=5),
         "doc_bm25": pipeline_oracles.bm25_sql(query=["hash", "join", "vector"]),
+        "hits_10iter": oracles.hits_sql(iterations=10),
     }

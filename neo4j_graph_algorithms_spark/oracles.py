@@ -987,3 +987,37 @@ def label_dictionary_sql() -> str:
 SELECT CAST(dense_rank() OVER (ORDER BY label_name) - 1 AS INT) AS label_id,
        label_name
 FROM names"""
+
+
+def hits_sql(iterations: int = 10) -> str:
+    """Unrolled HITS (auth/hub, per-half-step L2 normalization) on the
+    line-seq multigraph — twin of operators/hits.py."""
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "s0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS auth, CAST(1.0 AS DOUBLE) AS hub FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(s.hub) AS a
+  FROM s{i - 1} s JOIN lineseq e ON s.vid = e.src GROUP BY e.dst),
+an{i} AS (SELECT sqrt(sum(a * a)) AS an FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT v.vid,
+         coalesce(r.a, 0) / (CASE WHEN coalesce(an.an, 0) > 0 THEN an.an ELSE 1 END) AS auth
+  FROM s{i - 1} v LEFT JOIN ar{i} r ON v.vid = r.vid CROSS JOIN an{i} an),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS vid, sum(a.auth) AS h
+  FROM a{i} a JOIN lineseq e ON a.vid = e.dst GROUP BY e.src),
+hn{i} AS (SELECT sqrt(sum(h * h)) AS hn FROM hr{i}),
+s{i} AS MATERIALIZED (
+  SELECT a.vid, a.auth,
+         coalesce(r.h, 0) / (CASE WHEN coalesce(hn.hn, 0) > 0 THEN hn.hn ELSE 1 END) AS hub
+  FROM a{i} a LEFT JOIN hr{i} r ON a.vid = r.vid CROSS JOIN hn{i} hn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vid, round(auth, 6) AS auth, round(hub, 6) AS hub FROM s{iterations}"
+    )

@@ -108,6 +108,8 @@ PROCEDURES: dict[str, str] = {
     "algo.harmonic.csr": "neo4j_graph_algorithms_spark.csr.msbfs.harmonic_csr",
     "algo.harmonic": "neo4j_graph_algorithms_spark.operators.msbfs.harmonic",
     "algo.allShortestPaths.stream": "neo4j_graph_algorithms_spark.operators.msbfs.all_shortest_paths",
+    # beyond the reference: Kleinberg hubs/authorities on the same runtime
+    "algo.hits": "neo4j_graph_algorithms_spark.operators.hits.hits",
     "algo.betweenness": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness",
     "algo.betweenness.sampled": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness_sampled",
     "algo.mst": "neo4j_graph_algorithms_spark.operators.mst.mst",
