@@ -83,6 +83,16 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (GNN-sampling op beyond the
+    reference): hash-seeded neighbor choice, bit-identical across engines."""
+    from neo4j_graph_algorithms_spark.operators.walks import random_walks
+
+    return random_walks(
+        spark, lineseq_edges(spark, sf_dir), walk_length=4, walks_per_node=1, seed=42
+    )
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (beyond the reference catalogue) on the
     line-seq multigraph, 10 fixed iterations, L2-normalized half-steps."""
@@ -739,7 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath_len3": _q_metapath,
         "pagerank_csr_20iter": _q_pagerank_csr,
         "wcc_components_csr": _q_wcc_csr,
-        "triangle_stream": _q_triangle_stream,
+        "graph_random_walks": _q_random_walks,
         "louvain_communities": _q_louvain,
         "louvain_fixed2_planted": _q_louvain_fixed,
         "scc_components": _q_scc,
@@ -773,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _q_clustering_coefficient,  # triangles.py path: triangle_total in window; r2 green
         "label_dictionary": _q_label_dictionary,  # reducer.py path: graph_reducer_edges in window; r2 green
         "corpus_import_edges": _q_corpus_import,  # corpus source: cocommit_edges + content_sha in window; r2 green
+        "triangle_stream": _q_triangle_stream,  # triangles.py path: triangle_total(+csr) in window; r2 green; 413k-row compare
         "lineseq_edges": _q_lineseq_edges,  # derivation re-verified inside every lineseq-graph oracle (LINESEQ_CTES); r1+r2 green
         "doc_fingerprint": _q_fingerprint,  # one explode+shuffle: r1+r2 green, subword_count in window
         "dedup_exact": _q_exact_dedup,  # 32-byte-hash groupBy: r1+r2 green, minhash/simhash in window
@@ -904,4 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_topk": pipeline_oracles.tf_idf_sql(top_k=5),
         "doc_bm25": pipeline_oracles.bm25_sql(query=["hash", "join", "vector"]),
         "hits_10iter": oracles.hits_sql(iterations=10),
+        "graph_random_walks": oracles.random_walks_sql(
+            walk_length=4, walks_per_node=1, seed=42
+        ),
     }

@@ -1,0 +1,116 @@
+"""Deterministic random-walk sampling — graph sampling for GNN/embedding
+training pipelines (DeepWalk/node2vec-style first-order walks).
+
+Not in the reference catalogue (its procedures stop at centrality/
+community/paths — /root/reference/algo/src/main/java/org/neo4j/graphalgo/),
+but walk corpora are the standard bridge from a link graph to embedding
+training at 10^12-edge scale, and the sampler below is exactly
+superstep-shaped: one hash-join per step, walk state partitioned on the
+current vertex, adjacency cached pre-partitioned on src.
+
+Determinism (the correctness contract): the "random" neighbor choice is a
+universal hash of (current vertex, step, walk id) mod out-degree, over
+neighbors ranked by dst — pure integer arithmetic, so ANY engine (the
+DuckDB oracle, a rerun, a resumed job) reproduces the identical corpus.
+Seeded variation comes from the `seed` mixed into the hash, not from RNG
+state, which is what makes walks resumable and shard-order-independent at
+cluster scale (a Mersenne-twister-per-task sampler is neither).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
+
+# hash modulus/multipliers: same universal-hash family as pipeline/text.py
+WALK_P = 1_000_003
+A_CUR, A_STEP, A_WALK, A_SEED = 2_654_435_761 % WALK_P, 40_503, 69_621, 8_191
+
+
+def _choice(cur, step: int, walk, seed: int):
+    """Universal hash of (cur, step, walk_id, seed) in [0, WALK_P).
+
+    Operands are reduced mod P before multiplying so the arithmetic never
+    exceeds ~P² ≈ 10^12 — no int64 overflow even for xxhash64 id spaces;
+    pmod keeps intermediate values non-negative for negative ids (the
+    oracle side uses plain % over non-negative ids, where the two agree)."""
+    return F.pmod(
+        F.pmod(cur, F.lit(WALK_P)) * A_CUR
+        + F.lit(step) * A_STEP
+        + F.pmod(walk, F.lit(WALK_P)) * A_WALK
+        + F.lit(seed) * A_SEED,
+        F.lit(WALK_P),
+    )
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """[walk_id, step, vid] — `walks_per_node` uniform first-order walks of
+    up to `walk_length` steps from every vertex (or from `starts` [vid]).
+
+    Walks that reach a sink (no out-neighbors) stop early; step 0 is the
+    start vertex.  walk_id = vid * walks_per_node + k.
+
+    Plan per step (the 10^12-edge shape): the walk frontier (|starts| rows,
+    shrinking with sinks) joins the src-partitioned adjacency cache on
+    (cur = src, rank = hash % degree) — one shuffle of the frontier per
+    step, the adjacency never moves, no window over anything larger than a
+    vertex neighborhood.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+
+    # distinct neighbors ranked by dst within src: rank is per-neighborhood
+    # (window PARTITIONED by src — never a global sort)
+    w = Window.partitionBy(SRC).orderBy(DST)
+    adj = (
+        ef.df.select(SRC, DST)
+        .distinct()
+        .select(
+            SRC,
+            DST,
+            (F.row_number().over(w) - 1).alias("_rk"),
+            F.count("*").over(Window.partitionBy(SRC)).alias("_deg"),
+        )
+        .repartition(SRC)
+        .persist()
+    )
+    adj.count()
+
+    verts = starts.select(VID) if starts is not None else ef.vertices()
+    frontier = verts.select(F.col(VID).alias("cur")).crossJoin(
+        spark.range(walks_per_node).select(F.col("id").alias("_k"))
+    ).select(
+        (F.col("cur") * walks_per_node + F.col("_k")).alias("walk_id"),
+        F.col("cur"),
+    )
+
+    out = frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias(VID))
+    rows = [out]
+    for step in range(1, walk_length + 1):
+        nxt = (
+            frontier.hint("shuffle_hash")
+            .join(adj, frontier["cur"] == adj[SRC], "inner")
+            .filter(
+                F.col("_rk")
+                == _choice(F.col("cur"), step, F.col("walk_id"), seed) % F.col("_deg")
+            )
+            .select("walk_id", F.col(DST).alias("cur"))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        rows.append(
+            frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias(VID))
+        )
+        if frontier.isEmpty():
+            break
+    result = rows[0]
+    for r in rows[1:]:
+        result = result.unionByName(r)
+    adj.unpersist()
+    return result

@@ -1021,3 +1021,49 @@ s{i} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"\nSELECT vid, round(auth, 6) AS auth, round(hub, 6) AS hub FROM s{iterations}"
     )
+
+
+def random_walks_sql(
+    walk_length: int = 4, walks_per_node: int = 1, seed: int = 42
+) -> str:
+    """Unrolled deterministic random walks on the line-seq graph — twin of
+    operators/walks.py (same universal-hash neighbor choice, so the walk
+    corpus is bit-identical across engines)."""
+    from neo4j_graph_algorithms_spark.operators.walks import (
+        A_CUR,
+        A_SEED,
+        A_STEP,
+        A_WALK,
+        WALK_P,
+    )
+
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "dedges AS (SELECT DISTINCT src, dst FROM lineseq)",
+        """adj AS MATERIALIZED (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM dedges)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT vid * {walks_per_node} + k.k AS walk_id, vid AS cur
+  FROM verts CROSS JOIN (SELECT unnest(range({walks_per_node})) AS k) k)""",
+    ]
+    for i in range(1, walk_length + 1):
+        choice = (
+            f"((w.cur % {WALK_P}) * {A_CUR} + {i} * {A_STEP}"
+            f" + (w.walk_id % {WALK_P}) * {A_WALK} + {seed} * {A_SEED})"
+            f" % {WALK_P} % a.deg"
+        )
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT w.walk_id, a.dst AS cur
+  FROM w{i - 1} w JOIN adj a ON w.cur = a.src AND a.rk = {choice})"""
+        )
+        parts.append(f"w{i} AS (SELECT walk_id, cur FROM f{i})")
+    selects = ["SELECT walk_id, CAST(0 AS INTEGER) AS step, cur AS vid FROM w0"]
+    for i in range(1, walk_length + 1):
+        selects.append(
+            f"SELECT walk_id, CAST({i} AS INTEGER) AS step, cur AS vid FROM w{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)

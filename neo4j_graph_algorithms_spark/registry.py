@@ -110,6 +110,8 @@ PROCEDURES: dict[str, str] = {
     "algo.allShortestPaths.stream": "neo4j_graph_algorithms_spark.operators.msbfs.all_shortest_paths",
     # beyond the reference: Kleinberg hubs/authorities on the same runtime
     "algo.hits": "neo4j_graph_algorithms_spark.operators.hits.hits",
+    # beyond the reference: deterministic GNN-sampling walks
+    "algo.randomWalk": "neo4j_graph_algorithms_spark.operators.walks.random_walks",
     "algo.betweenness": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness",
     "algo.betweenness.sampled": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness_sampled",
     "algo.mst": "neo4j_graph_algorithms_spark.operators.mst.mst",

@@ -1,0 +1,53 @@
+"""Deterministic random-walk sampler: reproducibility, sink handling,
+neighbor-choice validity."""
+
+from __future__ import annotations
+
+from neo4j_graph_algorithms_spark.operators.walks import random_walks
+from tests.conftest import edge_df
+
+
+def _collect(df):
+    return sorted((r.walk_id, r.step, r.vid) for r in df.collect())
+
+
+def test_walks_deterministic_and_valid(spark):
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 0)]
+    a = _collect(random_walks(spark, edge_df(spark, pairs), walk_length=5, seed=7))
+    b = _collect(random_walks(spark, edge_df(spark, pairs), walk_length=5, seed=7))
+    assert a == b  # same seed -> identical corpus
+    edges = set(pairs)
+    by_walk = {}
+    for wid, step, vid in a:
+        by_walk.setdefault(wid, []).append((step, vid))
+    for wid, seq in by_walk.items():
+        seq.sort()
+        assert seq[0][0] == 0 and seq[0][1] == wid  # walks_per_node=1: id=start
+        for (s1, u), (s2, v) in zip(seq, seq[1:]):
+            assert s2 == s1 + 1 and (u, v) in edges  # every hop is a real edge
+
+
+def test_walks_seed_changes_corpus(spark):
+    pairs = [(i, j) for i in range(6) for j in range(6) if i != j]
+    a = _collect(random_walks(spark, edge_df(spark, pairs), walk_length=4, seed=1))
+    b = _collect(random_walks(spark, edge_df(spark, pairs), walk_length=4, seed=2))
+    assert a != b
+
+
+def test_walks_stop_at_sinks(spark):
+    # 0 -> 1 -> 2, 2 is a sink: every walk ends by step 2
+    got = _collect(random_walks(spark, edge_df(spark, [(0, 1), (1, 2)]), walk_length=9))
+    steps = {}
+    for wid, step, vid in got:
+        steps.setdefault(wid, []).append(step)
+    assert max(steps[0]) == 2  # from 0: two hops then sink
+    assert max(steps[1]) == 1
+    assert max(steps[2]) == 0  # the sink emits only its start row
+
+
+def test_walks_per_node_ids(spark):
+    got = _collect(
+        random_walks(spark, edge_df(spark, [(0, 1), (1, 0)]), walk_length=1, walks_per_node=3)
+    )
+    start_rows = [(w, v) for w, s, v in got if s == 0]
+    assert sorted(start_rows) == [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)]
