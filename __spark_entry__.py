@@ -93,6 +93,28 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training pairs over the deterministic
+    walk corpus — the word2vec/DeepWalk consumer stage."""
+    from neo4j_graph_algorithms_spark.operators.walks import (
+        random_walks,
+        walk_skipgram_pairs,
+    )
+
+    walks = random_walks(
+        spark, lineseq_edges(spark, sf_dir), walk_length=4, walks_per_node=1, seed=42
+    )
+    return walk_skipgram_pairs(walks, window=2)
+
+
+def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding table (exploded
+    row form so no array column crosses the oracle boundary)."""
+    from neo4j_graph_algorithms_spark.pipeline.similarity import quantize_embeddings
+
+    return quantize_embeddings(_embs(spark, sf_dir), exploded=True)
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (beyond the reference catalogue) on the
     line-seq multigraph, 10 fixed iterations, L2-normalized half-steps."""
@@ -730,14 +752,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_png_features": _q_image_png_features,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash_dedup,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding_cosine": _q_embedding_near_dedup,
         "dedup_minhash_groups": _q_minhash_groups,
         "doc_tfidf_topk": _q_tf_idf,
         "doc_bm25": _q_bm25,
         "ann_cosine_topk": _q_cosine_topk,
-        "ann_cosine_pairs": _q_cosine_pairs,
         "ann_srp_lsh_pairs": _q_srp_lsh_pairs,
+        "graph_walk_skipgrams": _q_walk_skipgrams,
+        "emb_quantize_int8": _q_quantize,
         # --- distinct core paths --------------------------------------------
         "coorder_edges": _q_coorder_edges,
         "pagerank_20iter": _q_pagerank,
@@ -784,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_dictionary": _q_label_dictionary,  # reducer.py path: graph_reducer_edges in window; r2 green
         "corpus_import_edges": _q_corpus_import,  # corpus source: cocommit_edges + content_sha in window; r2 green
         "triangle_stream": _q_triangle_stream,  # triangles.py path: triangle_total(+csr) in window; r2 green; 413k-row compare
+        "dedup_ngram_jaccard": _q_ngram_jaccard,  # brute-force baseline: minhash_lsh verifies the same shingle+verify path; r1 green
+        "ann_cosine_pairs": _q_cosine_pairs,  # brute-force baseline: ann_cosine_topk in window; r1 green
         "lineseq_edges": _q_lineseq_edges,  # derivation re-verified inside every lineseq-graph oracle (LINESEQ_CTES); r1+r2 green
         "doc_fingerprint": _q_fingerprint,  # one explode+shuffle: r1+r2 green, subword_count in window
         "dedup_exact": _q_exact_dedup,  # 32-byte-hash groupBy: r1+r2 green, minhash/simhash in window
@@ -918,4 +942,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),
+        "graph_walk_skipgrams": oracles.walk_skipgrams_sql(
+            window=2, walk_length=4, walks_per_node=1, seed=42
+        ),
+        "emb_quantize_int8": pipeline_oracles.quantize_sql(),
     }

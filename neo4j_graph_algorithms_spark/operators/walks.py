@@ -114,3 +114,32 @@ def random_walks(
         result = result.unionByName(r)
     adj.unpersist()
     return result
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame, window: int = 2, ordered: bool = True
+) -> DataFrame:
+    """[center, context, offset] — skip-gram training pairs from a walk
+    corpus (the word2vec/DeepWalk consumer of `random_walks`).
+
+    One pair per (walk, |step delta| ≤ window, delta ≠ 0) co-occurrence;
+    `offset` is the signed step delta (context − center position).
+    `ordered=False` keeps only delta > 0 (undirected-context training).
+
+    Plan: a single self-equi-join on walk_id with a bounded band predicate
+    on step — walk_id is the shuffle key, each walk is ≤ walk_length rows,
+    so the join fan-out per key is O(walk_length · window), constant.
+    """
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("_sc"), F.col(VID).alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("_sx"), F.col(VID).alias("context")
+    )
+    lo = -window if ordered else 1
+    return (
+        a.join(b, on="walk_id")
+        .withColumn("offset", F.col("_sx") - F.col("_sc"))
+        .filter((F.col("offset") >= lo) & (F.col("offset") <= window) & (F.col("offset") != 0))
+        .select("walk_id", "center", "context", "offset")
+    )

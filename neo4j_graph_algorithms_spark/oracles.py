@@ -1067,3 +1067,16 @@ def random_walks_sql(
             f"SELECT walk_id, CAST({i} AS INTEGER) AS step, cur AS vid FROM w{i}"
         )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def walk_skipgrams_sql(
+    window: int = 2, walk_length: int = 4, walks_per_node: int = 1, seed: int = 42
+) -> str:
+    """Skip-gram pairs over the deterministic walk corpus — twin of
+    operators/walks.py walk_skipgram_pairs on random_walks."""
+    rw = random_walks_sql(walk_length, walks_per_node, seed)
+    return f"""WITH walks AS ({rw})
+SELECT a.walk_id, a.vid AS center, b.vid AS context,
+       CAST(b.step - a.step AS INTEGER) AS offset
+FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+WHERE b.step - a.step BETWEEN -{window} AND {window} AND b.step <> a.step"""

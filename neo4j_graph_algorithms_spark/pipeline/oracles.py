@@ -610,3 +610,21 @@ SELECT d.doc_id,
        CAST(CASE WHEN coalesce(m.mn, d.doc_id) < d.doc_id THEN 1 ELSE 0 END AS INT)
          AS is_dup
 FROM documents d LEFT JOIN mins m ON m.x = d.doc_id"""
+
+
+def quantize_sql() -> str:
+    """Twin of similarity.quantize_embeddings(exploded=True): symmetric
+    int8 scalar quantization, scale = max|x|/127 (unrounded scale divides;
+    the reported scale column is rounded to 9dp)."""
+    return """WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc,
+         embedding
+  FROM embeddings),
+e AS (
+  SELECT vec_id, round(sc, 9) AS scale,
+         CAST(i AS INTEGER) - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE)
+                    / (CASE WHEN sc > 0 THEN sc ELSE 1.0 END), 0) AS INTEGER) AS q
+  FROM s, unnest(range(1, len(embedding) + 1)) t(i))
+SELECT vec_id, scale, dim, q FROM e"""

@@ -314,3 +314,41 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def quantize_embeddings(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exploded: bool = False,
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: q_i = round(x_i / scale),
+    scale = max|x| / 127 — the storage/bandwidth step before ANN serving
+    (4× smaller than float32, 8× smaller than float64).
+
+    Returns [id, scale, qvec array<int>], or with ``exploded=True`` the
+    row form [id, dim, q] (+ scale) used by the engine-parity gate (no
+    array columns cross the oracle boundary).  All-zero vectors quantize
+    to zeros with scale 0 (guarded divide).  Pure higher-order column
+    functions — JVM-side, no Python in the hot path.
+    """
+    scale = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    ) / F.lit(127.0)
+    q = embs.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(
+                x / F.when(scale > 0, scale).otherwise(F.lit(1.0)), 0
+            ).cast("int"),
+        ).alias("qvec"),
+    )
+    if not exploded:
+        return q
+    return q.select(
+        id_col, "scale", F.posexplode("qvec").alias("dim", "q")
+    )

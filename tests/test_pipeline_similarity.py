@@ -115,3 +115,21 @@ def test_ivf_search_recall_vs_brute(spark, embs_clean):
     brute_set = {(r.query_id, r.neighbor_id) for r in brute}
     # with tight planted clusters, probing the home cell recovers the true top-3
     assert got_set == brute_set
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from neo4j_graph_algorithms_spark.pipeline.similarity import quantize_embeddings
+
+    embs = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(embs).collect()}
+    assert got[0].scale == round(1.0 / 127, 9)
+    assert got[0].qvec == [64, -127, 32]  # round(0.5*127)=63.5 -> 64 (half-up)
+    assert got[1].scale == 0.0 and got[1].qvec == [0, 0, 0]  # zero-vector guard
+    # exploded form matches the array form
+    ex = quantize_embeddings(embs, exploded=True).collect()
+    assert sorted((r.vec_id, r.dim, r.q) for r in ex if r.vec_id == 0) == [
+        (0, 0, 64), (0, 1, -127), (0, 2, 32)
+    ]

@@ -51,3 +51,25 @@ def test_walks_per_node_ids(spark):
     )
     start_rows = [(w, v) for w, s, v in got if s == 0]
     assert sorted(start_rows) == [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)]
+
+
+def test_skipgram_pairs_window(spark):
+    from neo4j_graph_algorithms_spark.operators.walks import walk_skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 11), (0, 2, 12), (0, 3, 13), (1, 0, 20)],
+        "walk_id long, step int, vid long",
+    )
+    got = sorted(
+        (r.walk_id, r.center, r.context, r.offset)
+        for r in walk_skipgram_pairs(walks, window=2).collect()
+    )
+    # center 10 (step 0): contexts at steps 1,2 only
+    assert [(c, x, o) for w, c, x, o in got if c == 10] == [(10, 11, 1), (10, 12, 2)]
+    # center 11: contexts at -1, +1, +2
+    assert [(x, o) for w, c, x, o in got if c == 11] == [(10, -1), (12, 1), (13, 2)]
+    # single-row walk 1 emits nothing
+    assert not [t for t in got if t[0] == 1]
+    # unordered mode keeps only positive offsets
+    half = walk_skipgram_pairs(walks, window=2, ordered=False).collect()
+    assert all(r.offset >= 1 for r in half)
