@@ -115,6 +115,19 @@ def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(_embs(spark, sf_dir), exploded=True)
 
 
+def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall HLL neighborhood sketches (beyond the reference): ball
+    size estimates at radius 2, m=16 registers — register state is
+    bit-deterministic (universal hashes), so the oracle checks exactly."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        hyperball,
+        hyperball_estimates,
+    )
+
+    res = hyperball(spark, lineseq_edges(spark, sf_dir), radius=2, m=16)
+    return hyperball_estimates(res.state, m=16)
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (beyond the reference catalogue) on the
     line-seq multigraph, 10 fixed iterations, L2-normalized half-steps."""
@@ -770,7 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_csr_3iter": _q_lpa_csr,
         "metapath_len3": _q_metapath,
         "pagerank_csr_20iter": _q_pagerank_csr,
-        "wcc_components_csr": _q_wcc_csr,
+        "hyperball_est_r2": _q_hyperball,
         "graph_random_walks": _q_random_walks,
         "louvain_communities": _q_louvain,
         "louvain_fixed2_planted": _q_louvain_fixed,
@@ -808,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stream": _q_triangle_stream,  # triangles.py path: triangle_total(+csr) in window; r2 green; 413k-row compare
         "dedup_ngram_jaccard": _q_ngram_jaccard,  # brute-force baseline: minhash_lsh verifies the same shingle+verify path; r1 green
         "ann_cosine_pairs": _q_cosine_pairs,  # brute-force baseline: ann_cosine_topk in window; r1 green
+        "wcc_components_csr": _q_wcc_csr,  # Tier B: 5 sibling CSR kernels in window; r2 green
         "lineseq_edges": _q_lineseq_edges,  # derivation re-verified inside every lineseq-graph oracle (LINESEQ_CTES); r1+r2 green
         "doc_fingerprint": _q_fingerprint,  # one explode+shuffle: r1+r2 green, subword_count in window
         "dedup_exact": _q_exact_dedup,  # 32-byte-hash groupBy: r1+r2 green, minhash/simhash in window
@@ -946,4 +960,5 @@ def oracle_sql() -> dict[str, str]:
             window=2, walk_length=4, walks_per_node=1, seed=42
         ),
         "emb_quantize_int8": pipeline_oracles.quantize_sql(),
+        "hyperball_est_r2": oracles.hyperball_sql(radius=2, m=16),
     }

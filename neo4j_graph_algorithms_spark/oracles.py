@@ -1080,3 +1080,67 @@ SELECT a.walk_id, a.vid AS center, b.vid AS context,
        CAST(b.step - a.step AS INTEGER) AS offset
 FROM walks a JOIN walks b ON a.walk_id = b.walk_id
 WHERE b.step - a.step BETWEEN -{window} AND {window} AND b.step <> a.step"""
+
+
+def hyperball_sql(radius: int = 2, m: int = 16) -> str:
+    """Unrolled HyperBall on the line-seq graph (OUTGOING balls) — twin of
+    operators/hyperball.py.  Registers are exact integers; the estimate's
+    float arithmetic is dyadic-exact except one ln (absorbed by 6dp)."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        A1,
+        A2,
+        B1,
+        B2,
+        HB_P,
+        RHO_W,
+        hll_alpha,
+    )
+
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN z >= {2 ** (k - 1)} THEN {RHO_W - k + 1}"
+            for k in range(RHO_W, 0, -1)
+        )
+        + f" ELSE {RHO_W + 1} END"
+    )
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "dedges AS (SELECT DISTINCT src, dst FROM lineseq)",
+        f"""hz AS (
+  SELECT vid,
+         ((vid % {HB_P}) * {A1} + {B1}) % {HB_P} % {m} AS bucket,
+         ((vid % {HB_P}) * {A2} + {B2}) % {HB_P} % {2 ** RHO_W} AS z
+  FROM verts)""",
+        f"r0 AS MATERIALIZED (SELECT vid, bucket, {rho_case} AS reg FROM hz)",
+    ]
+    for i in range(1, radius + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT vid, bucket, max(reg) AS reg FROM (
+    SELECT e.src AS vid, r.bucket, r.reg FROM r{i - 1} r JOIN dedges e ON r.vid = e.dst
+    UNION ALL SELECT vid, bucket, reg FROM r{i - 1}) x
+  GROUP BY vid, bucket)"""
+        )
+    alpha_mm = repr(hll_alpha(m) * m * m)
+    parts.append(
+        f"""agg AS (
+  SELECT vid, count(*) AS nnz, sum(power(2.0, -reg)) AS sp
+  FROM r{radius} GROUP BY vid),
+est AS (
+  SELECT vid,
+         {alpha_mm} / ((CAST({m} AS DOUBLE) - nnz) + sp) AS raw,
+         {m} - nnz AS zeros
+  FROM agg)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vid,
+       round(CASE WHEN raw <= {repr(2.5 * m)} AND zeros > 0
+                  THEN {repr(float(m))} * ln({repr(float(m))} / zeros)
+                  ELSE raw END, 6) AS est
+FROM est"""
+    )

@@ -112,6 +112,9 @@ PROCEDURES: dict[str, str] = {
     "algo.hits": "neo4j_graph_algorithms_spark.operators.hits.hits",
     # beyond the reference: deterministic GNN-sampling walks
     "algo.randomWalk": "neo4j_graph_algorithms_spark.operators.walks.random_walks",
+    # beyond the reference: HLL neighborhood sketches (Boldi-Vigna HyperBall)
+    "algo.hyperball": "neo4j_graph_algorithms_spark.operators.hyperball.hyperball",
+    "algo.hyperball.harmonic": "neo4j_graph_algorithms_spark.operators.hyperball.hyperball_harmonic",
     "algo.betweenness": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness",
     "algo.betweenness.sampled": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness_sampled",
     "algo.mst": "neo4j_graph_algorithms_spark.operators.mst.mst",
