@@ -1144,3 +1144,56 @@ SELECT vid,
                   ELSE raw END, 6) AS est
 FROM est"""
     )
+
+
+# ---- neighborhood similarity / link prediction (operators/nodesim.py) --------
+
+NBR_CTES = f"""{LINESEQ_CTES},
+und AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+        FROM lineseq WHERE src <> dst),
+nbrs AS (SELECT s AS vid, d AS nbr FROM und
+         UNION ALL SELECT d AS vid, s AS nbr FROM und)"""
+
+
+def node_similarity_sql(top_k: int = 10, cutoff: float = 1e-9) -> str:
+    """Neighborhood Jaccard over the undirected-simple line-seq graph,
+    top_k per left node — twin of operators/nodesim.py:node_similarity."""
+    return f"""WITH {NBR_CTES},
+deg AS (SELECT vid, count(*) AS deg FROM nbrs GROUP BY vid),
+pairs AS (
+  SELECT x.vid AS a, y.vid AS b, count(*) AS common
+  FROM nbrs x JOIN nbrs y ON x.nbr = y.nbr AND x.vid < y.vid
+  GROUP BY 1, 2),
+scored AS (
+  SELECT p.a, p.b, p.common,
+         round(CAST(p.common AS DOUBLE) / (da.deg + db.deg - p.common), 6) AS sim
+  FROM pairs p JOIN deg da ON da.vid = p.a JOIN deg db ON db.vid = p.b),
+ranked AS (
+  SELECT a, b, common, sim,
+         row_number() OVER (PARTITION BY a ORDER BY sim DESC, b ASC) AS rk
+  FROM scored WHERE sim >= {cutoff})
+SELECT a, b, common, sim FROM ranked WHERE rk <= {top_k}"""
+
+
+def adamic_adar_sql(top_k: int | None = None) -> str:
+    """Adamic-Adar link-prediction scores over canonical wedge pairs —
+    twin of operators/nodesim.py:adamic_adar."""
+    tail = "SELECT a, b, common, score FROM scored"
+    if top_k is not None:
+        tail = f"""ranked AS (
+  SELECT a, b, common, score,
+         row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rk
+  FROM scored)
+SELECT a, b, common, score FROM ranked WHERE rk <= {top_k}"""
+        tail = ",\n" + tail
+    else:
+        tail = "\n" + tail
+    return f"""WITH {NBR_CTES},
+cdeg AS (SELECT nbr, count(*) AS center_deg FROM nbrs GROUP BY nbr),
+w AS (SELECT n.vid, n.nbr, c.center_deg FROM nbrs n JOIN cdeg c USING (nbr)),
+scored AS (
+  SELECT x.vid AS a, y.vid AS b, count(*) AS common,
+         round(sum(CASE WHEN x.center_deg > 1
+                        THEN 1.0 / ln(x.center_deg) ELSE 0.0 END), 6) AS score
+  FROM w x JOIN w y ON x.nbr = y.nbr AND x.vid < y.vid
+  GROUP BY 1, 2){tail}"""
