@@ -1,0 +1,165 @@
+"""k-core decomposition (beyond the reference catalogue).
+
+The reference ships degree-based hub mitigation
+(impl/metapath/MetaPathPrecomputeHighDegreeNodes.java) but no coreness;
+its successor (Neo4j GDS `gds.kcore`) and every link-graph curation
+pipeline use k-cores to isolate the dense nucleus of a web/co-commit graph
+(spam farms, template cliques) and to bound training-subgraph density.
+
+Algorithm: synchronous peel.  Each superstep drops every vertex whose
+degree IN THE SURVIVING SUBGRAPH is < k, until a fixpoint — the classic
+distributed k-core (Montresor et al., "Distributed k-Core Decomposition",
+IEEE TPDS 2013, converges in <= |V| rounds, in practice O(peel depth)).
+
+Spark formulation: state = the surviving undirected adjacency [src, dst]
+(both directions).  Per superstep: one groupBy(src) degree aggregation
+(map-side combined) and one semi-join of the adjacency against the
+surviving vertex set on EACH endpoint — all hash-partitioned on the same
+key, and the survivor set (|V|-sized, shrinking) carries the repo's
+`shuffle_hash` hint so Catalyst never broadcasts vertex state.  The state
+only ever SHRINKS, so the convergence metric is the monotone row-count
+delta (one cheap agg, no state-vs-state join).
+
+`coreness` sweeps k upward re-using the previous core ((k+1)-core ⊆
+k-core), so the total work is one peel pass per degeneracy level over an
+ever-shrinking subgraph — the standard sequential-sweep bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
+from neo4j_graph_algorithms_spark.plans.runtime import SuperstepResult, SuperstepRunner
+
+
+def _both_directions(edges: EdgeFrame | DataFrame) -> DataFrame:
+    """Distinct undirected adjacency, both row directions, self-loops out."""
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    und = ef.canonical().df.select(SRC, DST)
+    return und.unionByName(
+        und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+
+
+def kcore(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    k: int,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Peel to the k-core; result state is [vid, deg] — the vertices of the
+    k-core with their degree WITHIN the core subgraph (all >= k).
+
+    Runs on SuperstepRunner: durable per-round checkpoints + resume like
+    every other iterative operator (plans/runtime.py).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    adj0 = _both_directions(edges).repartition(SRC)
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        deg = state.groupBy(SRC).agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(SRC)
+        # semi-join both endpoints against the (shrinking) survivor set;
+        # hint the survivor PROJECTION: state-sized frames never broadcast
+        return (
+            state.join(keep.hint("shuffle_hash"), on=SRC, how="left_semi")
+            .join(
+                keep.select(F.col(SRC).alias(DST)).hint("shuffle_hash"),
+                on=DST,
+                how="left_semi",
+            )
+        )
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        # monotone shrink: converged when no adjacency row was removed
+        metric=lambda new, old, i: float(old.count() - new.count()),
+        converged=lambda m: m == 0.0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group=f"linkgraph-kcore-{k}",
+    )
+    res = runner.run(adj0, step, resume=resume)
+    core = (
+        res.state.groupBy(F.col(SRC).alias(VID))
+        .agg(F.count("*").alias("deg"))
+    )
+    return SuperstepResult(
+        state=core,
+        iterations=res.iterations,
+        converged=res.converged,
+        metrics=res.metrics,
+        first_plan=res.first_plan,
+    )
+
+
+def coreness(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    max_k: int | None = None,
+    max_iterations_per_k: int = 100,
+) -> DataFrame:
+    """[vid, core] — the largest k such that vid is in the k-core.
+
+    Upward sweep re-using the previous survivor subgraph; vertices dropped
+    while peeling to the k-core have coreness k-1.  Isolated vertices (deg
+    0 after canonicalization, incl. self-loop-only) never enter the sweep
+    and are emitted with core 0.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    all_verts = ef.vertices()
+    adj = _both_directions(ef).repartition(SRC).persist()
+    adj.count()
+    assigned: list[DataFrame] = []
+    k = 1
+    while True:
+        if max_k is not None and k > max_k:
+            break
+        survivors = adj
+        for _ in range(max_iterations_per_k):
+            deg = survivors.groupBy(SRC).agg(F.count("*").alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select(SRC)
+            nxt = (
+                survivors.join(keep.hint("shuffle_hash"), on=SRC, how="left_semi")
+                .join(
+                    keep.select(F.col(SRC).alias(DST)).hint("shuffle_hash"),
+                    on=DST,
+                    how="left_semi",
+                )
+                .localCheckpoint(eager=True)
+            )
+            before, after = survivors.count(), nxt.count()
+            survivors = nxt
+            if after == before:
+                break
+        dropped = (
+            adj.select(F.col(SRC).alias(VID)).distinct()
+            .join(
+                survivors.select(F.col(SRC).alias(VID)).distinct(),
+                on=VID,
+                how="left_anti",
+            )
+            .select(VID, F.lit(k - 1).alias("core"))
+        )
+        assigned.append(dropped.localCheckpoint(eager=True))
+        if survivors.isEmpty():
+            adj.unpersist()
+            break
+        adj.unpersist()
+        adj = survivors.persist()
+        k += 1
+    # each vid is dropped at exactly one level → the parts are disjoint
+    out = all_verts.select(VID)
+    if assigned:
+        labels = assigned[0]
+        for part in assigned[1:]:
+            labels = labels.unionByName(part)
+        out = out.join(labels, on=VID, how="left")
+        return out.select(VID, F.coalesce("core", F.lit(0)).alias("core"))
+    return out.select(VID, F.lit(0).alias("core"))

@@ -1197,3 +1197,28 @@ scored AS (
                         THEN 1.0 / ln(x.center_deg) ELSE 0.0 END), 6) AS score
   FROM w x JOIN w y ON x.nbr = y.nbr AND x.vid < y.vid
   GROUP BY 1, 2){tail}"""
+
+
+def kcore_sql(k: int = 30, rounds: int = 12) -> str:
+    """Unrolled synchronous peel to the k-core of the undirected line-seq
+    graph — twin of operators/kcore.py:kcore.  `rounds` must cover the peel
+    depth at the gate SF (measured: 4 rounds at sf0.01 for k=30; 12 gives
+    3x margin — each extra round is an idle fixpoint no-op)."""
+    parts = [
+        NBR_CTES,
+        "a0 AS MATERIALIZED (SELECT vid AS src, nbr AS dst FROM nbrs)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, count(*) AS c FROM a{i - 1} GROUP BY src)
+  WHERE c >= {k}),
+a{i} AS MATERIALIZED (
+  SELECT x.src, x.dst FROM a{i - 1} x
+  JOIN k{i} ka ON ka.src = x.src JOIN k{i} kb ON kb.src = x.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT src AS vid, count(*) AS deg FROM a{rounds} GROUP BY src"
+    )

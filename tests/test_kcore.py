@@ -1,0 +1,96 @@
+"""k-core peel + coreness sweep (operators/kcore.py).
+
+Fixture: triangle {0,1,2} + pendant path 0-3-4.
+    2-core = the triangle (peel 4 then 3); coreness = {0:2,1:2,2:2,3:1,4:1}.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from neo4j_graph_algorithms_spark.operators.kcore import coreness, kcore
+from tests.conftest import edge_df
+
+TRI_PENDANT = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4)]
+
+
+def _python_coreness(pairs):
+    """Sequential peel oracle."""
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    core = {v: 0 for v in adj}
+    k = 1
+    alive = dict(adj)
+    while alive:
+        changed = True
+        while changed:
+            drop = [v for v, ns in alive.items() if len(ns) < k]
+            changed = bool(drop)
+            for v in drop:
+                for u in alive[v]:
+                    alive[u].discard(v)
+                del alive[v]
+        for v in alive:
+            core[v] = k
+        k += 1
+    return core
+
+
+def test_kcore_hand_values(spark):
+    res = kcore(spark, edge_df(spark, TRI_PENDANT), k=2)
+    rows = {r["vid"]: r["deg"] for r in res.state.collect()}
+    assert rows == {0: 2, 1: 2, 2: 2}
+    assert res.converged
+
+
+def test_kcore_empty_when_k_too_large(spark):
+    res = kcore(spark, edge_df(spark, TRI_PENDANT), k=3)
+    assert res.state.collect() == []
+
+
+def test_kcore_k1_keeps_everything_connected(spark):
+    res = kcore(spark, edge_df(spark, TRI_PENDANT), k=1)
+    assert {r["vid"] for r in res.state.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_kcore_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        kcore(spark, edge_df(spark, TRI_PENDANT), k=0)
+
+
+def test_coreness_hand_values(spark):
+    out = {r["vid"]: r["core"] for r in coreness(spark, edge_df(spark, TRI_PENDANT)).collect()}
+    assert out == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_coreness_clique_plus_isolated_selfloop(spark):
+    # 4-clique has coreness 3 everywhere; a self-loop-only vertex is core 0
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(9, 9)]
+    out = {r["vid"]: r["core"] for r in coreness(spark, edge_df(spark, pairs)).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_coreness_matches_python_oracle_random(spark):
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    want = _python_coreness([p for p in pairs if p[0] != p[1]])
+    got = {r["vid"]: r["core"] for r in coreness(spark, edge_df(spark, pairs)).collect()}
+    for v, c in want.items():
+        assert got[v] == c, (v, c, got[v])
+
+
+def test_kcore_resume(spark, tmp_path):
+    ckpt = str(tmp_path / "kcore")
+    cold = kcore(spark, edge_df(spark, TRI_PENDANT), k=2, checkpoint_dir=ckpt,
+                 checkpoint_interval=1)
+    resumed = kcore(spark, edge_df(spark, TRI_PENDANT), k=2, checkpoint_dir=ckpt,
+                    resume=True)
+    assert sorted(map(tuple, resumed.state.collect())) == sorted(
+        map(tuple, cold.state.collect())
+    )
