@@ -765,6 +765,22 @@ def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(spark, lineseq_edges(spark, sf_dir), top_k=10)
 
 
+def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-3-gram fraction (Gopher-style repetition
+    quality signal) — single scan, no shuffle."""
+    from neo4j_graph_algorithms_spark.pipeline.text import repetition_ratio
+
+    return repetition_ratio(_docs(spark, sf_dir), n=3)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark n-gram decontamination flags against the
+    deterministic doc_id%97 eval sample."""
+    from neo4j_graph_algorithms_spark.pipeline.text import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir), n=3, threshold=0.05)
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-core of the undirected line-seq graph (beyond the reference:
     gds.kcore twin) — [vid, deg-in-core]; nontrivial peel at sf0.01
@@ -802,8 +818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_similarity_topk": _q_node_similarity,
         "link_adamic_adar": _q_adamic_adar,
         "kcore_30": _q_kcore,
+        "doc_repetition_ratio": _q_repetition_ratio,
+        "doc_decontaminate": _q_decontaminate,
         # --- distinct core paths --------------------------------------------
-        "coorder_edges": _q_coorder_edges,
         "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
         "wcc_components": _q_wcc,
@@ -826,7 +843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_forest": _q_mst,
         "delta_stepping_from_0": _q_delta_stepping,
         "apsp_weighted_8src": _q_apsp_weighted,
-        "shortest_path_nodes": _q_shortest_path_nodes,
         "graph_reducer_edges": _q_graph_reducer,
         "metapath_schema_full_weights": _q_schema_full_weights,
         # Tier B CSR twins added this round — never driver-verified, so they
@@ -839,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: variants with an in-window sibling on the same path ------
         "doc_quality_score": _q_quality,  # pure column exprs: r2 green; language_id/token_count siblings in tail, subword in window
         "all_shortest_paths_16src": _q_all_shortest_paths,  # MS-BFS path: closeness_sampled + closeness_csr in window; r2 green
+        "coorder_edges": _q_coorder_edges,  # derivation re-verified inside every coorder-graph oracle (COORDER_CTES); r1+r2 green
+        "shortest_path_nodes": _q_shortest_path_nodes,  # paths family: sssp + delta_stepping + apsp_weighted in window; r2 green
         "metapath_schema_full": _q_schema_full,  # r2 green; schema_full_weights (superset path) stays in window
         "metapath_get_schema": _q_get_schema,  # metapath family: len3/schema_full/weights in window; r2 green
         "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
@@ -985,6 +1003,8 @@ def oracle_sql() -> dict[str, str]:
         "node_similarity_topk": oracles.node_similarity_sql(top_k=10),
         "link_adamic_adar": oracles.adamic_adar_sql(top_k=10),
         "kcore_30": oracles.kcore_sql(k=30, rounds=12),
+        "doc_repetition_ratio": pipeline_oracles.repetition_ratio_sql(n=3),
+        "doc_decontaminate": pipeline_oracles.decontaminate_sql(n=3, threshold=0.05),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

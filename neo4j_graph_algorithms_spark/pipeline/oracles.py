@@ -628,3 +628,38 @@ e AS (
                     / (CASE WHEN sc > 0 THEN sc ELSE 1.0 END), 0) AS INTEGER) AS q
   FROM s, unnest(range(1, len(embedding) + 1)) t(i))
 SELECT vec_id, scale, dim, q FROM e"""
+
+
+def repetition_ratio_sql(n: int = 3) -> str:
+    """Within-doc duplicate n-gram fraction — twin of text.py:repetition_ratio."""
+    return f"""WITH {DOCS_CTE},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {n}
+              THEN [array_to_string(toks[i + 1 : i + {n}], ' ')
+                    FOR i IN range(len(toks) - {n} + 1)]
+              ELSE [] END AS grams
+  FROM docs)
+SELECT doc_id,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_distinct,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                  ELSE 0.0 END, 6) AS rep_ratio
+FROM g"""
+
+
+def decontaminate_sql(n: int = 3, threshold: float = 0.05, eval_mod: int = 97) -> str:
+    """Benchmark n-gram-overlap contamination flags — twin of
+    text.py:decontaminate (self-contained eval sample doc_id % eval_mod == 0)."""
+    return f"""WITH {_gram_ctes(n)},
+ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id % {eval_mod} = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_grams, count(e.gram) AS n_hit
+  FROM gd g LEFT JOIN ev e ON g.gram = e.gram
+  WHERE g.doc_id % {eval_mod} <> 0
+  GROUP BY g.doc_id)
+SELECT doc_id, n_grams, n_hit,
+       round(n_hit * 1.0 / n_grams, 6) AS overlap,
+       n_hit * 1.0 / n_grams >= {threshold} AS contaminated
+FROM hits"""

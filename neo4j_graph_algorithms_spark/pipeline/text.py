@@ -300,3 +300,100 @@ def bm25(
             F.count("*").alias("matched"),
         )
     )
+
+
+def _all_grams(text_col: str, n: int):
+    """Array column of ALL word n-grams (with multiplicity, in order)."""
+    toks = tokens_col(text_col)
+    if n <= 1:
+        return toks
+    # guard: Spark's sequence(0, stop) DESCENDS when stop < 0, so short docs
+    # must short-circuit to an empty array (same shape as dedup._shingle_sets)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_grams, n_distinct, rep_ratio] — within-document duplicate
+    n-gram fraction, the standard repetition/boilerplate quality signal
+    (Rae et al., Gopher, arXiv:2112.11446 §A1.1: "repetition" filters).
+
+    rep_ratio = 1 − distinct/total over word n-grams (0 for docs shorter
+    than n tokens).  Pure column expressions — the gram array never
+    explodes, so the operator is a single scan with whole-stage codegen,
+    no shuffle at all.
+    """
+    grams = _all_grams(text_col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        F.round(
+            F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0)), 6
+        ).alias("rep_ratio"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_mod: int = 97,
+) -> DataFrame:
+    """[id, n_grams, n_hit, overlap, contaminated] — benchmark-overlap
+    decontamination (the GPT-3/PaLM-style n-gram collision filter,
+    arXiv:2005.14165 §C): a training document whose distinct word n-grams
+    overlap an evaluation set beyond `threshold` is flagged for removal.
+
+    `eval_docs`: the held-out benchmark table; when None, the deterministic
+    sample doc_id % eval_mod == 0 of `docs` stands in (self-contained gate
+    fixture) and those rows are excluded from the scored output.
+
+    Scale shape: the eval set is benchmark-sized (MBs — tiny next to a
+    100 TB corpus), so its distinct-gram set is the one legitimately
+    BROADCAST dimension in this module; the corpus-side gram explode
+    aggregates per (doc, gram) distinct before the join, and the overlap
+    ratio is a per-doc aggregation on the same key.
+    """
+    from neo4j_graph_algorithms_spark.pipeline.dedup import _shingle_sets
+
+    if eval_docs is None:
+        eval_docs = docs.filter((F.col(id_col) % eval_mod) == 0)
+        scored = docs.filter((F.col(id_col) % eval_mod) != 0)
+    else:
+        scored = docs
+    ev_grams = (
+        _shingle_sets(eval_docs, n, id_col, text_col).select("tok").distinct()
+    )
+    gd = _shingle_sets(scored, n, id_col, text_col)
+    hits = (
+        gd.join(
+            F.broadcast(ev_grams.withColumn("_hit", F.lit(1))),
+            on="tok",
+            how="left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
+    )
+    return hits.select(
+        F.col(id_col),
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("overlap"),
+        (F.col("n_hit") / F.col("n_grams") >= threshold).alias("contaminated"),
+    )

@@ -144,3 +144,60 @@ def test_bm25_multi_term_sums(spark, docs):
     assert got[0].matched == 2  # cat + mat
     assert got[2].matched == 1  # zzz
     assert got[0].score > got[2].score > 0
+
+
+# -- repetition ratio / decontamination ----------------------------------------
+
+
+def test_repetition_ratio_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import repetition_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),        # 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+            (1, "x y z"),              # 2-grams: xy yz → all distinct
+            (2, "solo"),               # shorter than n → 0 grams, ratio 0
+            (3, ""),                   # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_grams, r.n_distinct, r.rep_ratio) for r in
+           repetition_ratio(docs, n=2).collect()}
+    assert got[0] == (5, 2, 0.6)
+    assert got[1] == (2, 2, 0.0)
+    assert got[2] == (0, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_decontaminate_explicit_eval_set(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # contains eval 3-gram
+            (2, "entirely novel training text here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in
+           decontaminate(train, eval_docs=ev, n=3, threshold=0.3).collect()}
+    # doc 1 has 3 distinct 3-grams, one of which ("quick brown fox") collides
+    assert got[1].n_hit == 1 and got[1].n_grams == 3
+    assert got[1].contaminated is True  # 1/3 >= 0.3
+    assert got[2].n_hit == 0 and got[2].contaminated is False
+
+
+def test_decontaminate_self_sample_excludes_eval_rows(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(0, 10)],
+        "doc_id long, text string",
+    )
+    out = decontaminate(docs, n=3, eval_mod=5).collect()
+    ids = {r.doc_id for r in out}
+    assert 0 not in ids and 5 not in ids  # eval rows excluded from scoring
+    assert len(ids) == 8
