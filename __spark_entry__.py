@@ -765,6 +765,15 @@ def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(spark, lineseq_edges(spark, sf_dir), top_k=10)
 
 
+def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (20 fixed power iterations, L2-normalized)
+    on the undirected line-seq graph."""
+    from neo4j_graph_algorithms_spark.operators.eigenvector import eigenvector
+
+    res = eigenvector(spark, lineseq_edges(spark, sf_dir), max_iterations=20)
+    return res.state.select("vid", F.round("score", 6).alias("score"))
+
+
 def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc duplicate-3-gram fraction (Gopher-style repetition
     quality signal) — single scan, no shuffle."""
@@ -820,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_30": _q_kcore,
         "doc_repetition_ratio": _q_repetition_ratio,
         "doc_decontaminate": _q_decontaminate,
+        "eigenvector_20iter": _q_eigenvector,
         # --- distinct core paths --------------------------------------------
         "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
@@ -836,7 +846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_from_0": _q_sssp,
         "closeness_sampled": _q_closeness,
         "corpus_cocommit_edges": _q_corpus_cocommit,
-        "corpus_cocommit_pagerank": _q_corpus_pagerank,
         "corpus_content_sha": _q_corpus_sha,
         "streaming_cocommit_edges": _q_streaming_cocommit,
         "betweenness_exact": _q_betweenness,
@@ -857,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_shortest_paths_16src": _q_all_shortest_paths,  # MS-BFS path: closeness_sampled + closeness_csr in window; r2 green
         "coorder_edges": _q_coorder_edges,  # derivation re-verified inside every coorder-graph oracle (COORDER_CTES); r1+r2 green
         "shortest_path_nodes": _q_shortest_path_nodes,  # paths family: sssp + delta_stepping + apsp_weighted in window; r2 green
+        "corpus_cocommit_pagerank": _q_corpus_pagerank,  # composition: corpus derivation (cocommit_edges/content_sha) + pagerank (3 gates) both in window; r2 green
         "metapath_schema_full": _q_schema_full,  # r2 green; schema_full_weights (superset path) stays in window
         "metapath_get_schema": _q_get_schema,  # metapath family: len3/schema_full/weights in window; r2 green
         "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
@@ -1005,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_30": oracles.kcore_sql(k=30, rounds=12),
         "doc_repetition_ratio": pipeline_oracles.repetition_ratio_sql(n=3),
         "doc_decontaminate": pipeline_oracles.decontaminate_sql(n=3, threshold=0.05),
+        "eigenvector_20iter": oracles.eigenvector_sql(iterations=20),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

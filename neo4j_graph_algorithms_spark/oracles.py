@@ -1222,3 +1222,29 @@ a{i} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"\nSELECT src AS vid, count(*) AS deg FROM a{rounds} GROUP BY src"
     )
+
+
+def eigenvector_sql(iterations: int = 20) -> str:
+    """Unrolled undamped power iteration (per-step L2 normalization) on the
+    undirected-simple line-seq graph — twin of operators/eigenvector.py."""
+    parts = [
+        NBR_CTES,
+        """everts AS (SELECT vid FROM nbrs UNION SELECT nbr FROM nbrs)""",
+        "x0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS score FROM everts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""xr{i} AS MATERIALIZED (
+  SELECT e.nbr AS vid, sum(x.score) AS s
+  FROM x{i - 1} x JOIN nbrs e ON x.vid = e.vid GROUP BY e.nbr),
+xn{i} AS (SELECT sqrt(sum(s * s)) AS n FROM xr{i}),
+x{i} AS MATERIALIZED (
+  SELECT v.vid,
+         coalesce(r.s, 0) / (CASE WHEN coalesce(xn.n, 0) > 0 THEN xn.n ELSE 1 END) AS score
+  FROM x{i - 1} v LEFT JOIN xr{i} r ON v.vid = r.vid CROSS JOIN xn{i} xn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vid, round(score, 6) AS score FROM x{iterations}"
+    )
