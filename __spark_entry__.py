@@ -765,6 +765,20 @@ def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(spark, lineseq_edges(spark, sf_dir), top_k=10)
 
 
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (teleport set = vids divisible by 50) —
+    random-walk-with-restart proximity to the source set."""
+    edges = lineseq_edges(spark, sf_dir)
+    ef_verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    sources = ef_verts.filter(F.col("vid") % 50 == 0)
+    res = pagerank(spark, edges, max_iterations=20, source_vids=sources)
+    return res.state.select("vid", F.round("rank", 6).alias("rank"))
+
+
 def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (20 fixed power iterations, L2-normalized)
     on the undirected line-seq graph."""
@@ -830,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_ratio": _q_repetition_ratio,
         "doc_decontaminate": _q_decontaminate,
         "eigenvector_20iter": _q_eigenvector,
+        "pagerank_personalized": _q_pagerank_personalized,
         # --- distinct core paths --------------------------------------------
         "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
@@ -850,7 +865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cocommit_edges": _q_streaming_cocommit,
         "betweenness_exact": _q_betweenness,
         "mst_forest": _q_mst,
-        "delta_stepping_from_0": _q_delta_stepping,
         "apsp_weighted_8src": _q_apsp_weighted,
         "graph_reducer_edges": _q_graph_reducer,
         "metapath_schema_full_weights": _q_schema_full_weights,
@@ -867,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coorder_edges": _q_coorder_edges,  # derivation re-verified inside every coorder-graph oracle (COORDER_CTES); r1+r2 green
         "shortest_path_nodes": _q_shortest_path_nodes,  # paths family: sssp + delta_stepping + apsp_weighted in window; r2 green
         "corpus_cocommit_pagerank": _q_corpus_pagerank,  # composition: corpus derivation (cocommit_edges/content_sha) + pagerank (3 gates) both in window; r2 green
+        "delta_stepping_from_0": _q_delta_stepping,  # paths family: sssp + sssp_csr + apsp_weighted in window; r2 green
         "metapath_schema_full": _q_schema_full,  # r2 green; schema_full_weights (superset path) stays in window
         "metapath_get_schema": _q_get_schema,  # metapath family: len3/schema_full/weights in window; r2 green
         "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
@@ -1016,6 +1031,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_ratio": pipeline_oracles.repetition_ratio_sql(n=3),
         "doc_decontaminate": pipeline_oracles.decontaminate_sql(n=3, threshold=0.05),
         "eigenvector_20iter": oracles.eigenvector_sql(iterations=20),
+        "pagerank_personalized": oracles.pagerank_personalized_sql(
+            iterations=20, source_mod=50
+        ),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

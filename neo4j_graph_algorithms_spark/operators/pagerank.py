@@ -53,6 +53,7 @@ def pagerank(
     hub_threshold: int | None = None,
     salt_buckets: int = 16,
     initial_ranks: DataFrame | None = None,
+    source_vids: DataFrame | None = None,
 ) -> SuperstepResult:
     """Return SuperstepResult whose state is [vid, rank, delta].
 
@@ -86,6 +87,15 @@ def pagerank(
     scale 'every commit touches README' vertex; reference precedent:
     high-degree precompute, impl/metapath/MetaPathPrecomputeHighDegreeNodes
     .java).  Results are identical; only the aggregation tree changes.
+
+    `source_vids` ([vid]) switches to PERSONALIZED PageRank (beyond the
+    reference — its successor GDS ships it as pageRank's sourceNodes
+    option): teleport mass lands only on the source set, so scores measure
+    proximity to the sources (random walk with restart).  Same unnormalized
+    convention as the base variant: init rank = delta = alpha ON SOURCES,
+    0 elsewhere — the push loop is IDENTICAL (the teleport vector only
+    enters through the init), so all scale/hint/salting behavior carries
+    over.  Vertices unreachable from the sources score exactly 0.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     alpha = 1.0 - damping_factor
@@ -115,7 +125,16 @@ def pagerank(
 
     verts = vertices.select(VID) if vertices is not None else ef.vertices()
     d = damping_factor
-    if initial_ranks is None:
+    if source_vids is not None and initial_ranks is not None:
+        raise ValueError("source_vids and initial_ranks are mutually exclusive")
+    if source_vids is not None:
+        is_src = source_vids.select(VID).distinct().withColumn("_s", F.lit(1))
+        state0 = verts.join(is_src.hint("shuffle_hash"), on=VID, how="left").select(
+            F.col(VID),
+            F.when(F.col("_s").isNotNull(), F.lit(alpha)).otherwise(F.lit(0.0)).alias(RANK),
+            F.when(F.col("_s").isNotNull(), F.lit(alpha)).otherwise(F.lit(0.0)).alias(DELTA),
+        )
+    elif initial_ranks is None:
         state0 = verts.select(
             F.col(VID),
             F.lit(alpha).alias(RANK),

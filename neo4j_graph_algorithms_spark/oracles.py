@@ -1248,3 +1248,36 @@ x{i} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"\nSELECT vid, round(score, 6) AS score FROM x{iterations}"
     )
+
+
+def pagerank_personalized_sql(
+    iterations: int = 20, damping: float = 0.85, source_mod: int = 50
+) -> str:
+    """Unrolled PERSONALIZED PageRank (teleport only to vid % source_mod == 0)
+    on the line-seq multigraph — twin of operators/pagerank.py(source_vids=...).
+    Identical push recurrence to pagerank_sql; only r0 differs."""
+    alpha = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "deg AS (SELECT src, count(*) AS outdeg FROM lineseq GROUP BY src)",
+        "ewd AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv FROM lineseq e JOIN deg d USING (src))",
+        f"""r0 AS MATERIALIZED (
+  SELECT vid,
+         CASE WHEN vid % {source_mod} = 0 THEN CAST({alpha} AS DOUBLE) ELSE 0.0 END AS rank,
+         CASE WHEN vid % {source_mod} = 0 THEN CAST({alpha} AS DOUBLE) ELSE 0.0 END AS delta
+  FROM verts)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.delta * e.inv) AS s
+  FROM r{i - 1} r JOIN ewd e ON r.vid = e.src WHERE r.delta > 0 GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT v.vid, v.rank + {d} * coalesce(s.s, 0) AS rank, {d} * coalesce(s.s, 0) AS delta
+  FROM r{i - 1} v LEFT JOIN s{i} s ON v.vid = s.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vid, round(rank, 6) AS rank FROM r{iterations}"
+    )

@@ -6,6 +6,8 @@ golden values and assert 1e-6 self-consistency across partition counts.
 
 import math
 
+import pytest
+
 from neo4j_graph_algorithms_spark.operators.pagerank import pagerank, pagerank_scores
 from tests.conftest import F1_EXPECTED, F2_EXPECTED, collect_map, edge_df
 
@@ -141,3 +143,23 @@ def test_pagerank_warm_start_same_graph_instant(spark, f1_pagerank_wiki):
     for name in ids:
         assert math.isclose(a[name], b[name], rel_tol=0, abs_tol=1e-6), name
     assert len(warm.metrics) <= 8  # residual ~1e-13: metric_every=4 window
+
+
+def test_personalized_pagerank_mass_only_near_sources(spark):
+    # two disconnected directed chains: 0→1→2 and 10→11→12
+    edges = edge_df(spark, [(0, 1), (1, 2), (10, 11), (11, 12)])
+    res = pagerank(spark, edges, max_iterations=20, source_vids=spark.createDataFrame([(0,)], "vid long"))
+    got = {r["vid"]: r["rank"] for r in res.state.collect()}
+    # component of 0 carries the classic chain masses; 10's component is 0
+    assert got[0] == pytest.approx(0.15)
+    assert got[1] == pytest.approx(0.15 * 0.85)
+    assert got[2] == pytest.approx(0.15 * 0.85 * 0.85)
+    assert got[10] == got[11] == got[12] == 0.0
+
+
+def test_personalized_sources_with_initial_ranks_rejected(spark):
+    edges = edge_df(spark, [(0, 1)])
+    src = spark.createDataFrame([(0,)], "vid long")
+    with pytest.raises(ValueError):
+        pagerank(spark, edges, source_vids=src,
+                 initial_ranks=spark.createDataFrame([(0, 1.0)], "vid long, rank double"))
