@@ -779,6 +779,29 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction.  The synthetic corpus carries no PII, so the
+    gate deterministically injects an email + IPv4 + phone per doc (the
+    identical concat runs in the DuckDB twin) — the redaction regexes are
+    exercised for real, not pass-through."""
+    from neo4j_graph_algorithms_spark.pipeline.text import pii_scrub
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 tel +1 555-01"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
 def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (20 fixed power iterations, L2-normalized)
     on the undirected line-seq graph."""
@@ -845,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_decontaminate,
         "eigenvector_20iter": _q_eigenvector,
         "pagerank_personalized": _q_pagerank_personalized,
+        "doc_pii_scrub": _q_pii_scrub,
         # --- distinct core paths --------------------------------------------
         "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
@@ -866,7 +890,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_exact": _q_betweenness,
         "mst_forest": _q_mst,
         "apsp_weighted_8src": _q_apsp_weighted,
-        "graph_reducer_edges": _q_graph_reducer,
         "metapath_schema_full_weights": _q_schema_full_weights,
         # Tier B CSR twins added this round — never driver-verified, so they
         # outrank the r2-green metapath/louvain variants rotated to the tail
@@ -882,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_path_nodes": _q_shortest_path_nodes,  # paths family: sssp + delta_stepping + apsp_weighted in window; r2 green
         "corpus_cocommit_pagerank": _q_corpus_pagerank,  # composition: corpus derivation (cocommit_edges/content_sha) + pagerank (3 gates) both in window; r2 green
         "delta_stepping_from_0": _q_delta_stepping,  # paths family: sssp + sssp_csr + apsp_weighted in window; r2 green
+        "graph_reducer_edges": _q_graph_reducer,  # plain filter+semi-join projection; r2 green; label_dictionary (same module) in tail
         "metapath_schema_full": _q_schema_full,  # r2 green; schema_full_weights (superset path) stays in window
         "metapath_get_schema": _q_get_schema,  # metapath family: len3/schema_full/weights in window; r2 green
         "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
@@ -1034,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized": oracles.pagerank_personalized_sql(
             iterations=20, source_mod=50
         ),
+        "doc_pii_scrub": pipeline_oracles.pii_scrub_sql(inject=True),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

@@ -663,3 +663,38 @@ SELECT doc_id, n_grams, n_hit,
        round(n_hit * 1.0 / n_grams, 6) AS overlap,
        n_hit * 1.0 / n_grams >= {threshold} AS contaminated
 FROM hits"""
+
+
+PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_SQL = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+PII_PHONE_SQL = "\\+?\\d[\\d\\- ]{7,}\\d"
+
+
+def pii_scrub_sql(inject: bool = True) -> str:
+    """Staged regex PII scrub — twin of text.py:pii_scrub.  `inject=True`
+    appends deterministic synthetic PII per doc (the testdata corpus has
+    none) so the gate actually exercises the redaction regexes."""
+    base = (
+        """SELECT doc_id, text || ' reach user' || doc_id ||
+       '@example.com or 10.0.' || (doc_id % 200) || '.7 tel +1 555-01' ||
+       (doc_id % 90 + 10) || ' now' AS text FROM documents"""
+        if inject
+        else "SELECT doc_id, text FROM documents"
+    )
+    return f"""WITH d0 AS ({base}),
+d1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL_SQL}')) AS n_email,
+         regexp_replace(text, '{PII_EMAIL_SQL}', '<EMAIL>', 'g') AS t1
+  FROM d0),
+d2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{PII_IPV4_SQL}')) AS n_ipv4,
+         regexp_replace(t1, '{PII_IPV4_SQL}', '<IP>', 'g') AS t2
+  FROM d1),
+d3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t2, '{PII_PHONE_SQL}')) AS n_phone,
+         regexp_replace(t2, '{PII_PHONE_SQL}', '<PHONE>', 'g') AS t3
+  FROM d2)
+SELECT doc_id, t3 AS text_clean, n_email, n_ipv4, n_phone FROM d3"""

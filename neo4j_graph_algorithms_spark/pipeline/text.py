@@ -397,3 +397,40 @@ def decontaminate(
         F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("overlap"),
         (F.col("n_hit") / F.col("n_grams") >= threshold).alias("contaminated"),
     )
+
+
+# PII scrub patterns — RE2-compatible (DuckDB) AND java.util.regex-compatible
+# (Spark) subset: no backrefs, no lookaround.  Order matters: emails first
+# (their local part can contain digits), then IPv4 (dotted digits would
+# otherwise match the phone pattern), then phones on the already-scrubbed
+# text.  Counts are taken stage-by-stage on the CURRENT text so a token is
+# never double-counted.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, text_clean, n_email, n_ipv4, n_phone] — regex PII redaction
+    (emails → <EMAIL>, IPv4 → <IP>, phone-like runs → <PHONE>), the standard
+    pre-training scrub pass (e.g. BigScience ROOTS pipeline,
+    arXiv:2303.03915 §3).  Pure column expressions — regexp_count /
+    regexp_replace run JVM-side in whole-stage codegen; a 100 TB corpus
+    scrub is a single scan with zero shuffle.
+    """
+    t0 = F.col(text_col)
+    n_email = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ipv4 = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        t3.alias("text_clean"),
+        n_email.alias("n_email"),
+        n_ipv4.alias("n_ipv4"),
+        n_phone.alias("n_phone"),
+    )

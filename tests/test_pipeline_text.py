@@ -201,3 +201,35 @@ def test_decontaminate_self_sample_excludes_eval_rows(spark):
     ids = {r.doc_id for r in out}
     assert 0 not in ids and 5 not in ids  # eval rows excluded from scoring
     assert len(ids) == 8
+
+
+def test_pii_scrub_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@corp.example.org thanks"),
+            (1, "server 192.168.1.10 and 10.0.0.1 are up"),
+            (2, "call +1 555-0199 1234 today"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[0].n_email == 1 and "<EMAIL>" in got[0].text_clean
+    assert "jane.doe" not in got[0].text_clean
+    assert got[1].n_ipv4 == 2 and got[1].text_clean.count("<IP>") == 2
+    assert got[2].n_phone == 1 and "<PHONE>" in got[2].text_clean
+    assert got[3].text_clean == "clean text only"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
+
+
+def test_pii_scrub_ip_not_double_counted_as_phone(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(0, "ip 172.16.254.113 only")], "doc_id long, text string"
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert r.n_ipv4 == 1 and r.n_phone == 0
+    assert r.text_clean == "ip <IP> only"
