@@ -779,6 +779,17 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def _q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style fixed-fanout 2-layer neighborhood sample (fanouts
+    3,2) — deterministic universal-hash ranking, bit-identical to the
+    DuckDB twin."""
+    from neo4j_graph_algorithms_spark.operators.walks import khop_fanout_sample
+
+    return khop_fanout_sample(
+        spark, lineseq_edges(spark, sf_dir), fanouts=(3, 2), seed=42
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex PII redaction.  The synthetic corpus carries no PII, so the
     gate deterministically injects an email + IPv4 + phone per doc (the
@@ -869,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_20iter": _q_eigenvector,
         "pagerank_personalized": _q_pagerank_personalized,
         "doc_pii_scrub": _q_pii_scrub,
+        "graph_khop_sample": _q_khop_sample,
         # --- distinct core paths --------------------------------------------
         "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
@@ -890,7 +902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_exact": _q_betweenness,
         "mst_forest": _q_mst,
         "apsp_weighted_8src": _q_apsp_weighted,
-        "metapath_schema_full_weights": _q_schema_full_weights,
         # Tier B CSR twins added this round — never driver-verified, so they
         # outrank the r2-green metapath/louvain variants rotated to the tail
         "sssp_csr_from_0": _q_sssp_csr,
@@ -906,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cocommit_pagerank": _q_corpus_pagerank,  # composition: corpus derivation (cocommit_edges/content_sha) + pagerank (3 gates) both in window; r2 green
         "delta_stepping_from_0": _q_delta_stepping,  # paths family: sssp + sssp_csr + apsp_weighted in window; r2 green
         "graph_reducer_edges": _q_graph_reducer,  # plain filter+semi-join projection; r2 green; label_dictionary (same module) in tail
+        "metapath_schema_full_weights": _q_schema_full_weights,  # schema-graph enumeration: metapath_len3 (instance engine) in window, schema_full sibling in tail; r2 green
         "metapath_schema_full": _q_schema_full,  # r2 green; schema_full_weights (superset path) stays in window
         "metapath_get_schema": _q_get_schema,  # metapath family: len3/schema_full/weights in window; r2 green
         "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
@@ -1059,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
             iterations=20, source_mod=50
         ),
         "doc_pii_scrub": pipeline_oracles.pii_scrub_sql(inject=True),
+        "graph_khop_sample": oracles.khop_fanout_sql(fanouts=(3, 2), seed=42),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

@@ -143,3 +143,60 @@ def walk_skipgram_pairs(
         .filter((F.col("offset") >= lo) & (F.col("offset") <= window) & (F.col("offset") != 0))
         .select("walk_id", "center", "context", "offset")
     )
+
+
+def khop_fanout_sample(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    fanouts: list[int] | tuple[int, ...] = (3, 2),
+    seed: int = 42,
+    roots: DataFrame | None = None,
+) -> DataFrame:
+    """[layer, src, dst] — GraphSAGE-style fixed-fanout k-hop neighborhood
+    sample (Hamilton et al., arXiv:1706.02216 §3.1): layer l keeps at most
+    fanouts[l-1] out-neighbors per frontier vertex; the next frontier is the
+    distinct sampled targets.
+
+    Deterministic like `random_walks`: each neighbor is ranked by a
+    universal hash of (src, dst, layer, seed) — ties by dst — so any engine
+    reproduces the identical sample and a resumed job cannot drift.
+
+    Scale shape: per layer one semi-join (adjacency × frontier) and one
+    window PARTITIONED BY src (bounded by neighborhood size — never a
+    global sort); the adjacency is cached pre-partitioned on src so only
+    the (bounded) frontier shuffles.  Per-root subtree tracking
+    is intentionally NOT materialized (that explodes multiplicatively at
+    10^12 edges); consumers join layers back by walking sampled edges.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    adj = ef.df.select(SRC, DST).distinct().repartition(SRC).persist()
+    adj.count()
+    frontier = (
+        roots.select(F.col(roots.columns[0]).alias(SRC)).distinct()
+        if roots is not None
+        else adj.select(SRC).distinct()
+    )
+    layers: list[DataFrame] = []
+    for layer, fanout in enumerate(fanouts, start=1):
+        cand = adj.join(frontier.hint("shuffle_hash"), on=SRC, how="left_semi")
+        h = F.pmod(
+            F.pmod(F.col(SRC), F.lit(WALK_P)) * A_CUR
+            + F.pmod(F.col(DST), F.lit(WALK_P)) * A_WALK
+            + F.lit(layer) * A_STEP
+            + F.lit(seed) * A_SEED,
+            F.lit(WALK_P),
+        )
+        w = Window.partitionBy(SRC).orderBy(h.asc(), F.col(DST).asc())
+        picked = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= fanout)
+            .select(F.lit(layer).alias("layer"), SRC, DST)
+            .localCheckpoint(eager=True)
+        )
+        layers.append(picked)
+        frontier = picked.select(F.col(DST).alias(SRC)).distinct()
+    adj.unpersist()
+    out = layers[0]
+    for part in layers[1:]:
+        out = out.unionByName(part)
+    return out

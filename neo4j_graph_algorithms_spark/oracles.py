@@ -1281,3 +1281,42 @@ r{i} AS MATERIALIZED (
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT vid, round(rank, 6) AS rank FROM r{iterations}"
     )
+
+
+def khop_fanout_sql(
+    fanouts: tuple[int, ...] = (3, 2), seed: int = 42
+) -> str:
+    """Unrolled GraphSAGE-style fixed-fanout sample on the line-seq graph —
+    twin of operators/walks.py:khop_fanout_sample (identical universal-hash
+    neighbor ranking, so the sampled edge set is bit-identical)."""
+    from neo4j_graph_algorithms_spark.operators.walks import (
+        A_CUR,
+        A_SEED,
+        A_STEP,
+        A_WALK,
+        WALK_P,
+    )
+
+    parts = [
+        LINESEQ_CTES,
+        "adj AS (SELECT DISTINCT src, dst FROM lineseq)",
+        "f0 AS (SELECT DISTINCT src FROM adj)",
+    ]
+    selects = []
+    for layer, fanout in enumerate(fanouts, start=1):
+        parts.append(
+            f"""c{layer} AS (
+  SELECT a.src, a.dst,
+         ((a.src % {WALK_P}) * {A_CUR} + (a.dst % {WALK_P}) * {A_WALK}
+          + {layer} * {A_STEP} + {seed} * {A_SEED}) % {WALK_P} AS h
+  FROM adj a JOIN f{layer - 1} f ON a.src = f.src),
+p{layer} AS MATERIALIZED (
+  SELECT {layer} AS layer, src, dst
+  FROM (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY h ASC, dst ASC) AS rn
+        FROM c{layer})
+  WHERE rn <= {fanout}),
+f{layer} AS (SELECT DISTINCT dst AS src FROM p{layer})"""
+        )
+        selects.append(f"SELECT layer, src, dst FROM p{layer}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)

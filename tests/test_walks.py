@@ -73,3 +73,45 @@ def test_skipgram_pairs_window(spark):
     # unordered mode keeps only positive offsets
     half = walk_skipgram_pairs(walks, window=2, ordered=False).collect()
     assert all(r.offset >= 1 for r in half)
+
+
+# -- k-hop fixed-fanout sampling -------------------------------------------------
+
+
+def test_khop_fanout_caps_per_vertex(spark):
+    from neo4j_graph_algorithms_spark.operators.walks import khop_fanout_sample
+    from tests.conftest import edge_df
+
+    # vertex 0 has 5 out-neighbors; fanout 3 keeps exactly 3
+    pairs = [(0, i) for i in range(1, 6)] + [(1, 10), (2, 11)]
+    out = khop_fanout_sample(spark, edge_df(spark, pairs), fanouts=(3,)).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["src"], set()).add(r["dst"])
+    assert len(per_src[0]) == 3
+    assert all(len(v) <= 3 for v in per_src.values())
+
+
+def test_khop_layer2_expands_only_from_sampled_frontier(spark):
+    from neo4j_graph_algorithms_spark.operators.walks import khop_fanout_sample
+    from tests.conftest import edge_df
+
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    out = khop_fanout_sample(
+        spark, edge_df(spark, pairs), fanouts=(1, 1),
+        roots=edge_df(spark, pairs).sparkSession.createDataFrame([(0,)], "vid long"),
+    ).collect()
+    got = {(r["layer"], r["src"], r["dst"]) for r in out}
+    assert got == {(1, 0, 1), (2, 1, 2)}
+
+
+def test_khop_deterministic_across_runs(spark):
+    from neo4j_graph_algorithms_spark.operators.walks import khop_fanout_sample
+    from tests.conftest import edge_df
+
+    pairs = [(i, j) for i in range(8) for j in range(8) if i != j]
+    a = sorted(map(tuple, khop_fanout_sample(spark, edge_df(spark, pairs), fanouts=(2, 2), seed=7).collect()))
+    b = sorted(map(tuple, khop_fanout_sample(spark, edge_df(spark, pairs), fanouts=(2, 2), seed=7).collect()))
+    c = sorted(map(tuple, khop_fanout_sample(spark, edge_df(spark, pairs), fanouts=(2, 2), seed=8).collect()))
+    assert a == b
+    assert a != c  # different seed samples differently
