@@ -779,6 +779,15 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def _q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality: directed multigraph out/in degrees + the
+    undirected-simple BOTH degree (the skew-audit table hub thresholds
+    come from)."""
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_centrality
+
+    return degree_centrality(spark, lineseq_edges(spark, sf_dir))
+
+
 def _q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style fixed-fanout 2-layer neighborhood sample (fanouts
     3,2) — deterministic universal-hash ranking, bit-identical to the
@@ -881,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "doc_pii_scrub": _q_pii_scrub,
         "graph_khop_sample": _q_khop_sample,
+        "degree_centrality": _q_degree_centrality,
         # --- distinct core paths --------------------------------------------
         "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
@@ -894,7 +904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": _q_random_walks,
         "louvain_fixed2_planted": _q_louvain_fixed,
         "scc_components": _q_scc,
-        "sssp_from_0": _q_sssp,
         "closeness_sampled": _q_closeness,
         "corpus_cocommit_edges": _q_corpus_cocommit,
         "corpus_content_sha": _q_corpus_sha,
@@ -915,7 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coorder_edges": _q_coorder_edges,  # derivation re-verified inside every coorder-graph oracle (COORDER_CTES); r1+r2 green
         "shortest_path_nodes": _q_shortest_path_nodes,  # paths family: sssp + delta_stepping + apsp_weighted in window; r2 green
         "corpus_cocommit_pagerank": _q_corpus_pagerank,  # composition: corpus derivation (cocommit_edges/content_sha) + pagerank (3 gates) both in window; r2 green
-        "delta_stepping_from_0": _q_delta_stepping,  # paths family: sssp + sssp_csr + apsp_weighted in window; r2 green
+        "sssp_from_0": _q_sssp,  # r1+r2 green; sssp_csr (Tier B twin, same semantics+oracle) and apsp_weighted in window
+        "delta_stepping_from_0": _q_delta_stepping,  # paths family: sssp_csr + apsp_weighted in window; r2 green
         "graph_reducer_edges": _q_graph_reducer,  # plain filter+semi-join projection; r2 green; label_dictionary (same module) in tail
         "metapath_schema_full_weights": _q_schema_full_weights,  # schema-graph enumeration: metapath_len3 (instance engine) in window, schema_full sibling in tail; r2 green
         "metapath_schema_full": _q_schema_full,  # r2 green; schema_full_weights (superset path) stays in window
@@ -1072,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_pii_scrub": pipeline_oracles.pii_scrub_sql(inject=True),
         "graph_khop_sample": oracles.khop_fanout_sql(fanouts=(3, 2), seed=42),
+        "degree_centrality": oracles.degree_centrality_sql(),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

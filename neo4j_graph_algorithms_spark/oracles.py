@@ -1320,3 +1320,26 @@ f{layer} AS (SELECT DISTINCT dst AS src FROM p{layer})"""
         )
         selects.append(f"SELECT layer, src, dst FROM p{layer}")
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def degree_centrality_sql() -> str:
+    """Directed multigraph out/in degrees + undirected-simple degree on the
+    line-seq graph — twin of operators/degrees.py:degree_centrality."""
+    return f"""WITH {LINESEQ_CTES},
+{LINESEQ_VERTS},
+outd AS (SELECT src AS vid, count(*) AS out_deg FROM lineseq GROUP BY src),
+ind AS (SELECT dst AS vid, count(*) AS in_deg FROM lineseq GROUP BY dst),
+und AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+        FROM lineseq WHERE src <> dst),
+both_d AS (
+  SELECT vid, count(*) AS deg FROM (
+    SELECT s AS vid FROM und UNION ALL SELECT d AS vid FROM und) x
+  GROUP BY vid)
+SELECT v.vid,
+       coalesce(o.out_deg, 0) AS out_deg,
+       coalesce(i.in_deg, 0) AS in_deg,
+       coalesce(b.deg, 0) AS deg
+FROM verts v
+LEFT JOIN outd o ON v.vid = o.vid
+LEFT JOIN ind i ON v.vid = i.vid
+LEFT JOIN both_d b ON v.vid = b.vid"""

@@ -88,3 +88,20 @@ def test_delta_stepping_superstep_never_broadcasts_state(spark, monkeypatch):
             assert "Exchange SinglePartition" in below, (
                 "broadcast whose build side is not the 1-row cursor:\n" + below
             )
+
+
+def test_eigenvector_superstep_never_broadcasts_state(spark):
+    from neo4j_graph_algorithms_spark.operators.eigenvector import eigenvector
+
+    res = eigenvector(spark, edge_df(spark, _PAIRS), max_iterations=2)
+    # the L2-norm fold broadcasts a 1-row SCALAR (BroadcastNestedLoopJoin) —
+    # that is the right plan; what must never appear is a BroadcastHashJoin
+    # building the |V|-sized score relation on the driver
+    _assert_no_state_broadcast(res.first_plan)
+
+
+def test_kcore_superstep_never_broadcasts_state(spark):
+    from neo4j_graph_algorithms_spark.operators.kcore import kcore
+
+    res = kcore(spark, edge_df(spark, _PAIRS), k=2, max_iterations=2)
+    _assert_no_state_broadcast(res.first_plan)
