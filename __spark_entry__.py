@@ -779,6 +779,26 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) sessionization of the events table — batch twin
+    of streaming session_window grouping."""
+    from neo4j_graph_algorithms_spark.pipeline.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30.0)
+
+
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window per-type event aggregate — batch twin of the
+    watermarked streaming window."""
+    from neo4j_graph_algorithms_spark.pipeline.events import (
+        windowed_event_aggregate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_aggregate(ev, window_minutes=60)
+
+
 def _q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree centrality: directed multigraph out/in degrees + the
     undirected-simple BOTH degree (the skew-audit table hub thresholds
@@ -891,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _q_pii_scrub,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
+        "events_sessionize": _q_sessionize,
+        "events_windowed_agg": _q_windowed_events,
         # --- distinct core paths --------------------------------------------
         "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
@@ -899,12 +921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": _q_lpa,
         "lpa_csr_3iter": _q_lpa_csr,
         "metapath_len3": _q_metapath,
-        "pagerank_csr_20iter": _q_pagerank_csr,
         "hyperball_est_r2": _q_hyperball,
         "graph_random_walks": _q_random_walks,
         "louvain_fixed2_planted": _q_louvain_fixed,
         "scc_components": _q_scc,
-        "closeness_sampled": _q_closeness,
         "corpus_cocommit_edges": _q_corpus_cocommit,
         "corpus_content_sha": _q_corpus_sha,
         "streaming_cocommit_edges": _q_streaming_cocommit,
@@ -931,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath_schema_full": _q_schema_full,  # r2 green; schema_full_weights (superset path) stays in window
         "metapath_get_schema": _q_get_schema,  # metapath family: len3/schema_full/weights in window; r2 green
         "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
+        "pagerank_csr_20iter": _q_pagerank_csr,  # Tier B runtime: 4 sibling CSR kernels (lpa/sssp/closeness/triangle) in window; r2 green
+        "closeness_sampled": _q_closeness,  # Tier A MS-BFS: closeness_csr (Tier B twin, same semantics+oracle) in window; r2 green
         "louvain_communities": _q_louvain,  # no_oracle by design (heuristic loop): rows-only row adds little over fixed2_planted + q_invariant in window
         "metapath_filtered": _q_metapath_filter,  # metapath family in window; r2 green
         "clustering_coefficient": _q_clustering_coefficient,  # triangles.py path: triangle_total in window; r2 green
@@ -1083,6 +1105,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": pipeline_oracles.pii_scrub_sql(inject=True),
         "graph_khop_sample": oracles.khop_fanout_sql(fanouts=(3, 2), seed=42),
         "degree_centrality": oracles.degree_centrality_sql(),
+        "events_sessionize": pipeline_oracles.sessionize_sql(gap_minutes=30.0),
+        "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(
+            window_minutes=60
+        ),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

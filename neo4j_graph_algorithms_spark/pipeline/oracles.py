@@ -698,3 +698,42 @@ d3 AS (
          regexp_replace(t2, '{PII_PHONE_SQL}', '<PHONE>', 'g') AS t3
   FROM d2)
 SELECT doc_id, t3 AS text_clean, n_email, n_ipv4, n_phone FROM d3"""
+
+
+def sessionize_sql(gap_minutes: float = 30.0) -> str:
+    """Gap-based sessionization of the events table — twin of
+    events.py:sessionize (full-precision ts ordering, second-truncated
+    gap comparison)."""
+    gap_s = repr(gap_minutes * 60.0)
+    return f"""WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+  FROM events),
+m AS (
+  SELECT *,
+         CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) <= {gap_s}
+              THEN 0 ELSE 1 END AS newsess
+  FROM e),
+s AS (
+  SELECT *, sum(newsess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM m)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ep) AS t_start, max(ep) AS t_end,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_id"""
+
+
+def windowed_event_aggregate_sql(window_minutes: int = 60) -> str:
+    """Tumbling-window per-type aggregate — twin of
+    events.py:windowed_event_aggregate."""
+    win_s = window_minutes * 60
+    return f"""WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type, value FROM events)
+SELECT (ep // {win_s}) * {win_s} AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       round(max(value), 6) AS max_value
+FROM e GROUP BY 1, 2"""

@@ -1,0 +1,75 @@
+"""Event sessionization + tumbling windows (pipeline/events.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from neo4j_graph_algorithms_spark.pipeline.events import (
+    sessionize,
+    windowed_event_aggregate,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    """rows: (event_id, minutes_offset, user_id, event_type, value)"""
+    data = [
+        (eid, T0 + dt.timedelta(minutes=m), uid, et, v)
+        for eid, m, uid, et, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_gap_splits(spark):
+    ev = _events(spark, [
+        (0, 0.0, 1, "view", 1.0),
+        (1, 10.0, 1, "click", 2.0),     # 10 min gap → same session
+        (2, 50.0, 1, "view", 4.0),      # 40 min gap → new session
+        (3, 55.0, 1, "buy", 8.0),
+        (4, 0.0, 2, "view", 1.5),       # other user: own sessions
+    ])
+    got = {(r.user_id, r.session_id): r for r in sessionize(ev, gap_minutes=30).collect()}
+    assert got[(1, 0)].n_events == 2 and got[(1, 0)].total_value == 3.0
+    assert got[(1, 1)].n_events == 2 and got[(1, 1)].total_value == 12.0
+    assert got[(2, 0)].n_events == 1
+    # session bounds are epoch seconds
+    assert got[(1, 1)].t_end - got[(1, 1)].t_start == 5 * 60
+
+
+def test_sessionize_gap_boundary_inclusive(spark):
+    # exactly-30-min gap stays in the same session (<= gap)
+    ev = _events(spark, [(0, 0.0, 1, "a", 1.0), (1, 30.0, 1, "b", 1.0)])
+    out = sessionize(ev, gap_minutes=30).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_sessionize_hot_user_cap_warns(spark):
+    ev = _events(spark, [(i, float(i), 1, "x", 1.0) for i in range(10)])
+    with pytest.warns(RuntimeWarning, match="exceed"):
+        out = sessionize(ev, gap_minutes=30, max_events_per_user=4).collect()
+    assert sum(r.n_events for r in out) == 4
+
+
+def test_windowed_aggregate_hand_values(spark):
+    ev = _events(spark, [
+        (0, 0.0, 1, "view", 1.0),
+        (1, 59.0, 2, "view", 2.0),      # same hour, same type
+        (2, 61.0, 3, "view", 4.0),      # next hour
+        (3, 5.0, 4, "click", 8.0),      # same hour, other type
+    ])
+    got = {(r.window_start, r.event_type): r for r in
+           windowed_event_aggregate(ev, window_minutes=60).collect()}
+    base = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # note: unix_timestamp uses the session tz; recompute base from output
+    starts = sorted({k[0] for k in got})
+    first, second = starts[0], starts[-1]
+    assert second - first == 3600
+    assert got[(first, "view")].n_events == 2
+    assert got[(first, "view")].total_value == 3.0
+    assert got[(second, "view")].n_events == 1
+    assert got[(first, "click")].max_value == 8.0
