@@ -779,6 +779,15 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("rank", 6).alias("rank"))
 
 
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (GDS relationshipWeight behavior) on the co-order
+    graph whose weights are shared-order counts."""
+    res = pagerank(
+        spark, coorder_edges(spark, sf_dir), max_iterations=20, weighted=True
+    )
+    return res.state.select("vid", F.round("rank", 6).alias("rank"))
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based (30 min) sessionization of the events table — batch twin
     of streaming session_window grouping."""
@@ -913,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_centrality": _q_degree_centrality,
         "events_sessionize": _q_sessionize,
         "events_windowed_agg": _q_windowed_events,
+        "pagerank_weighted": _q_pagerank_weighted,
         # --- distinct core paths --------------------------------------------
         "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
@@ -929,7 +939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_content_sha": _q_corpus_sha,
         "streaming_cocommit_edges": _q_streaming_cocommit,
         "betweenness_exact": _q_betweenness,
-        "mst_forest": _q_mst,
         "apsp_weighted_8src": _q_apsp_weighted,
         # Tier B CSR twins added this round — never driver-verified, so they
         # outrank the r2-green metapath/louvain variants rotated to the tail
@@ -968,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_language_id": _q_language_id,  # pure column exprs: quality_score in window
         "doc_token_count": _q_token_count,  # pure column exprs: subword_count in window
         "modularity_vid_mod7": _q_modularity,  # modularity path: louvain_q_invariant
+        "mst_forest": _q_mst,  # r2 green; mst_stats (same Borůvka run) in tail; runner checkpoints pinned by pytest
         "wcc_stats": _q_wcc_stats,
         "wcc_threshold2": _q_wcc_threshold,
         "wcc_mscoloring": _q_mscoloring,
@@ -1109,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(
             window_minutes=60
         ),
+        "pagerank_weighted": oracles.pagerank_weighted_sql(iterations=20),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

@@ -54,6 +54,7 @@ def pagerank(
     salt_buckets: int = 16,
     initial_ranks: DataFrame | None = None,
     source_vids: DataFrame | None = None,
+    weighted: bool = False,
 ) -> SuperstepResult:
     """Return SuperstepResult whose state is [vid, rank, delta].
 
@@ -96,21 +97,39 @@ def pagerank(
     0 elsewhere — the push loop is IDENTICAL (the teleport vector only
     enters through the init), so all scale/hint/salting behavior carries
     over.  Vertices unreachable from the sources score exactly 0.
+
+    `weighted=True` pushes mass proportionally to edge weight (the GDS
+    relationshipWeightProperty behavior; the reference's own loader carries
+    weights the same way, core/.../RawValues.java accumulateWeights):
+    inv_deg becomes w(u,v)/Σ_out w(u) — the static edge-side build changes,
+    the superstep loop does not.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     alpha = 1.0 - damping_factor
+    from neo4j_graph_algorithms_spark.graph import WEIGHT
 
     # --- static side: out-degrees folded onto the edge table, built once ----
-    out_deg = ef.df.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("outdeg"))
+    if weighted:
+        out_deg = ef.df.groupBy(F.col(SRC).alias(VID)).agg(
+            F.sum(WEIGHT).alias("outdeg")
+        )
+        push_num = F.col(WEIGHT)
+        cols = [SRC, DST, WEIGHT]
+    else:
+        out_deg = ef.df.groupBy(F.col(SRC).alias(VID)).agg(
+            F.count("*").alias("outdeg")
+        )
+        push_num = F.lit(1.0)
+        cols = [SRC, DST]
     edges_wd = (
-        ef.df.select(SRC, DST)
+        ef.df.select(*cols)
         # shuffle_hash: out_deg is |V|-sized — broadcasting it in the build
         # join is as wrong at scale as broadcasting state in a superstep
         .join(
             out_deg.select(F.col(VID).alias(SRC), "outdeg").hint("shuffle_hash"),
             on=SRC,
         )
-        .select(SRC, DST, (F.lit(1.0) / F.col("outdeg")).alias("inv_deg"))
+        .select(SRC, DST, (push_num / F.col("outdeg")).alias("inv_deg"))
     )
     if hub_threshold is not None:
         # static salt column: salt = hash(src) % buckets on hub-destined

@@ -1343,3 +1343,30 @@ FROM verts v
 LEFT JOIN outd o ON v.vid = o.vid
 LEFT JOIN ind i ON v.vid = i.vid
 LEFT JOIN both_d b ON v.vid = b.vid"""
+
+
+def pagerank_weighted_sql(iterations: int = 20, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED PageRank on the co-order graph (weights = shared
+    order counts) — twin of operators/pagerank.py(weighted=True): mass
+    pushes proportionally to w(u,v)/Σ_out w(u)."""
+    alpha = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        COORDER_CTES,
+        COORDER_VERTS,
+        "wdeg AS (SELECT src, sum(weight) AS wsum FROM coorder GROUP BY src)",
+        "ewd AS (SELECT e.src, e.dst, e.weight / d.wsum AS inv FROM coorder e JOIN wdeg d USING (src))",
+        f"r0 AS MATERIALIZED (SELECT vid, CAST({alpha} AS DOUBLE) AS rank, CAST({alpha} AS DOUBLE) AS delta FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.delta * e.inv) AS s
+  FROM r{i - 1} r JOIN ewd e ON r.vid = e.src WHERE r.delta > 0 GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT v.vid, v.rank + {d} * coalesce(s.s, 0) AS rank, {d} * coalesce(s.s, 0) AS delta
+  FROM r{i - 1} v LEFT JOIN s{i} s ON v.vid = s.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vid, round(rank, 6) AS rank FROM r{iterations}"
+    )

@@ -163,3 +163,19 @@ def test_personalized_sources_with_initial_ranks_rejected(spark):
     with pytest.raises(ValueError):
         pagerank(spark, edges, source_vids=src,
                  initial_ranks=spark.createDataFrame([(0, 1.0)], "vid long, rank double"))
+
+
+def test_weighted_pagerank_follows_weights(spark):
+    # star out of 0: heavy edge to 1 (w=3), light to 2 (w=1)
+    edges = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    res = pagerank(spark, edges, max_iterations=20, weighted=True)
+    got = {r["vid"]: r["rank"] for r in res.state.collect()}
+    # one push from 0: rank(1) = 0.15 + 0.85*0.15*(3/4); rank(2) uses 1/4
+    assert got[1] == pytest.approx(0.15 + 0.85 * 0.15 * 0.75)
+    assert got[2] == pytest.approx(0.15 + 0.85 * 0.15 * 0.25)
+    # unweighted run treats them equally
+    res_u = pagerank(spark, edges, max_iterations=20, weighted=False)
+    got_u = {r["vid"]: r["rank"] for r in res_u.state.collect()}
+    assert got_u[1] == pytest.approx(got_u[2])
