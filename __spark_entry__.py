@@ -93,6 +93,18 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased second-order walk corpus (p=2 discourages returning,
+    q=0.5 encourages exploring) — integer-scaled weights keep the engine
+    choice bit-identical to the SQL oracle."""
+    from neo4j_graph_algorithms_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        spark, lineseq_edges(spark, sf_dir),
+        walk_length=3, walks_per_node=1, p=2.0, q=0.5, seed=7,
+    )
+
+
 def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context) training pairs over the deterministic
     walk corpus — the word2vec/DeepWalk consumer stage."""
@@ -923,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_windowed_agg": _q_windowed_events,
         "pagerank_weighted": _q_pagerank_weighted,
+        "graph_node2vec_walks": _q_node2vec_walks,
         # --- distinct core paths --------------------------------------------
         "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
@@ -1120,6 +1133,9 @@ def oracle_sql() -> dict[str, str]:
             window_minutes=60
         ),
         "pagerank_weighted": oracles.pagerank_weighted_sql(iterations=20),
+        "graph_node2vec_walks": oracles.node2vec_walks_sql(
+            walk_length=3, walks_per_node=1, p=2.0, q=0.5, seed=7
+        ),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

@@ -145,6 +145,113 @@ def walk_skipgram_pairs(
     )
 
 
+def node2vec_walks(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """[walk_id, step, vid] — node2vec biased SECOND-order walks
+    (Grover & Leskovec, arXiv:1607.00653 §3.2): from (prev -> cur), the
+    unnormalized weight of candidate x is 1/p if x == prev (return),
+    1 if the edge prev -> x exists (stay near), else 1/q (explore).
+
+    Determinism (the engine contract, same as `random_walks`): p and q are
+    converted to EXACT rationals and all candidate weights scaled to
+    integers, so the cumulative-weight selection `hash(cur, step, walk, seed)
+    mod total_weight` is pure integer arithmetic — any engine (the DuckDB
+    oracle, a resumed job, a different shard order) reproduces the identical
+    corpus.  Pass p/q as dyadic rationals (0.5, 2.0, 0.25 ...) so the float
+    -> Fraction conversion is exact.  The modulo selection trades a bias of
+    O(total_weight / 2^20) for exactness — acceptable for corpus sampling.
+
+    Scale shape per step (10^12-edge safe): the frontier [walk_id, cur, prev]
+    joins the src-partitioned adjacency on cur (frontier shuffles, adjacency
+    does not), the prev-adjacency marker is a second hash join against an
+    (src, dst)-partitioned copy of the same cache, and the weighted pick is
+    a window PARTITIONED BY walk_id over one neighborhood — never a global
+    sort, never a broadcast of anything |V|-sized.
+
+    Step 1 has no prev: every candidate takes the explore weight, i.e. the
+    first hop is uniform (the node2vec convention).
+    """
+    from fractions import Fraction
+    from math import lcm
+
+    fr, fq = Fraction(1) / Fraction(p), Fraction(1) / Fraction(q)
+    den = lcm(fr.denominator, fq.denominator)
+    w_ret, w_in, w_out = int(fr * den), den, int(fq * den)
+
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    adj = ef.df.select(SRC, DST).distinct().repartition(SRC).persist()
+    adj.count()
+    # second copy partitioned on the composite key so the per-step
+    # prev-adjacency join never re-shuffles the edge side
+    adj2 = adj.repartition(SRC, DST).persist()
+    adj2.count()
+
+    verts = starts.select(VID) if starts is not None else ef.vertices()
+    frontier = (
+        verts.select(F.col(VID).alias("cur"))
+        .crossJoin(spark.range(walks_per_node).select(F.col("id").alias("_k")))
+        .select(
+            (F.col("cur") * walks_per_node + F.col("_k")).alias("walk_id"),
+            F.col("cur"),
+            F.lit(None).cast("long").alias("prev"),
+        )
+    )
+
+    rows = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias(VID))]
+    for step in range(1, walk_length + 1):
+        cand = frontier.hint("shuffle_hash").join(
+            adj, frontier["cur"] == adj[SRC], "inner"
+        ).select("walk_id", "cur", "prev", F.col(DST).alias("cand"))
+        marked = cand.hint("shuffle_hash").join(
+            adj2.select(F.col(SRC).alias("prev"), F.col(DST).alias("cand"),
+                        F.lit(1).alias("_adj")),
+            on=["prev", "cand"],
+            how="left",
+        )
+        weighted = marked.select(
+            "walk_id", "cur", "cand",
+            F.when(F.col("cand") == F.col("prev"), F.lit(w_ret))
+            .when(F.col("_adj").isNotNull(), F.lit(w_in))
+            .otherwise(F.lit(w_out))
+            .alias("wt"),
+        )
+        wwin = Window.partitionBy("walk_id").orderBy("cand")
+        picked = (
+            weighted.select(
+                "walk_id", "cur", "cand", "wt",
+                F.sum("wt").over(
+                    wwin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ).alias("cum"),
+                F.sum("wt").over(Window.partitionBy("walk_id")).alias("tot"),
+            )
+            .withColumn(
+                "_r", _choice(F.col("cur"), step, F.col("walk_id"), seed) % F.col("tot")
+            )
+            .filter((F.col("_r") >= F.col("cum") - F.col("wt")) & (F.col("_r") < F.col("cum")))
+            .select("walk_id", F.col("cand").alias("cur"), F.col("cur").alias("prev"))
+        )
+        frontier = picked.localCheckpoint(eager=True)
+        rows.append(
+            frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias(VID))
+        )
+        if frontier.isEmpty():
+            break
+    result = rows[0]
+    for r in rows[1:]:
+        result = result.unionByName(r)
+    adj.unpersist()
+    adj2.unpersist()
+    return result
+
+
 def khop_fanout_sample(
     spark: SparkSession,
     edges: EdgeFrame | DataFrame,

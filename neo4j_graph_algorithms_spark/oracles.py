@@ -1069,6 +1069,73 @@ def random_walks_sql(
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def node2vec_walks_sql(
+    walk_length: int = 3,
+    walks_per_node: int = 1,
+    p: float = 2.0,
+    q: float = 0.5,
+    seed: int = 7,
+) -> str:
+    """Unrolled node2vec second-order biased walks on the line-seq graph —
+    twin of operators/walks.py node2vec_walks: identical integer-scaled
+    weights (1/p return, 1 in-neighborhood, 1/q explore), identical
+    cumulative-weight pick via hash(cur, step, walk, seed) mod total."""
+    from fractions import Fraction
+    from math import lcm
+
+    from neo4j_graph_algorithms_spark.operators.walks import (
+        A_CUR,
+        A_SEED,
+        A_STEP,
+        A_WALK,
+        WALK_P,
+    )
+
+    fr, fq = Fraction(1) / Fraction(p), Fraction(1) / Fraction(q)
+    den = lcm(fr.denominator, fq.denominator)
+    w_ret, w_in, w_out = int(fr * den), den, int(fq * den)
+
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM lineseq)",
+        f"""w0 AS MATERIALIZED (
+  SELECT vid * {walks_per_node} + k.k AS walk_id, vid AS cur,
+         CAST(NULL AS BIGINT) AS prev
+  FROM verts CROSS JOIN (SELECT unnest(range({walks_per_node})) AS k) k)""",
+    ]
+    for i in range(1, walk_length + 1):
+        choice = (
+            f"((cur % {WALK_P}) * {A_CUR} + {i} * {A_STEP}"
+            f" + (walk_id % {WALK_P}) * {A_WALK} + {seed} * {A_SEED}) % {WALK_P}"
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT w.walk_id, w.cur, a.dst AS cand,
+         CASE WHEN a.dst = w.prev THEN {w_ret}
+              WHEN de.src IS NOT NULL THEN {w_in}
+              ELSE {w_out} END AS wt
+  FROM w{i - 1} w JOIN dedges a ON w.cur = a.src
+  LEFT JOIN dedges de ON de.src = w.prev AND de.dst = a.dst),
+s{i} AS MATERIALIZED (
+  SELECT walk_id, cur, cand, wt,
+         sum(wt) OVER (PARTITION BY walk_id ORDER BY cand
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(wt) OVER (PARTITION BY walk_id) AS tot
+  FROM c{i}),
+w{i} AS MATERIALIZED (
+  SELECT walk_id, cand AS cur, cur AS prev
+  FROM s{i}
+  WHERE ({choice}) % tot >= cum - wt AND ({choice}) % tot < cum)"""
+        )
+    selects = ["SELECT walk_id, CAST(0 AS INTEGER) AS step, cur AS vid FROM w0"]
+    for i in range(1, walk_length + 1):
+        selects.append(
+            f"SELECT walk_id, CAST({i} AS INTEGER) AS step, cur AS vid FROM w{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def walk_skipgrams_sql(
     window: int = 2, walk_length: int = 4, walks_per_node: int = 1, seed: int = 42
 ) -> str:

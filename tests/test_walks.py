@@ -115,3 +115,76 @@ def test_khop_deterministic_across_runs(spark):
     c = sorted(map(tuple, khop_fanout_sample(spark, edge_df(spark, pairs), fanouts=(2, 2), seed=8).collect()))
     assert a == b
     assert a != c  # different seed samples differently
+
+
+def _py_node2vec(pairs, walk_length, p, q, seed, walks_per_node=1):
+    """Independent Python mirror of node2vec_walks (weights + hash pick)."""
+    from fractions import Fraction
+    from math import lcm
+
+    from neo4j_graph_algorithms_spark.operators.walks import (
+        A_CUR, A_SEED, A_STEP, A_WALK, WALK_P,
+    )
+
+    fr, fq = Fraction(1) / Fraction(p), Fraction(1) / Fraction(q)
+    den = lcm(fr.denominator, fq.denominator)
+    w_ret, w_in, w_out = int(fr * den), den, int(fq * den)
+    adj = {}
+    eset = set(pairs)
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    verts = sorted({v for e in pairs for v in e})
+    rows = []
+    for v in verts:
+        for k in range(walks_per_node):
+            wid = v * walks_per_node + k
+            cur, prev = v, None
+            rows.append((wid, 0, cur))
+            for step in range(1, walk_length + 1):
+                if cur not in adj:
+                    break
+                cands = sorted(adj[cur])
+                wts = [
+                    w_ret if c == prev
+                    else (w_in if (prev, c) in eset else w_out)
+                    for c in cands
+                ]
+                h = ((cur % WALK_P) * A_CUR + step * A_STEP
+                     + (wid % WALK_P) * A_WALK + seed * A_SEED) % WALK_P
+                r = h % sum(wts)
+                cum = 0
+                for c, w in zip(cands, wts):
+                    cum += w
+                    if r < cum:
+                        prev, cur = cur, c
+                        break
+                rows.append((wid, step, cur))
+    return sorted(rows)
+
+
+def test_node2vec_matches_python_mirror(spark):
+    from neo4j_graph_algorithms_spark.operators.walks import node2vec_walks
+    from tests.conftest import edge_df
+
+    pairs = [(i, j) for i in range(7) for j in range(7) if (i + 2 * j) % 3 and i != j]
+    got = sorted(map(tuple, node2vec_walks(
+        spark, edge_df(spark, pairs), walk_length=3, p=2.0, q=0.5, seed=7
+    ).collect()))
+    assert got == _py_node2vec(pairs, walk_length=3, p=2.0, q=0.5, seed=7)
+
+
+def test_node2vec_walks_follow_edges_and_stop_at_sinks(spark):
+    from neo4j_graph_algorithms_spark.operators.walks import node2vec_walks
+    from tests.conftest import edge_df
+
+    pairs = [(0, 1), (1, 2)]  # 2 is a sink
+    out = node2vec_walks(spark, edge_df(spark, pairs), walk_length=5).collect()
+    by_walk = {}
+    for r in out:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["vid"]
+    eset = set(pairs)
+    for steps in by_walk.values():
+        seq = [steps[i] for i in sorted(steps)]
+        assert all((a, b) in eset for a, b in zip(seq, seq[1:]))
+    # walk from 0 is forced 0->1->2 then stops at the sink
+    assert [by_walk[0][i] for i in sorted(by_walk[0])] == [0, 1, 2]
