@@ -840,6 +840,21 @@ def _q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix resampling: en downsampled to 0.5, zh
+    upsampled 2.25x, es kept, everything else 0.75 — hash-threshold copies,
+    engine-independent."""
+    from neo4j_graph_algorithms_spark.pipeline.sample import mixture_resample
+
+    out = mixture_resample(
+        _docs(spark, sf_dir),
+        weights={"en": 0.5, "zh": 2.25, "es": 1.0},
+        default_weight=0.75,
+        seed=42,
+    )
+    return out.select("doc_id", "lang", "copy")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex PII redaction.  The synthetic corpus carries no PII, so the
     gate deterministically injects an email + IPv4 + phone per doc (the
@@ -930,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_20iter": _q_eigenvector,
         "pagerank_personalized": _q_pagerank_personalized,
         "doc_pii_scrub": _q_pii_scrub,
+        "doc_mixture_resample": _q_mixture_resample,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
         "events_sessionize": _q_sessionize,
@@ -1135,6 +1151,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": oracles.pagerank_weighted_sql(iterations=20),
         "graph_node2vec_walks": oracles.node2vec_walks_sql(
             walk_length=3, walks_per_node=1, p=2.0, q=0.5, seed=7
+        ),
+        "doc_mixture_resample": pipeline_oracles.mixture_resample_sql(
+            weights={"en": 0.5, "zh": 2.25, "es": 1.0}, default_weight=0.75, seed=42
         ),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42

@@ -737,3 +737,32 @@ SELECT (ep // {win_s}) * {win_s} AS window_start, event_type,
        round(sum(value), 6) AS total_value,
        round(max(value), 6) AS max_value
 FROM e GROUP BY 1, 2"""
+
+
+def mixture_resample_sql(
+    weights: dict[str, float],
+    seed: int = 42,
+    default_weight: float = 1.0,
+) -> str:
+    """Deterministic mixture resampling over documents — twin of
+    sample.py:mixture_resample (same universal hash, same integer
+    floor/threshold copy rule)."""
+    from neo4j_graph_algorithms_spark.pipeline.sample import _copies
+
+    a, b = hash_params(seed)
+    case = []
+    for key, w in sorted(weights.items()):
+        base, thr = _copies(float(w))
+        case.append(
+            f"WHEN lang = '{key}' THEN {base} + CASE WHEN h < {thr} THEN 1 ELSE 0 END"
+        )
+    dbase, dthr = _copies(float(default_weight))
+    case.append(f"ELSE {dbase} + CASE WHEN h < {dthr} THEN 1 ELSE 0 END")
+    case_sql = "CASE " + " ".join(case) + " END"
+    return f"""WITH base AS (
+  SELECT doc_id, lang, ((doc_id % {HASH_P}) * {a} + {b}) % {HASH_P} AS h
+  FROM documents),
+n AS (SELECT doc_id, lang, {case_sql} AS n FROM base)
+SELECT doc_id, lang, CAST(u.c - 1 AS INTEGER) AS copy
+FROM n, unnest(generate_series(1, n.n)) AS u(c)
+WHERE n >= 1"""

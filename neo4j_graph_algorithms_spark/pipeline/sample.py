@@ -1,0 +1,91 @@
+"""Deterministic data-mixture resampling — the sampling stage of an LLM
+training-data pipeline (per-source/per-language mixture weights, e.g. the
+"epochs per dataset" tables of the Pile/LLaMA recipes).
+
+Not in the reference catalogue (its procedures are graph-side —
+/root/reference/algo/src/main/java/org/neo4j/graphalgo/), but mixture
+weighting is how a 100 TB curated corpus becomes a training mix, and it
+must be deterministic: re-running the job, resuming it, or re-sharding the
+input must reproduce the identical sample.
+
+Mechanism: a universal hash of the document id (same (a·x+b) mod P family
+as pipeline/text.py, single source of truth) decides each row's fate —
+weight w means floor(w) guaranteed copies plus one extra copy iff
+hash(id) < frac(w)·P.  Expected multiplicity is exactly w per stratum; no
+RNG state, no sampleBy (whose Bernoulli draws are partition-order
+dependent).
+
+Scale shape: pure column expressions + one bounded explode — NO shuffle at
+all; the op pipelines into whatever scan feeds it and Catalyst pushes the
+n>=1 filter down.  The strata→weight map is a compile-time literal CASE
+(never a join): mixtures have tens of strata, not millions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neo4j_graph_algorithms_spark.pipeline.text import HASH_P, hash_params
+
+
+def _copies(weight: float) -> tuple[int, int]:
+    """(guaranteed copies, hash threshold for one extra) — integer-exact."""
+    base = int(weight)
+    thr = int(round((weight - base) * HASH_P))
+    return base, thr
+
+
+def mixture_resample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Input columns + `copy` (0-based) — each row repeated per its
+    stratum's mixture weight.  w < 1 is stratified downsampling (keep with
+    probability w), w > 1 is upsampling (floor(w) epochs + fractional
+    epoch), w = 0 drops the stratum.
+
+    Deterministic: the extra-copy decision is hash(id, seed) < frac(w)·P —
+    pure integer arithmetic, engine-independent, shard-order-independent.
+    """
+    a, b = hash_params(seed)
+    h = F.pmod(F.pmod(F.col(id_col), F.lit(HASH_P)) * a + b, F.lit(HASH_P))
+
+    n = F.lit(_copies(default_weight)[0]) + (
+        h < _copies(default_weight)[1]
+    ).cast("int")
+    for key, w in sorted(weights.items()):
+        base, thr = _copies(float(w))
+        n = F.when(
+            F.col(strata_col) == key, F.lit(base) + (h < thr).cast("int")
+        ).otherwise(n)
+
+    return (
+        docs.withColumn("_n", n)
+        .filter(F.col("_n") >= 1)
+        .select(
+            *docs.columns,
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy"),
+        )
+    )
+
+
+def mixture_counts(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """[stratum, n_docs, n_rows] — audit view of a mixture: distinct source
+    documents kept and total resampled rows per stratum.  One shuffle (the
+    groupBy); map-side combine applies."""
+    out = mixture_resample(docs, weights, strata_col, id_col, seed, default_weight)
+    return out.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_rows"),
+    )
