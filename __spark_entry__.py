@@ -840,6 +840,14 @@ def _q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the line-seq graph: every surviving edge closes >= 2
+    triangles (peels to fixpoint, ~6 rounds at sf0.01)."""
+    from neo4j_graph_algorithms_spark.operators.ktruss import ktruss
+
+    return ktruss(spark, lineseq_edges(spark, sf_dir), k=4)
+
+
 def _q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mix resampling: en downsampled to 0.5, zh
     upsampled 2.25x, es kept, everything else 0.75 — hash-threshold copies,
@@ -946,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "doc_pii_scrub": _q_pii_scrub,
         "doc_mixture_resample": _q_mixture_resample,
+        "ktruss_4": _q_ktruss,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
         "events_sessionize": _q_sessionize,
@@ -1155,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixture_resample": pipeline_oracles.mixture_resample_sql(
             weights={"en": 0.5, "zh": 2.25, "es": 1.0}, default_weight=0.75, seed=42
         ),
+        "ktruss_4": oracles.ktruss_sql(k=4, rounds=8),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

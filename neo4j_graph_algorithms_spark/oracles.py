@@ -1069,6 +1069,36 @@ def random_walks_sql(
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def ktruss_sql(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled k-truss peel on the line-seq graph — twin of
+    operators/ktruss.py.  `rounds` just needs to exceed the peel depth:
+    peeling is idempotent at the fixpoint, so extra unrolled rounds return
+    the identical edge set."""
+    parts = [
+        LINESEQ_CTES,
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM lineseq WHERE src <> dst)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT x.src AS a, x.dst AS b, y.dst AS c
+  FROM e{i - 1} x JOIN e{i - 1} y ON x.src = y.src AND x.dst < y.dst
+  JOIN e{i - 1} z ON z.src = x.dst AND z.dst = y.dst),
+s{i} AS (
+  SELECT u, v, count(*) AS cnt FROM (
+    SELECT a AS u, b AS v FROM t{i}
+    UNION ALL SELECT a, c FROM t{i}
+    UNION ALL SELECT b, c FROM t{i}) GROUP BY u, v),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN s{i} s ON e.src = s.u AND e.dst = s.v
+  WHERE s.cnt >= {k} - 2)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT src, dst FROM e{rounds}"
+
+
 def node2vec_walks_sql(
     walk_length: int = 3,
     walks_per_node: int = 1,
