@@ -840,6 +840,28 @@ def _q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological levels (longest-path layering) on the hash-sampled
+    src<dst line-seq DAG — depth 12 at sf0.01, frontier-delta supersteps."""
+    from neo4j_graph_algorithms_spark.operators.dag import topo_levels
+
+    e = lineseq_edges(spark, sf_dir).filter(
+        (F.col("src") < F.col("dst"))
+        & (
+            F.pmod(
+                F.pmod(
+                    F.col("src") * F.lit(2654435761) + F.col("dst") * F.lit(40503),
+                    F.lit(1000003),
+                ),
+                F.lit(8),
+            )
+            == 0
+        )
+    )
+    res = topo_levels(spark, e)
+    return res.state.select("vid", F.col("level").cast("int").alias("level"))
+
+
 def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the line-seq graph: every surviving edge closes >= 2
     triangles (peels to fixpoint, ~6 rounds at sf0.01)."""
@@ -955,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _q_pii_scrub,
         "doc_mixture_resample": _q_mixture_resample,
         "ktruss_4": _q_ktruss,
+        "dag_topo_levels": _q_dag_levels,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
         "events_sessionize": _q_sessionize,
@@ -1165,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
             weights={"en": 0.5, "zh": 2.25, "es": 1.0}, default_weight=0.75, seed=42
         ),
         "ktruss_4": oracles.ktruss_sql(k=4, rounds=8),
+        "dag_topo_levels": oracles.dag_levels_sql(mod=8, rounds=16),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

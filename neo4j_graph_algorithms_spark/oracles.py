@@ -1069,6 +1069,35 @@ def random_walks_sql(
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+DAG_SAMPLE_SQL = (
+    "SELECT DISTINCT src, dst FROM lineseq WHERE src < dst "
+    "AND ((src * 2654435761 + dst * 40503) % 1000003) % {mod} = 0"
+)
+
+
+def dag_levels_sql(mod: int = 8, rounds: int = 16) -> str:
+    """Unrolled topological levels on the hash-sampled src<dst line-seq DAG
+    — twin of operators/dag.py topo_levels (level = longest path from a
+    source; the max-merge is idempotent at the fixpoint so extra unrolled
+    rounds are safe — depth is 12 at sf0.01, rounds=16 covers it)."""
+    parts = [
+        LINESEQ_CTES,
+        f"e AS MATERIALIZED ({DAG_SAMPLE_SQL.format(mod=mod)})",
+        """l0 AS MATERIALIZED (
+  SELECT vid, 0 AS level FROM (SELECT src AS vid FROM e UNION SELECT dst FROM e))""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""m{i} AS (
+  SELECT e.dst AS vid, max(l.level) + 1 AS m
+  FROM e JOIN l{i - 1} l ON e.src = l.vid GROUP BY e.dst),
+l{i} AS MATERIALIZED (
+  SELECT v.vid, greatest(v.level, coalesce(m.m, 0)) AS level
+  FROM l{i - 1} v LEFT JOIN m{i} m ON v.vid = m.vid)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, level FROM l{rounds}"
+
+
 def ktruss_sql(k: int = 4, rounds: int = 8) -> str:
     """Unrolled k-truss peel on the line-seq graph — twin of
     operators/ktruss.py.  `rounds` just needs to exceed the peel depth:

@@ -105,3 +105,11 @@ def test_kcore_superstep_never_broadcasts_state(spark):
 
     res = kcore(spark, edge_df(spark, _PAIRS), k=2, max_iterations=2)
     _assert_no_state_broadcast(res.first_plan)
+
+
+def test_topo_levels_superstep_never_broadcasts_state(spark):
+    from neo4j_graph_algorithms_spark.operators.dag import topo_levels
+
+    dag_pairs = [(i, j) for i in range(8) for j in range(8) if i < j and (i + j) % 3 == 0]
+    res = topo_levels(spark, edge_df(spark, dag_pairs), max_iterations=3)
+    _assert_no_state_broadcast(res.first_plan)
