@@ -840,6 +840,27 @@ def _q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style k-means-cell semantic dedup.  The synthetic
+    embeddings have no organic near-dups (max pairwise cosine 0.51), so the
+    gate injects an exact copy of every vec_id < 50 at id+10000 on BOTH
+    sides — each copy lands in its original's cell with cosine 1.0, giving
+    50 real dup groups through the full cluster→pair→WCC path."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import semantic_dedup
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    injected = embs.unionByName(
+        embs.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    return semantic_dedup(
+        injected, threshold=0.8, n_centroids=4, iterations=2, quantize=6
+    )
+
+
 def _q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topological levels (longest-path layering) on the hash-sampled
     src<dst line-seq DAG — depth 12 at sf0.01, frontier-delta supersteps."""
@@ -978,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_resample": _q_mixture_resample,
         "ktruss_4": _q_ktruss,
         "dag_topo_levels": _q_dag_levels,
+        "dedup_semantic": _q_semantic_dedup,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
         "events_sessionize": _q_sessionize,
@@ -1189,6 +1211,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ktruss_4": oracles.ktruss_sql(k=4, rounds=8),
         "dag_topo_levels": oracles.dag_levels_sql(mod=8, rounds=16),
+        "dedup_semantic": pipeline_oracles.semantic_dedup_sql(
+            threshold=0.8, n_centroids=4, iterations=2, quantize=6, inject_below=50
+        ),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

@@ -388,3 +388,69 @@ def minhash_near_dup_groups(
         F.col("comp").alias("rep_id"),
         (F.col("vid") != F.col("comp")).cast("int").alias("is_dup"),
     )
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    threshold: float = 0.8,
+    n_centroids: int = 4,
+    iterations: int = 2,
+    quantize: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[id, rep_id, is_dup] — SemDeDup-style semantic deduplication
+    (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the embeddings
+    (the IVF coarse quantizer, pipeline/similarity.ivf_build — deterministic
+    init, so the clustering is reproducible), score cosine only WITHIN each
+    cell, then group via the engine's pointer-jumped WCC with MIN-id
+    representatives — identical group/rep conventions to
+    `embedding_near_dedup` / `minhash_near_dup_groups`.
+
+    vs `embedding_near_dedup`: SRP-LSH bounds candidates by hash-bucket
+    collisions (recall depends on band geometry); SemDeDup bounds them by
+    cluster membership (recall depends on cluster granularity), which is
+    the published recipe for pruning semantically-redundant web data.
+
+    Scale: pairs are cell-bounded (largest cell caps the self-join fan-out;
+    pick n_centroids so cells stay ~10^4-10^5 at 10^12 rows, as the paper
+    does with faiss), the k-means loop holds only k centroids on the
+    driver, and the component loop is the same superstep plan the link
+    graph runs.  `quantize` is the oracle-parity mode (same as ivf_build).
+    """
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+    from neo4j_graph_algorithms_spark.operators.wcc import wcc
+    from neo4j_graph_algorithms_spark.pipeline.similarity import (
+        _dot,
+        ivf_build,
+        with_norm,
+    )
+
+    spark = embs.sparkSession
+    _, assign = ivf_build(embs, n_centroids, iterations, id_col, vec_col, quantize)
+    e = with_norm(embs, vec_col).join(assign, on=id_col)
+    a = e.select(
+        F.col("cid"), F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"),
+    )
+    b = e.select(
+        F.col("cid"), F.col(id_col).alias("b"),
+        F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, on="cid")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b")
+    )
+    edges = EdgeFrame(pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    res = wcc(spark, edges, vertices=embs.select(F.col(id_col).alias("vid")))
+    return res.state.select(
+        F.col("vid").alias(id_col),
+        F.col("comp").alias("rep_id"),
+        (F.col("vid") != F.col("comp")).cast("int").alias("is_dup"),
+    )

@@ -316,21 +316,21 @@ SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
 FROM (SELECT DISTINCT unnest(toks) AS tok FROM docs)"""
 
 
-def ivf_search_sql(
-    n_centroids: int = 4,
-    iterations: int = 2,
-    dim: int = 64,
-    k: int = 5,
-    n_probes: int = 2,
-    max_query_id: int = 8,
-    quantize: int = 6,
-) -> str:
-    """Full IVF twin: deterministic k-means (centroids = lowest-id vectors,
-    Lloyd iterations with centroids rounded to `quantize` decimals — the
-    same quantization the Spark side applies in oracle mode so avg()
-    summation order can't flip assignments), then cell-probed top-k."""
+def _kmeans_assign_ctes(
+    n_centroids: int,
+    iterations: int,
+    dim: int,
+    quantize: int,
+    emb_source: str = "SELECT vec_id, embedding FROM embeddings",
+) -> list[str]:
+    """CTE parts for the deterministic k-means coarse quantizer (centroids
+    = lowest-id vectors, Lloyd iterations rounded to `quantize` decimals —
+    the same quantization the Spark side applies in oracle mode so avg()
+    summation order can't flip assignments), ending at `assign`
+    [vec_id, cid] and `fdist` [vec_id, cid, d2].  Shared by ivf_search_sql
+    and semantic_dedup_sql."""
     parts = [
-        """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        f"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ({emb_source}) _src)""",
         f"""dims AS MATERIALIZED (
   SELECT vec_id, i AS dim, v[CAST(i AS INT) + 1] AS x
   FROM emb, range({dim}) t(i))""",
@@ -354,7 +354,7 @@ c{it} AS MATERIALIZED (
   SELECT a.cid, d.dim, round(avg(d.x), {quantize}) AS c
   FROM a{it} a JOIN dims d USING (vec_id) GROUP BY a.cid, d.dim)"""
         )
-    # final assignment against the last centroids, query cell probing, topk
+    # final assignment against the last centroids
     parts.append(
         f"""fdist AS MATERIALIZED (
   SELECT d.vec_id, c.cid, round(sum((d.x - c.c) * (d.x - c.c)), {quantize}) AS d2
@@ -362,8 +362,24 @@ c{it} AS MATERIALIZED (
 assign AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-    FROM fdist) x WHERE rn = 1),
-qcells AS (
+    FROM fdist) x WHERE rn = 1)"""
+    )
+    return parts
+
+
+def ivf_search_sql(
+    n_centroids: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    k: int = 5,
+    n_probes: int = 2,
+    max_query_id: int = 8,
+    quantize: int = 6,
+) -> str:
+    """Full IVF twin: shared k-means CTEs + query cell probing + top-k."""
+    parts = _kmeans_assign_ctes(n_centroids, iterations, dim, quantize)
+    parts.append(
+        f"""qcells AS (
   SELECT vec_id AS query_id, cid FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
     FROM fdist WHERE vec_id < {max_query_id}) x WHERE rn <= {n_probes}),
@@ -766,3 +782,47 @@ n AS (SELECT doc_id, lang, {case_sql} AS n FROM base)
 SELECT doc_id, lang, CAST(u.c - 1 AS INTEGER) AS copy
 FROM n, unnest(generate_series(1, n.n)) AS u(c)
 WHERE n >= 1"""
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.8,
+    n_centroids: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    quantize: int = 6,
+    inject_below: int | None = None,
+    inject_offset: int = 10000,
+) -> str:
+    """Twin of dedup.semantic_dedup: the shared deterministic k-means CTEs
+    assign cells, cosine is scored within cells only, groups close via a
+    recursive-CTE reachability fixpoint, representative = MIN member id —
+    identical conventions to embedding_near_dedup_sql."""
+    emb_source = "SELECT vec_id, embedding FROM embeddings"
+    if inject_below is not None:
+        # mirror of the gate's injected exact copies (vec_id+offset)
+        emb_source += (
+            f" UNION ALL SELECT vec_id + {inject_offset}, embedding"
+            f" FROM embeddings WHERE vec_id < {inject_below}"
+        )
+    kmeans = ",\n".join(
+        _kmeans_assign_ctes(n_centroids, iterations, dim, quantize, emb_source)
+    )
+    return f"""WITH RECURSIVE {kmeans},
+nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+pairs AS (
+  SELECT na.vec_id AS a, nb.vec_id AS b
+  FROM assign aa JOIN assign ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+  JOIN nrm na ON na.vec_id = aa.vec_id
+  JOIN nrm nb ON nb.vec_id = ab.vec_id
+  WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= {threshold}),
+und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+reach AS (
+  SELECT x, y FROM und
+  UNION
+  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+mins AS (SELECT x, min(y) AS mn FROM reach GROUP BY x)
+SELECT e.vec_id,
+       CAST(least(e.vec_id, coalesce(m.mn, e.vec_id)) AS BIGINT) AS rep_id,
+       CAST(CASE WHEN coalesce(m.mn, e.vec_id) < e.vec_id THEN 1 ELSE 0 END AS INT)
+         AS is_dup
+FROM emb e LEFT JOIN mins m ON m.x = e.vec_id"""

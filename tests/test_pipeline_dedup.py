@@ -225,3 +225,35 @@ def test_minhash_near_dup_groups(spark):
     assert got[4] == (4, 0)  # singleton is its own representative
     # 0/1 share 5 of 7 tokens (J=5/7 >= 0.5): grouped under min id 0
     assert got[0] == (0, 0) and got[1] == (0, 1)
+
+
+def test_semantic_dedup_groups_planted_clusters(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import semantic_dedup
+
+    # two tight clusters + one outlier; copies within a cluster are
+    # near-identical (cosine ~1), clusters are orthogonal
+    rows = []
+    for i in range(4):                      # cluster A around e1
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(4, 7):                   # cluster B around e2
+        rows.append((i, [0.0, 0.01 * (i - 4), 1.0, 0.0]))
+    rows.append((7, [0.0, 0.0, 0.0, 1.0]))  # outlier
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["rep_id"], r["is_dup"])
+           for r in semantic_dedup(embs, threshold=0.99, n_centroids=3,
+                                   iterations=2).collect()}
+    assert out[0] == (0, 0) and all(out[i] == (0, 1) for i in (1, 2, 3))
+    assert out[4] == (4, 0) and all(out[i] == (4, 1) for i in (5, 6))
+    assert out[7] == (7, 0)
+
+
+def test_semantic_dedup_no_dups_below_threshold(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import semantic_dedup
+
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(embs, threshold=0.5, n_centroids=2, iterations=1).collect()
+    assert all(r["is_dup"] == 0 for r in out)
+    assert {r["vec_id"] for r in out} == {0, 1, 2}
