@@ -883,6 +883,31 @@ def _q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.col("level").cast("int").alias("level"))
 
 
+def _q_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArticleRank (GDS twin): hub-dampened PageRank with push denominator
+    outdeg + avg_outdeg, 20 fixed iterations on the line-seq multigraph."""
+    res = pagerank(
+        spark, lineseq_edges(spark, sf_dir), max_iterations=20, article_rank=True
+    )
+    return res.state.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the undirected co-order graph."""
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_assortativity
+
+    return degree_assortativity(spark, coorder_edges(spark, sf_dir))
+
+
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (3*triangles/wedges) of the undirected
+    co-order graph — the wedge-weighted complement of the local-average
+    clustering gate."""
+    from neo4j_graph_algorithms_spark.operators.triangles import transitivity
+
+    return transitivity(spark, coorder_edges(spark, sf_dir))
+
+
 def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the line-seq graph: every surviving edge closes >= 2
     triangles (peels to fixpoint, ~6 rounds at sf0.01)."""
@@ -1000,6 +1025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_4": _q_ktruss,
         "dag_topo_levels": _q_dag_levels,
         "dedup_semantic": _q_semantic_dedup,
+        "pagerank_articlerank": _q_article_rank,
+        "degree_assortativity": _q_assortativity,
+        "triangle_transitivity": _q_transitivity,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
         "events_sessionize": _q_sessionize,
@@ -1007,10 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "graph_node2vec_walks": _q_node2vec_walks,
         # --- distinct core paths --------------------------------------------
-        "pagerank_20iter": _q_pagerank,
         "pagerank_warm_restart": _q_pagerank_warm,
-        "wcc_components": _q_wcc,
-        "triangle_total": _q_triangle_total,
         "lpa_csr_3iter": _q_lpa_csr,
         "hyperball_est_r2": _q_hyperball,
         "graph_random_walks": _q_random_walks,
@@ -1027,6 +1052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "ann_cosine_pairs": _q_cosine_pairs,
         # --- tail: variants with an in-window sibling on the same path ------
+        "pagerank_20iter": _q_pagerank,  # r2 green; weighted/articlerank/warm/personalized/csr variants in window
+        "wcc_components": _q_wcc,  # r2 green; threshold/mscoloring/csr/stats variants share the loop
+        "triangle_total": _q_triangle_total,  # r2 green; csr twin + transitivity + ktruss exercise the same stream
         "lpa_3iter": _q_lpa,  # r2 green; lpa_csr_3iter (Tier B twin, same oracle) in window
         "metapath_len3": _q_metapath,  # r2 green; schema/filter variants share the engine
         "scc_components": _q_scc,  # r2 green; forced distributed path pinned by pytest
@@ -1215,6 +1243,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": pipeline_oracles.semantic_dedup_sql(
             threshold=0.8, n_centroids=4, iterations=2, quantize=6, inject_below=50
         ),
+        "pagerank_articlerank": oracles.article_rank_sql(iterations=20),
+        "degree_assortativity": oracles.degree_assortativity_sql(),
+        "triangle_transitivity": oracles.transitivity_sql(),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

@@ -52,3 +52,41 @@ def degree_centrality(
             F.coalesce("deg", F.lit(0)).alias("deg"),
         )
     )
+
+
+def degree_assortativity(
+    spark: SparkSession, edges: EdgeFrame | DataFrame
+) -> DataFrame:
+    """[assortativity] — Newman's degree assortativity coefficient (Newman,
+    PRL 89:208701, 2002): the Pearson correlation of endpoint degrees over
+    the undirected simple edge set, each edge contributing both (d_u, d_v)
+    and (d_v, d_u).  r > 0: hubs link to hubs; r < 0: hubs link to leaves
+    (the usual web/link-graph signature).
+
+    Scale shape: one degree aggregation, two hash joins of the edge table
+    against the (|V|-sized, hinted) degree projection, one corr() fold —
+    no window, no collect of anything |E|-sized.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    und = ef.canonical().df.select(SRC, DST)
+    both = und.unionByName(und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    deg = both.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("deg"))
+    pairs = (
+        both.join(
+            deg.select(F.col(VID).alias(SRC), F.col("deg").alias("dx")).hint(
+                "shuffle_hash"
+            ),
+            on=SRC,
+        )
+        .join(
+            deg.select(F.col(VID).alias(DST), F.col("deg").alias("dy")).hint(
+                "shuffle_hash"
+            ),
+            on=DST,
+        )
+    )
+    return pairs.agg(
+        F.round(F.corr(F.col("dx").cast("double"), F.col("dy").cast("double")), 6).alias(
+            "assortativity"
+        )
+    )

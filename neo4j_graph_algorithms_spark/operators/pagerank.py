@@ -55,6 +55,7 @@ def pagerank(
     initial_ranks: DataFrame | None = None,
     source_vids: DataFrame | None = None,
     weighted: bool = False,
+    article_rank: bool = False,
 ) -> SuperstepResult:
     """Return SuperstepResult whose state is [vid, rank, delta].
 
@@ -103,7 +104,16 @@ def pagerank(
     weights the same way, core/.../RawValues.java accumulateWeights):
     inv_deg becomes w(u,v)/Σ_out w(u) — the static edge-side build changes,
     the superstep loop does not.
+
+    `article_rank=True` dampens hub influence the ArticleRank way (the GDS
+    gds.articleRank twin): the push denominator becomes
+    outdeg(u) + avg_outdeg, where avg_outdeg averages over ALL vertices of
+    the graph (dangling vertices contribute 0).  One extra scalar
+    aggregation at build time; the superstep loop is again untouched.
+    Mutually exclusive with `weighted`.
     """
+    if article_rank and weighted:
+        raise ValueError("article_rank and weighted are mutually exclusive")
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     alpha = 1.0 - damping_factor
     from neo4j_graph_algorithms_spark.graph import WEIGHT
@@ -131,6 +141,22 @@ def pagerank(
         )
         .select(SRC, DST, (push_num / F.col("outdeg")).alias("inv_deg"))
     )
+    if article_rank:
+        # avg outdeg over ALL vertices (danglers = 0): scalar, computed once
+        n_verts = (vertices if vertices is not None else ef.vertices()).count()
+        n_edges = ef.df.count()
+        avg_outdeg = n_edges / n_verts if n_verts else 0.0
+        edges_wd = (
+            ef.df.select(SRC, DST)
+            .join(
+                out_deg.select(F.col(VID).alias(SRC), "outdeg").hint("shuffle_hash"),
+                on=SRC,
+            )
+            .select(
+                SRC, DST,
+                (F.lit(1.0) / (F.col("outdeg") + F.lit(avg_outdeg))).alias("inv_deg"),
+            )
+        )
     if hub_threshold is not None:
         # static salt column: salt = hash(src) % buckets on hub-destined
         # edges, 0 elsewhere (graph.hub_salting semantics, built once)

@@ -143,3 +143,29 @@ def average_clustering_coefficient(coeffs: DataFrame) -> float:
     """Average over all nodes including zeros (TriangleCount.java:109-119)."""
     row = coeffs.agg(F.avg("coefficient").alias("avg")).collect()[0]
     return float(row["avg"]) if row["avg"] is not None else 0.0
+
+
+def transitivity(spark: SparkSession, edges: EdgeFrame | DataFrame) -> DataFrame:
+    """[transitivity] — the GLOBAL clustering coefficient
+    3·triangles / wedges (wedges = Σ_v deg(v)·(deg(v)−1)/2 over the
+    undirected simple graph).  Distinct from
+    `average_clustering_coefficient` (the mean of LOCAL coefficients,
+    TriangleCount.java:109-119): transitivity weights high-degree vertices
+    by their wedge count instead of averaging per-vertex ratios.
+
+    Reuses the degree-oriented triangle total (one enumeration) plus one
+    degree aggregation — nothing new shuffles.
+    """
+    und = _simple_undirected(edges)
+    n_tri = triangle_stream(spark, und).count()
+    deg = (
+        und.select(F.col(SRC).alias("v"))
+        .unionByName(und.select(F.col(DST).alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")
+    ).collect()[0]["w"]
+    val = (3.0 * n_tri / wedges) if wedges else 0.0
+    return spark.createDataFrame([(round(val, 6),)], "transitivity double")

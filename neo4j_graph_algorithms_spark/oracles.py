@@ -1496,3 +1496,61 @@ r{i} AS MATERIALIZED (
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT vid, round(rank, 6) AS rank FROM r{iterations}"
     )
+
+
+def article_rank_sql(iterations: int = 20, damping: float = 0.85) -> str:
+    """Unrolled ArticleRank on the line-seq multigraph — twin of
+    operators/pagerank.py pagerank(article_rank=True): push denominator is
+    outdeg + avg_outdeg (avg over ALL vertices, danglers contribute 0;
+    both engines compute it as one exact-integer double division)."""
+    alpha = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "avgd AS (SELECT (SELECT count(*) FROM lineseq) * 1.0 / (SELECT count(*) FROM verts) AS a)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM lineseq GROUP BY src)",
+        "ewd AS (SELECT e.src, e.dst, 1.0 / (d.outdeg + (SELECT a FROM avgd)) AS inv FROM lineseq e JOIN deg d USING (src))",
+        f"r0 AS MATERIALIZED (SELECT vid, CAST({alpha} AS DOUBLE) AS rank, CAST({alpha} AS DOUBLE) AS delta FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.delta * e.inv) AS s
+  FROM r{i - 1} r JOIN ewd e ON r.vid = e.src WHERE r.delta > 0 GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT v.vid, v.rank + {d} * coalesce(s.s, 0) AS rank, {d} * coalesce(s.s, 0) AS delta
+  FROM r{i - 1} v LEFT JOIN s{i} s ON v.vid = s.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vid, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+def degree_assortativity_sql() -> str:
+    """Newman degree assortativity on the undirected simple co-order graph
+    — twin of operators/degrees.py degree_assortativity."""
+    return f"""WITH {COORDER_CTES},
+und AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM coorder WHERE src <> dst),
+both_dir AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src AS vid, count(*) AS deg FROM both_dir GROUP BY src)
+SELECT round(corr(a.deg * 1.0, b.deg * 1.0), 6) AS assortativity
+FROM both_dir e JOIN deg a ON a.vid = e.src JOIN deg b ON b.vid = e.dst"""
+
+
+def transitivity_sql() -> str:
+    """Global clustering coefficient 3·triangles/wedges on the undirected
+    simple co-order graph — twin of operators/triangles.py transitivity."""
+    return f"""WITH {COORDER_CTES},
+und AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM coorder WHERE src <> dst),
+tri AS (
+  SELECT count(*) AS t
+  FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+  JOIN und z ON z.src = x.dst AND z.dst = y.dst),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT src AS v FROM und UNION ALL SELECT dst FROM und) GROUP BY v),
+w AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
+SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM w), 6) AS transitivity"""

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from neo4j_graph_algorithms_spark.operators.degrees import degree_centrality
 from tests.conftest import edge_df
 
@@ -25,3 +27,19 @@ def test_degree_isolated_vertex_zero(spark):
            degree_centrality(spark, edges, vertices=verts).collect()}
     assert got[7] == (0, 0, 0)
     assert got[0] == (1, 0, 1)
+
+
+def test_degree_assortativity_signs(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_assortativity
+    from tests.conftest import edge_df
+
+    # star = maximally disassortative (r = -1)
+    star = [(0, i) for i in range(1, 6)]
+    r = degree_assortativity(spark, edge_df(spark, star)).collect()[0]["assortativity"]
+    assert r == pytest.approx(-1.0)
+    # two disjoint cliques of different sizes: every endpoint pair has equal
+    # degrees -> r = 1
+    k3 = [(a, b) for a in range(3) for b in range(3) if a < b]
+    k4 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    r2 = degree_assortativity(spark, edge_df(spark, k3 + k4)).collect()[0]["assortativity"]
+    assert r2 == pytest.approx(1.0)

@@ -179,3 +179,19 @@ def test_weighted_pagerank_follows_weights(spark):
     res_u = pagerank(spark, edges, max_iterations=20, weighted=False)
     got_u = {r["vid"]: r["rank"] for r in res_u.state.collect()}
     assert got_u[1] == pytest.approx(got_u[2])
+
+
+def test_article_rank_dampens_hubs(spark):
+    # star: 0 -> 1..4 plus 5 -> 6.  avg_outdeg = 5 edges / 7 verts
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(5, 6)], "src long, dst long"
+    )
+    res = pagerank(spark, edges, max_iterations=20, article_rank=True)
+    got = {r["vid"]: r["rank"] for r in res.state.collect()}
+    avg = 5 / 7
+    # one push: rank(leaf of 0) = 0.15 + 0.85*0.15/(4+avg); rank(6) uses 1/(1+avg)
+    assert got[1] == pytest.approx(0.15 + 0.85 * 0.15 / (4 + avg))
+    assert got[6] == pytest.approx(0.15 + 0.85 * 0.15 / (1 + avg))
+    assert got[6] > got[1]  # hub fan-out dampened vs the single-edge source
+    with pytest.raises(ValueError):
+        pagerank(spark, edges, article_rank=True, weighted=True)

@@ -1,3 +1,4 @@
+import pytest
 """Triangles vs reference fixtures (TriangleProcTest.java:62-147,
 ClusteringCoefficientWikiTest.java:58-102)."""
 
@@ -72,3 +73,18 @@ def test_triangle_count_includes_zero_nodes(spark):
     counts = collect_map(per_node, "vid", "triangles")
     assert total == 1
     assert counts == {0: 1, 1: 1, 2: 1, 3: 0}
+
+
+def test_transitivity_known_values(spark):
+    from neo4j_graph_algorithms_spark.operators.triangles import transitivity
+    from tests.conftest import edge_df
+
+    # triangle: 3 wedges, 1 triangle -> 3*1/3 = 1
+    tri = [(0, 1), (1, 2), (0, 2)]
+    assert transitivity(spark, edge_df(spark, tri)).collect()[0]["transitivity"] == 1.0
+    # path 0-1-2: 1 wedge, 0 triangles -> 0
+    path = [(0, 1), (1, 2)]
+    assert transitivity(spark, edge_df(spark, path)).collect()[0]["transitivity"] == 0.0
+    # triangle + pendant at 2: wedges = 1+1+3 = 5 -> 3/5
+    pend = tri + [(2, 3)]
+    assert transitivity(spark, edge_df(spark, pend)).collect()[0]["transitivity"] == 0.6
