@@ -201,3 +201,52 @@ def hub_salting(
         F.when(F.col("_is_hub"), F.pmod(F.xxhash64(SRC), F.lit(salt_buckets))).otherwise(F.lit(0)),
     )
     return out.drop("_is_hub")
+
+
+def bipartite_project(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """[src, dst, weight] — one-mode projection of a bipartite relation:
+    items sharing a group become a canonical (src < dst) edge, weight =
+    number of shared groups.
+
+    The library form of the engine's graph constructions (co-commit from
+    (commit, file) — sources/derive.py:73, co-order from (order, part) —
+    sources/tpch.py:27; the reference's loader builds the same projection
+    imperatively from Neo4j relationships, core/heavyweight/
+    HeavyGraphFactory.java).
+
+    `max_group_size` is the clique cap (same convention as cocommit_edges):
+    a group of n items emits n·(n−1)/2 pairs, so one hot group — a
+    vendored-dependency commit, a best-seller part — can emit millions of
+    rows; groups are truncated to their first `max_group_size` items in
+    item order, deterministically.
+
+    Scale shape: one distinct, one bounded per-group window (never global),
+    one self-equi-join on the group key, one map-side-combined count
+    aggregation.  The join key is the group id — salt or cap when group
+    cardinality is skewed.
+    """
+    from pyspark.sql import Window
+
+    rel = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_group_size is not None:
+        w = Window.partitionBy("_g").orderBy("_i")
+        rel = (
+            rel.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_group_size)
+            .select("_g", "_i")
+        )
+    a, b = rel.alias("a"), rel.alias("b")
+    return (
+        a.join(b, on="_g")
+        .filter(F.col("a._i") < F.col("b._i"))
+        .select(F.col("a._i").alias(SRC), F.col("b._i").alias(DST))
+        .groupBy(SRC, DST)
+        .agg(F.count("*").cast("double").alias("weight"))
+    )

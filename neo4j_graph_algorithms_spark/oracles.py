@@ -1554,3 +1554,18 @@ deg AS (
     SELECT src AS v FROM und UNION ALL SELECT dst FROM und) GROUP BY v),
 w AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
 SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM w), 6) AS transitivity"""
+
+
+def bipartite_copurchase_sql(max_group_size: int = 40) -> str:
+    """Customer co-purchase projection (parts = groups, customers = items,
+    clique-capped) — twin of graph.py bipartite_project."""
+    return f"""WITH cp AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS g, CAST(o_custkey AS BIGINT) AS i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+capped AS (
+  SELECT g, i FROM (
+    SELECT g, i, row_number() OVER (PARTITION BY g ORDER BY i) AS rn FROM cp) x
+  WHERE rn <= {max_group_size})
+SELECT a.i AS src, b.i AS dst, CAST(count(*) AS DOUBLE) AS weight
+FROM capped a JOIN capped b ON a.g = b.g AND a.i < b.i
+GROUP BY a.i, b.i"""

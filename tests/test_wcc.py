@@ -108,3 +108,20 @@ def test_wcc_warm_start_new_vertices_cold_init(spark):
     new = edge_df(spark, [(0, 1), (5, 6)])
     got = {r.vid: r.comp for r in wcc(spark, new, initial_components=prior).state.collect()}
     assert got == {0: 0, 1: 0, 5: 5, 6: 5}
+
+
+def test_bipartite_project_cap_and_weights(spark):
+    from neo4j_graph_algorithms_spark.graph import bipartite_project
+
+    rel = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g1", 3), ("g2", 1), ("g2", 2), ("g2", 2)],
+        "grp string, item long",
+    )
+    out = {(r["src"], r["dst"]): r["weight"]
+           for r in bipartite_project(rel, "grp", "item").collect()}
+    # (1,2) share g1+g2 (dup row in g2 collapses); (1,3),(2,3) share g1 only
+    assert out == {(1, 2): 2.0, (1, 3): 1.0, (2, 3): 1.0}
+    # cap=2 truncates g1 to items {1,2}: the (_,3) pairs disappear
+    capped = {(r["src"], r["dst"]): r["weight"]
+              for r in bipartite_project(rel, "grp", "item", max_group_size=2).collect()}
+    assert capped == {(1, 2): 2.0}
