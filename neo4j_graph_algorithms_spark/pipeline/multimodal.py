@@ -75,10 +75,15 @@ def _decode_bytes(payload: bytes, media_type: str) -> np.ndarray:
         from .png import decode_png
 
         return decode_png(payload)
+    if media_type == "image/gif":
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"codec for {media_type!r} requires image/video libraries not present "
-        "in this environment; REAL paths: 'image/png' (stdlib-zlib decoder) "
-        "and 'audio/wav' (stdlib wave); plumbing fixture: 'image/fake'"
+        "in this environment; REAL paths: 'image/png' (stdlib-zlib decoder), "
+        "'image/gif' (pure-stdlib LZW decoder) and 'audio/wav' (stdlib wave); "
+        "plumbing fixture: 'image/fake'"
     )
 
 
@@ -156,6 +161,27 @@ def synthesize_png_media(
             i,
             encode_png(png_pixels(i, width, height), filter_type="mixed"),
             "image/png",
+            (width, height, 1, None, 1),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthesize_gif_media(
+    spark: SparkSession, n: int = 64, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic media table whose payloads are genuine GIF89a files
+    (media_type='image/gif', pure-stdlib variable-width LZW encoder) over
+    the same formula grid as the PNG fixture — so the two real image codecs
+    share one SQL oracle."""
+    from .gif import encode_gif
+
+    rows = [
+        (
+            i,
+            encode_gif(png_pixels(i, width, height)),
+            "image/gif",
             (width, height, 1, None, 1),
         )
         for i in range(n)
