@@ -915,6 +915,15 @@ def _q_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_project(rel, "part", "cust", max_group_size=40)
 
 
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (gds.katz twin), 20 delta-push rounds at
+    alpha=0.05 on the line-seq multigraph."""
+    from neo4j_graph_algorithms_spark.operators.katz import katz
+
+    res = katz(spark, lineseq_edges(spark, sf_dir), alpha=0.05, max_iterations=20)
+    return res.state.select("vid", F.round("score", 6).alias("score"))
+
+
 def _q_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ArticleRank (GDS twin): hub-dampened PageRank with push denominator
     outdeg + avg_outdeg, 20 fixed iterations on the line-seq multigraph."""
@@ -1037,7 +1046,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_png_features": _q_image_png_features,
         "image_gif_features": _q_image_gif_features,
         "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_simhash": _q_simhash_dedup,
         "dedup_embedding_cosine": _q_embedding_near_dedup,
         "dedup_minhash_groups": _q_minhash_groups,
         "doc_tfidf_topk": _q_tf_idf,
@@ -1062,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_assortativity,
         "triangle_transitivity": _q_transitivity,
         "bipartite_copurchase": _q_bipartite_copurchase,
+        "katz_20iter": _q_katz,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
         "events_sessionize": _q_sessionize,
@@ -1084,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_10iter": _q_hits,
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
+        "dedup_simhash": _q_simhash_dedup,  # r1 green; pigeonhole-block path exercised by pytest, minhash_lsh in window
         "dedup_ngram_jaccard": _q_ngram_jaccard,  # r1 green; dedup_minhash_lsh (same shingle+verify path) stays in window
         "ann_cosine_pairs": _q_cosine_pairs,  # r1 green; ann_cosine_topk (same brute-force path) stays in window
         "pagerank_20iter": _q_pagerank,  # r2 green; weighted/articlerank/warm/personalized/csr variants in window
@@ -1282,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": oracles.degree_assortativity_sql(),
         "triangle_transitivity": oracles.transitivity_sql(),
         "bipartite_copurchase": oracles.bipartite_copurchase_sql(max_group_size=40),
+        "katz_20iter": oracles.katz_sql(iterations=20, alpha=0.05),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

@@ -1569,3 +1569,28 @@ capped AS (
 SELECT a.i AS src, b.i AS dst, CAST(count(*) AS DOUBLE) AS weight
 FROM capped a JOIN capped b ON a.g = b.g AND a.i < b.i
 GROUP BY a.i, b.i"""
+
+
+def katz_sql(iterations: int = 20, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Unrolled truncated Katz on the line-seq multigraph — twin of
+    operators/katz.py (delta-push with constant attenuation alpha)."""
+    a = repr(float(alpha))
+    b = repr(float(beta))
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        f"r0 AS MATERIALIZED (SELECT vid, CAST({b} AS DOUBLE) AS score, CAST({b} AS DOUBLE) AS delta FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, {a} * sum(r.delta) AS s
+  FROM r{i - 1} r JOIN lineseq e ON r.vid = e.src WHERE r.delta <> 0 GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT v.vid, v.score + coalesce(s.s, 0) AS score, coalesce(s.s, 0) AS delta
+  FROM r{i - 1} v LEFT JOIN s{i} s ON v.vid = s.vid)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, round(score, 6) AS score FROM r{iterations}"
+    )
