@@ -115,6 +115,21 @@ PROCEDURES: dict[str, str] = {
     # beyond the reference: HLL neighborhood sketches (Boldi-Vigna HyperBall)
     "algo.hyperball": "neo4j_graph_algorithms_spark.operators.hyperball.hyperball",
     "algo.hyperball.harmonic": "neo4j_graph_algorithms_spark.operators.hyperball.hyperball_harmonic",
+    # beyond the reference: GDS-catalogue twins on the same runtime
+    "algo.node2vec.walks": "neo4j_graph_algorithms_spark.operators.walks.node2vec_walks",
+    "algo.khopSample": "neo4j_graph_algorithms_spark.operators.walks.khop_fanout_sample",
+    "algo.kcore": "neo4j_graph_algorithms_spark.operators.kcore.kcore",
+    "algo.coreness": "neo4j_graph_algorithms_spark.operators.kcore.coreness",
+    "algo.ktruss": "neo4j_graph_algorithms_spark.operators.ktruss.ktruss",
+    "algo.eigenvector": "neo4j_graph_algorithms_spark.operators.eigenvector.eigenvector",
+    "algo.katz": "neo4j_graph_algorithms_spark.operators.katz.katz",
+    "algo.degree": "neo4j_graph_algorithms_spark.operators.degrees.degree_centrality",
+    "algo.degree.assortativity": "neo4j_graph_algorithms_spark.operators.degrees.degree_assortativity",
+    "algo.nodeSimilarity": "neo4j_graph_algorithms_spark.operators.nodesim.node_similarity",
+    "algo.adamicAdar": "neo4j_graph_algorithms_spark.operators.nodesim.adamic_adar",
+    "algo.triangle.transitivity": "neo4j_graph_algorithms_spark.operators.triangles.transitivity",
+    "algo.topoLevels": "neo4j_graph_algorithms_spark.operators.dag.topo_levels",
+    "algo.isDag": "neo4j_graph_algorithms_spark.operators.dag.is_dag",
     "algo.betweenness": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness",
     "algo.betweenness.sampled": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness_sampled",
     "algo.mst": "neo4j_graph_algorithms_spark.operators.mst.mst",
