@@ -11,6 +11,8 @@ resubmitted with `--resume` (north rule: runs resume mid-algorithm).
 Algorithms: pagerank, wcc, mscoloring, lpa, louvain, triangles,
 clustering_coefficients, scc, sssp, shortest_path, apsp_weighted,
 all_shortest_paths, delta_stepping, closeness, harmonic, betweenness, mst,
+kcore, coreness, ktruss, hits, eigenvector, katz, topo_levels,
+random_walks, node2vec_walks, degree,
 metapath (needs typed edges + labels tables).
 """
 
@@ -118,6 +120,70 @@ def main() -> None:
         out = _b.betweenness(spark, edges, **ck)
     elif algo == "mst":
         out = _t.mst(spark, edges, **ck)
+    elif algo == "kcore":
+        from neo4j_graph_algorithms_spark.operators.kcore import kcore
+
+        out = kcore(spark, edges, k=int(cfg.get("k", 2)), **ck).state
+    elif algo == "coreness":
+        from neo4j_graph_algorithms_spark.operators.kcore import coreness
+
+        out = coreness(spark, edges)
+    elif algo == "ktruss":
+        from neo4j_graph_algorithms_spark.operators.ktruss import ktruss
+
+        out = ktruss(spark, edges, k=int(cfg.get("k", 4)))
+    elif algo == "hits":
+        from neo4j_graph_algorithms_spark.operators.hits import hits
+
+        out = hits(spark, edges, max_iterations=cfg.get("iterations", 20), **ck).state
+    elif algo == "eigenvector":
+        from neo4j_graph_algorithms_spark.operators.eigenvector import eigenvector
+
+        out = eigenvector(
+            spark, edges, max_iterations=cfg.get("iterations", 20), **ck
+        ).state
+    elif algo == "katz":
+        from neo4j_graph_algorithms_spark.operators.katz import katz
+
+        out = katz(
+            spark,
+            edges,
+            alpha=cfg.get("alpha", 0.05),
+            beta=cfg.get("beta", 1.0),
+            max_iterations=cfg.get("iterations", 20),
+            tolerance=cfg.get("tolerance"),
+            **ck,
+        ).state
+    elif algo == "topo_levels":
+        from neo4j_graph_algorithms_spark.operators.dag import topo_levels
+
+        out = topo_levels(spark, edges, **ck).state
+    elif algo == "random_walks":
+        from neo4j_graph_algorithms_spark.operators.walks import random_walks
+
+        out = random_walks(
+            spark,
+            edges,
+            walk_length=cfg.get("walkLength", 4),
+            walks_per_node=cfg.get("walksPerNode", 1),
+            seed=cfg.get("seed", 42),
+        )
+    elif algo == "node2vec_walks":
+        from neo4j_graph_algorithms_spark.operators.walks import node2vec_walks
+
+        out = node2vec_walks(
+            spark,
+            edges,
+            walk_length=cfg.get("walkLength", 4),
+            walks_per_node=cfg.get("walksPerNode", 1),
+            p=cfg.get("p", 1.0),
+            q=cfg.get("q", 1.0),
+            seed=cfg.get("seed", 42),
+        )
+    elif algo == "degree":
+        from neo4j_graph_algorithms_spark.operators.degrees import degree_centrality
+
+        out = degree_centrality(spark, edges)
     elif algo == "metapath":
         labels = spark.read.parquet(args.labels)
         typed = spark.read.parquet(args.edges)  # keeps the `type` column
