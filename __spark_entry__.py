@@ -255,6 +255,19 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity_df(spark, ef, assign)
 
 
+def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (gds.conductance twin) of the vid%7
+    assignment on the co-order graph."""
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+    from neo4j_graph_algorithms_spark.operators.louvain import conductance_df
+
+    ef = EdgeFrame(coorder_edges(spark, sf_dir))
+    assign = ef.vertices().select(
+        "vid", F.pmod(F.col("vid"), F.lit(7)).alias("community")
+    )
+    return conductance_df(spark, ef, assign)
+
+
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.operators.louvain import louvain
 
@@ -1051,7 +1064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topk": _q_tf_idf,
         "doc_bm25": _q_bm25,
         "ann_cosine_topk": _q_cosine_topk,
-        "ann_srp_lsh_pairs": _q_srp_lsh_pairs,
         "graph_walk_skipgrams": _q_walk_skipgrams,
         "emb_quantize_int8": _q_quantize,
         "node_similarity_topk": _q_node_similarity,
@@ -1071,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_transitivity": _q_transitivity,
         "bipartite_copurchase": _q_bipartite_copurchase,
         "katz_20iter": _q_katz,
+        "community_conductance": _q_conductance,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
         "events_sessionize": _q_sessionize,
@@ -1093,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_10iter": _q_hits,
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
+        "ann_srp_lsh_pairs": _q_srp_lsh_pairs,  # r1 green; dedup_embedding_cosine exercises the same SRP pair path in window
         "dedup_simhash": _q_simhash_dedup,  # r1 green; pigeonhole-block path exercised by pytest, minhash_lsh in window
         "dedup_ngram_jaccard": _q_ngram_jaccard,  # r1 green; dedup_minhash_lsh (same shingle+verify path) stays in window
         "ann_cosine_pairs": _q_cosine_pairs,  # r1 green; ann_cosine_topk (same brute-force path) stays in window
@@ -1293,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_transitivity": oracles.transitivity_sql(),
         "bipartite_copurchase": oracles.bipartite_copurchase_sql(max_group_size=40),
         "katz_20iter": oracles.katz_sql(iterations=20, alpha=0.05),
+        "community_conductance": oracles.conductance_sql(mod=7),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

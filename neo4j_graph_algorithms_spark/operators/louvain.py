@@ -224,3 +224,67 @@ def louvain(
     both.unpersist()
     deg.unpersist()
     return out
+
+
+def conductance_df(
+    spark: SparkSession, edges: EdgeFrame | DataFrame, assignment: DataFrame
+) -> DataFrame:
+    """[community, internal_w, cut_w, conductance] for a [vid, community]
+    assignment (the gds.conductance analogue): conductance(C) =
+    cut(C) / vol(C) with vol(C) = 2·internal(C) + cut(C), over the
+    canonical undirected weighted graph — 0 for isolated communities.
+
+    Scale shape: two hash joins of the edge table against the (hinted)
+    assignment projection and one map-side-combined aggregation per term —
+    the same plan skeleton as `modularity_df`.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    und = _und_simple(ef)
+    a = assignment.select(F.col(VID), F.col(COMM))
+    e_comm = und.join(
+        a.select(F.col(VID).alias(SRC), F.col(COMM).alias("c_src")).hint(
+            "shuffle_hash"
+        ),
+        on=SRC,
+    ).join(
+        a.select(F.col(VID).alias(DST), F.col(COMM).alias("c_dst")).hint(
+            "shuffle_hash"
+        ),
+        on=DST,
+    )
+    internal = (
+        e_comm.filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias(COMM))
+        .agg(F.sum(WEIGHT).alias("internal_w"))
+    )
+    # a cut edge contributes to BOTH endpoint communities
+    cut = (
+        e_comm.filter(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias(COMM), WEIGHT)
+        .unionByName(
+            e_comm.filter(F.col("c_src") != F.col("c_dst")).select(
+                F.col("c_dst").alias(COMM), WEIGHT
+            )
+        )
+        .groupBy(COMM)
+        .agg(F.sum(WEIGHT).alias("cut_w"))
+    )
+    comms = assignment.select(COMM).distinct()
+    out = (
+        comms.join(internal, on=COMM, how="left")
+        .join(cut, on=COMM, how="left")
+        .select(
+            COMM,
+            F.coalesce("internal_w", F.lit(0.0)).alias("internal_w"),
+            F.coalesce("cut_w", F.lit(0.0)).alias("cut_w"),
+        )
+    )
+    vol = 2.0 * F.col("internal_w") + F.col("cut_w")
+    return out.select(
+        COMM,
+        F.round("internal_w", 6).alias("internal_w"),
+        F.round("cut_w", 6).alias("cut_w"),
+        F.round(
+            F.when(vol > 0, F.col("cut_w") / vol).otherwise(F.lit(0.0)), 6
+        ).alias("conductance"),
+    )

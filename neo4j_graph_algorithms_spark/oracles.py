@@ -1594,3 +1594,28 @@ r{i} AS MATERIALIZED (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT vid, round(score, 6) AS score FROM r{iterations}"
     )
+
+
+def conductance_sql(mod: int = 7) -> str:
+    """Per-community conductance of the vid % mod assignment over the
+    co-order graph — twin of operators/louvain.py conductance_df:
+    cut(C) / (2*internal(C) + cut(C)), 0 for isolated communities."""
+    return f"""WITH {COORDER_CTES},
+{COORDER_VERTS.replace('verts AS', 'cverts AS')},
+a AS (SELECT vid, vid % {mod} AS community FROM cverts),
+ec AS (
+  SELECT e.weight, sa.community AS c_src, sb.community AS c_dst
+  FROM coorder e JOIN a sa ON sa.vid = e.src JOIN a sb ON sb.vid = e.dst),
+w_in AS (SELECT c_src AS community, sum(weight) AS internal_w FROM ec WHERE c_src = c_dst GROUP BY 1),
+cut AS (
+  SELECT community, sum(weight) AS cut_w FROM (
+    SELECT c_src AS community, weight FROM ec WHERE c_src <> c_dst
+    UNION ALL SELECT c_dst, weight FROM ec WHERE c_src <> c_dst) x GROUP BY 1),
+comms AS (SELECT DISTINCT community FROM a)
+SELECT c.community,
+       round(coalesce(w.internal_w, 0), 6) AS internal_w,
+       round(coalesce(t.cut_w, 0), 6) AS cut_w,
+       round(CASE WHEN 2 * coalesce(w.internal_w, 0) + coalesce(t.cut_w, 0) > 0
+             THEN coalesce(t.cut_w, 0) / (2 * coalesce(w.internal_w, 0) + coalesce(t.cut_w, 0))
+             ELSE 0 END, 6) AS conductance
+FROM comms c LEFT JOIN w_in w USING (community) LEFT JOIN cut t USING (community)"""

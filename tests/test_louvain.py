@@ -122,3 +122,36 @@ def test_louvain_resume_from_checkpoint(spark, tmp_path):
     }
     assert got[0] == got[1] == got[2] == got[3] == 0
     assert got[4] == got[5] == got[6] == got[7] == 4
+
+
+def test_conductance_hand_values(spark):
+    from neo4j_graph_algorithms_spark.operators.louvain import conductance_df
+    from tests.conftest import edge_df
+
+    # two triangles joined by one bridge; assignment = the two triangles
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    assign = spark.createDataFrame(
+        [(v, 0) for v in (0, 1, 2)] + [(v, 1) for v in (3, 4, 5)],
+        "vid long, community long",
+    )
+    out = {r["community"]: r for r in
+           conductance_df(spark, edge_df(spark, pairs), assign).collect()}
+    # each side: internal 3, cut 1 -> 1/7
+    for c in (0, 1):
+        assert out[c]["internal_w"] == 3.0
+        assert out[c]["cut_w"] == 1.0
+        assert out[c]["conductance"] == round(1 / 7, 6)
+
+
+def test_conductance_isolated_community_is_zero(spark):
+    from neo4j_graph_algorithms_spark.operators.louvain import conductance_df
+    from tests.conftest import edge_df
+
+    pairs = [(0, 1)]
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (9, 5)], "vid long, community long"
+    )
+    out = {r["community"]: r["conductance"]
+           for r in conductance_df(spark, edge_df(spark, pairs), assign).collect()}
+    assert out[0] == 0.0  # no cut edges
+    assert out[5] == 0.0  # isolated community, vol 0
