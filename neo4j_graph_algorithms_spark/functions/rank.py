@@ -37,3 +37,40 @@ def dense_ids(df: DataFrame, col: str, start: int = 0) -> DataFrame:
         .withColumn("_rk", F.col("_off") + F.col("_r"))
         .drop("_p", "_r", "_off")
     )
+
+
+def prefix_sums(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+    """Append `_pre` (long) = EXCLUSIVE prefix sum of `value_col` over the
+    global ascending order of `order_col` (rows must be distinct on it).
+
+    Same two-phase plan as `dense_ids`: range-repartition on the order key,
+    cumsum WITHIN each partition (parallel window), add broadcast
+    per-partition offsets — no single-partition global window anywhere.
+    """
+    spark = df.sparkSession
+    npart = max(spark.sparkContext.defaultParallelism, 1)
+    part = (
+        df.repartitionByRange(npart, F.col(order_col))
+        .withColumn("_p", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids
+    )
+    sums = part.groupBy("_p").agg(F.sum(value_col).alias("_s")).collect()
+    offs = []
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["_p"]):
+        offs.append((row["_p"], acc))
+        acc += row["_s"] or 0
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_p int, _off long")
+    w = (
+        Window.partitionBy("_p")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.withColumn("_c", F.sum(value_col).over(w))
+        .join(F.broadcast(off_df), on="_p")
+        .withColumn(
+            "_pre", (F.col("_off") + F.col("_c") - F.col(value_col)).cast("long")
+        )
+        .drop("_p", "_c", "_off")
+    )

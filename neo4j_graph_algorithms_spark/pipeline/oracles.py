@@ -826,3 +826,25 @@ SELECT e.vec_id,
        CAST(CASE WHEN coalesce(m.mn, e.vec_id) < e.vec_id THEN 1 ELSE 0 END AS INT)
          AS is_dup
 FROM emb e LEFT JOIN mins m ON m.x = e.vec_id"""
+
+
+def pack_sequences_sql(budget: int = 256) -> str:
+    """Pack-and-chop over whitespace token counts in doc_id order — twin of
+    pack.py:pack_sequences."""
+    b = budget
+    return f"""WITH {DOCS_CTE},
+tc AS (SELECT doc_id, len(toks) AS n FROM docs WHERE len(toks) > 0),
+pre AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+           AS pre
+  FROM tc),
+ex AS (
+  SELECT doc_id, n, pre, u.s AS seq_id
+  FROM pre, unnest(generate_series(pre // {b}, (pre + n - 1) // {b})) u(s))
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(pre, seq_id * {b}) - pre AS BIGINT) AS doc_offset,
+       CAST(greatest(pre, seq_id * {b}) - seq_id * {b} AS BIGINT) AS seq_offset,
+       CAST(least(pre + n, seq_id * {b} + {b}) - greatest(pre, seq_id * {b}) AS BIGINT)
+         AS n_tokens
+FROM ex"""

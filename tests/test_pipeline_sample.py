@@ -68,3 +68,52 @@ def test_fractional_rate_close_to_expectation(spark):
     kept_en = out.filter("lang = 'en'").count()
     total_en = docs.filter("lang = 'en'").count()
     assert abs(kept_en / total_en - 0.5) < 0.08  # universal hash, not exact split
+
+
+def test_pack_sequences_chops_exactly(spark):
+    from neo4j_graph_algorithms_spark.pipeline.pack import pack_sequences
+
+    # docs of 3, 5, 4 tokens; budget 4 -> stream: [0:3),[3:8),[8:12)
+    tc = spark.createDataFrame(
+        [(10, 3), (20, 5), (30, 4)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(map(tuple, pack_sequences(tc, budget=4).collect()))
+    # (doc, seq, doc_off, seq_off, n)
+    assert rows == [
+        (10, 0, 0, 0, 3),          # doc 10 fills seq0[0:3)
+        (20, 0, 0, 3, 1),          # doc 20 first token finishes seq0
+        (20, 1, 1, 0, 4),          # next 4 tokens fill seq1
+        (30, 2, 0, 0, 4),          # doc 30 exactly fills seq2
+    ]
+    # invariants: per-sequence totals never exceed budget; per-doc slices
+    # reassemble the whole document contiguously
+    out = pack_sequences(tc, budget=4)
+    per_seq = {r["seq_id"]: r["sum(n_tokens)"]
+               for r in out.groupBy("seq_id").agg({"n_tokens": "sum"}).collect()}
+    assert all(v <= 4 for v in per_seq.values())
+
+
+def test_pack_sequences_skips_empty_docs_and_validates(spark):
+    import pytest as _pytest
+
+    from neo4j_graph_algorithms_spark.pipeline.pack import pack_sequences
+
+    tc = spark.createDataFrame([(1, 0), (2, 2)], "doc_id long, n_tokens long")
+    out = pack_sequences(tc, budget=8).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    with _pytest.raises(ValueError):
+        pack_sequences(tc, budget=0)
+
+
+def test_prefix_sums_matches_sequential(spark):
+    from neo4j_graph_algorithms_spark.functions.rank import prefix_sums
+
+    import random
+    rnd = random.Random(3)
+    rows = [(i, rnd.randint(0, 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["k"]: r["_pre"] for r in prefix_sums(df, "k", "v").collect()}
+    acc = 0
+    for k, v in rows:
+        assert got[k] == acc, k
+        acc += v
