@@ -255,6 +255,17 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity_df(spark, ef, assign)
 
 
+def _q_sllpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLPA overlapping communities (gds.sllpa twin) on the undirected
+    line-seq graph: 4 hash-deterministic speaker-listener rounds, memory
+    threshold 0.3 — vertices may hold multiple memberships."""
+    from neo4j_graph_algorithms_spark.operators.sllpa import sllpa
+
+    return sllpa(
+        spark, lineseq_edges(spark, sf_dir), iterations=4, threshold=0.3, seed=42
+    )
+
+
 def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community conductance (gds.conductance twin) of the vid%7
     assignment on the co-order graph."""
@@ -1069,7 +1080,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "image_png_features": _q_image_png_features,
         "image_gif_features": _q_image_gif_features,
-        "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_embedding_cosine": _q_embedding_near_dedup,
         "dedup_minhash_groups": _q_minhash_groups,
         "doc_tfidf_topk": _q_tf_idf,
@@ -1094,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_copurchase": _q_bipartite_copurchase,
         "katz_20iter": _q_katz,
         "community_conductance": _q_conductance,
+        "community_sllpa_overlap": _q_sllpa,
         "doc_pack_sequences": _q_pack_sequences,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
@@ -1117,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_10iter": _q_hits,
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
+        "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
         "ann_cosine_topk": _q_cosine_topk,  # r1 green; ann_ivf_search + dedup_embedding_cosine exercise the cosine kernels in window
         "ann_srp_lsh_pairs": _q_srp_lsh_pairs,  # r1 green; dedup_embedding_cosine exercises the same SRP pair path in window
         "dedup_simhash": _q_simhash_dedup,  # r1 green; pigeonhole-block path exercised by pytest, minhash_lsh in window
@@ -1320,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_copurchase": oracles.bipartite_copurchase_sql(max_group_size=40),
         "katz_20iter": oracles.katz_sql(iterations=20, alpha=0.05),
         "community_conductance": oracles.conductance_sql(mod=7),
+        "community_sllpa_overlap": oracles.sllpa_sql(iterations=4, threshold=0.3, seed=42),
         "doc_pack_sequences": pipeline_oracles.pack_sequences_sql(budget=256),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42

@@ -1619,3 +1619,55 @@ SELECT c.community,
              THEN coalesce(t.cut_w, 0) / (2 * coalesce(w.internal_w, 0) + coalesce(t.cut_w, 0))
              ELSE 0 END, 6) AS conductance
 FROM comms c LEFT JOIN w_in w USING (community) LEFT JOIN cut t USING (community)"""
+
+
+def sllpa_sql(iterations: int = 4, threshold: float = 0.3, seed: int = 42) -> str:
+    """Unrolled SLPA (overlapping communities) on the undirected-simple
+    line-seq graph — twin of operators/sllpa.py: same hash-weighted
+    speaker draw, same smallest-label tie-break, same memory threshold."""
+    from neo4j_graph_algorithms_spark.operators.walks import (
+        A_CUR,
+        A_SEED,
+        A_STEP,
+        A_WALK,
+        WALK_P,
+    )
+
+    min_cnt = repr(threshold * (iterations + 1))
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        """und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lineseq WHERE src <> dst)""",
+        "inter AS MATERIALIZED (SELECT a AS s, b AS l FROM und UNION ALL SELECT b, a FROM und)",
+        "m0 AS MATERIALIZED (SELECT vid, vid AS label, 1 AS cnt FROM verts)",
+    ]
+    for t in range(1, iterations + 1):
+        h = (
+            f"((s % {WALK_P}) * {A_CUR} + (l % {WALK_P}) * {A_WALK}"
+            f" + {t} * {A_STEP} + {seed} * {A_SEED}) % {WALK_P}"
+        )
+        parts.append(
+            f"""sp{t} AS MATERIALIZED (
+  SELECT i.s, i.l, m.label, m.cnt,
+         sum(m.cnt) OVER (PARTITION BY i.s, i.l ORDER BY m.label
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(m.cnt) OVER (PARTITION BY i.s, i.l) AS tot
+  FROM inter i JOIN m{t - 1} m ON m.vid = i.s),
+pk{t} AS (
+  SELECT l, label FROM sp{t}
+  WHERE ({h}) % tot >= cum - cnt AND ({h}) % tot < cum),
+hd{t} AS (SELECT l, label, count(*) AS n FROM pk{t} GROUP BY l, label),
+ad{t} AS (
+  SELECT l AS vid, label, 1 AS cnt FROM (
+    SELECT l, label, row_number() OVER (PARTITION BY l ORDER BY n DESC, label) AS rn
+    FROM hd{t}) x WHERE rn = 1),
+m{t} AS MATERIALIZED (
+  SELECT vid, label, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT vid, label, cnt FROM m{t - 1}
+    UNION ALL SELECT vid, label, cnt FROM ad{t}) u GROUP BY vid, label)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, label FROM m{iterations} WHERE cnt >= {min_cnt}"
+    )
