@@ -130,6 +130,9 @@ PROCEDURES: dict[str, str] = {
     "algo.triangle.transitivity": "neo4j_graph_algorithms_spark.operators.triangles.transitivity",
     "algo.topoLevels": "neo4j_graph_algorithms_spark.operators.dag.topo_levels",
     "algo.isDag": "neo4j_graph_algorithms_spark.operators.dag.is_dag",
+    "algo.sllpa": "neo4j_graph_algorithms_spark.operators.sllpa.sllpa",
+    "algo.conductance": "neo4j_graph_algorithms_spark.operators.louvain.conductance_df",
+    "algo.bipartiteProject": "neo4j_graph_algorithms_spark.graph.bipartite_project",
     "algo.betweenness": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness",
     "algo.betweenness.sampled": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness_sampled",
     "algo.mst": "neo4j_graph_algorithms_spark.operators.mst.mst",
