@@ -981,6 +981,14 @@ def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(spark, lineseq_edges(spark, sf_dir), k=4)
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram mean log-prob quality signal (model-free LM-filter
+    proxy) over the documents table."""
+    from neo4j_graph_algorithms_spark.pipeline.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style pack-and-chop: concatenate documents in doc_id order and
     chop into 256-token training sequences (distributed two-phase prefix
@@ -1106,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": _q_conductance,
         "community_sllpa_overlap": _q_sllpa,
         "doc_pack_sequences": _q_pack_sequences,
+        "doc_unigram_logprob": _q_unigram_logprob,
         "graph_khop_sample": _q_khop_sample,
         "degree_centrality": _q_degree_centrality,
         "events_sessionize": _q_sessionize,
@@ -1334,6 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         "community_conductance": oracles.conductance_sql(mod=7),
         "community_sllpa_overlap": oracles.sllpa_sql(iterations=4, threshold=0.3, seed=42),
         "doc_pack_sequences": pipeline_oracles.pack_sequences_sql(budget=256),
+        "doc_unigram_logprob": pipeline_oracles.unigram_logprob_sql(),
         "graph_random_walks": oracles.random_walks_sql(
             walk_length=4, walks_per_node=1, seed=42
         ),

@@ -848,3 +848,16 @@ SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
        CAST(least(pre + n, seq_id * {b} + {b}) - greatest(pre, seq_id * {b}) AS BIGINT)
          AS n_tokens
 FROM ex"""
+
+
+def unigram_logprob_sql() -> str:
+    """Corpus-MLE unigram mean log-prob per document — twin of
+    text.py:unigram_logprob."""
+    return f"""WITH {DOCS_CTE},
+toks AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+tot AS (SELECT count(*) * 1.0 AS t FROM toks),
+model AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(m.cnt / (SELECT t FROM tot))), 6) AS avg_logp
+FROM toks JOIN model m USING (tok)
+GROUP BY doc_id"""

@@ -434,3 +434,36 @@ def pii_scrub(
         n_ipv4.alias("n_ipv4"),
         n_phone.alias("n_phone"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_tokens, avg_logp] — mean unigram log-probability of each
+    document under the corpus's own MLE unigram model (the model-free
+    stand-in for the CCNet/LLaMA LM-perplexity quality filter: documents
+    whose tokens are corpus-typical score high, gibberish scores low).
+
+    p(tok) = count(tok)/total over the whole corpus — no smoothing needed
+    because every scored token is, by construction, in the model.  Rounded
+    to 6 decimals (the repo's float-parity convention; ln at 6dp is
+    engine-stable, same as tf_idf's idf).
+
+    Plan shape at 10^12 rows: one explode + one (tok) aggregation for the
+    model (Zipf-bounded vocabulary, joins back as a BROADCAST like tf_idf's
+    df), one (id) aggregation for the scores.  Empty documents are dropped
+    (no tokens to score).
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    total = toks.count()
+    model = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
+    return (
+        toks.join(F.broadcast(model), on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("_cnt") / F.lit(float(total)))), 6
+            ).alias("avg_logp"),
+        )
+    )

@@ -233,3 +233,25 @@ def test_pii_scrub_ip_not_double_counted_as_phone(spark):
     r = pii_scrub(docs).collect()[0]
     assert r.n_ipv4 == 1 and r.n_phone == 0
     assert r.text_clean == "ip <IP> only"
+
+
+def test_unigram_logprob_ranks_typical_docs_higher(spark):
+    import math
+
+    from neo4j_graph_algorithms_spark.pipeline.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "zyx qwv jkp")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # corpus: the=2 cat=2 sat=1 ran=1 zyx=1 qwv=1 jkp=1, total 9
+    exp1 = (math.log(2 / 9) * 2 + math.log(1 / 9)) / 3
+    exp3 = math.log(1 / 9)
+    assert out[1]["avg_logp"] == round(exp1, 6)
+    assert out[3]["avg_logp"] == round(exp3, 6)
+    assert out[1]["avg_logp"] > out[3]["avg_logp"]  # typical beats gibberish
+    assert out[1]["n_tokens"] == 3
+    # empty docs dropped
+    docs2 = spark.createDataFrame([(1, "a"), (2, "")], "doc_id long, text string")
+    assert {r["doc_id"] for r in unigram_logprob(docs2).collect()} == {1}
