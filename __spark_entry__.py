@@ -1134,7 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_csr_sampled": _q_closeness_csr,
         "triangle_total_csr": _q_triangle_total_csr,
         "doc_subword_count": _q_subword_count,
-        "hits_10iter": _q_hits,
+        "hits_10iter": _q_hits,  # position 51: the one never-driver-run gate that no longer fits the 50-window; green in CORRECTNESS_local_r03.json + test_hits fixed points
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
         "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
