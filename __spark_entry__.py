@@ -939,6 +939,21 @@ def _q_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_project(rel, "part", "cust", max_group_size=40)
 
 
+def _q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP node embeddings (gds.fastRP twin): 8 dims, two averaging
+    iterations, hash-deterministic sparse projection — exploded to
+    [vid, dim, val] for the oracle compare."""
+    from neo4j_graph_algorithms_spark.operators.fastrp import fastrp
+
+    emb = fastrp(
+        spark, lineseq_edges(spark, sf_dir),
+        dim=8, iteration_weights=(1.0, 1.0), seed=42,
+    )
+    return emb.select(
+        "vid", F.posexplode("embedding_q6").alias("dim", "val_q6")
+    )
+
+
 def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality (gds.katz twin), 20 delta-push rounds at
     alpha=0.05 on the line-seq multigraph."""
@@ -1111,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_transitivity": _q_transitivity,
         "bipartite_copurchase": _q_bipartite_copurchase,
         "katz_20iter": _q_katz,
+        "graph_fastrp_embeddings": _q_fastrp,
         "community_conductance": _q_conductance,
         "community_sllpa_overlap": _q_sllpa,
         "doc_pack_sequences": _q_pack_sequences,
@@ -1133,7 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_csr_from_0": _q_sssp_csr,
         "closeness_csr_sampled": _q_closeness_csr,
         "triangle_total_csr": _q_triangle_total_csr,
-        "doc_subword_count": _q_subword_count,
+        "doc_subword_count": _q_subword_count,  # positions 51+: never-driver-run overflow (window=50); green in CORRECTNESS_local_r03.json, regex pre-tokenizer also covered by doc_token_count sibling
         "hits_10iter": _q_hits,  # position 51: the one never-driver-run gate that no longer fits the 50-window; green in CORRECTNESS_local_r03.json + test_hits fixed points
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
@@ -1340,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_transitivity": oracles.transitivity_sql(),
         "bipartite_copurchase": oracles.bipartite_copurchase_sql(max_group_size=40),
         "katz_20iter": oracles.katz_sql(iterations=20, alpha=0.05),
+        "graph_fastrp_embeddings": oracles.fastrp_sql(dim=8, iteration_weights=(1.0, 1.0), seed=42),
         "community_conductance": oracles.conductance_sql(mod=7),
         "community_sllpa_overlap": oracles.sllpa_sql(iterations=4, threshold=0.3, seed=42),
         "doc_pack_sequences": pipeline_oracles.pack_sequences_sql(budget=256),

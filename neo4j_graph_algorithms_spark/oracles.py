@@ -1671,3 +1671,80 @@ m{t} AS MATERIALIZED (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT vid, label FROM m{iterations} WHERE cnt >= {min_cnt}"
     )
+
+
+def fastrp_sql(
+    dim: int = 8,
+    iteration_weights: tuple[float, ...] = (1.0, 1.0),
+    seed: int = 42,
+) -> str:
+    """Unrolled FastRP on the undirected-simple line-seq graph — twin of
+    operators/fastrp.py: identical INTEGER-scaled state (value x 10^6), so
+    every aggregation is an exact integer sum and every float step is a
+    per-row IEEE chain on identical inputs — bit-identical across engines
+    (see the operator docstring for why decimal quantization is not)."""
+    from neo4j_graph_algorithms_spark.operators.fastrp import (
+        A_D,
+        A_S,
+        A_V,
+        FASTRP_P,
+        SCALE,
+    )
+
+    def half_away(x: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({x}) >= 0 THEN floor(({x}) + 0.5)"
+            f" ELSE -floor(-({x}) + 0.5) END AS BIGINT)"
+        )
+
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        """und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lineseq WHERE src <> dst)""",
+        "inter AS MATERIALIZED (SELECT a AS s, b AS l FROM und UNION ALL SELECT b, a FROM und)",
+        f"dims AS (SELECT unnest(range({dim})) AS d)",
+        f"""sg AS (
+  SELECT vid, d,
+         CASE ((vid % {FASTRP_P}) * {A_V} + d * {A_D} + {seed} * {A_S}) % {FASTRP_P} % 6
+           WHEN 0 THEN -1 WHEN 5 THEN 1 ELSE 0 END AS sign
+  FROM verts CROSS JOIN dims)""",
+        """nnz AS (SELECT vid, CAST(sum(sign * sign) AS BIGINT) AS nz FROM sg GROUP BY vid)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT g.vid, g.d,
+         g.sign * {half_away(f"{SCALE}.0 / sqrt(CAST(greatest(n.nz, 1) AS DOUBLE))")} AS val
+  FROM sg g JOIN nnz n USING (vid))""",
+    ]
+    emb_terms = []
+    for k, w in enumerate(iteration_weights, start=1):
+        mean = half_away("CAST(a.num AS DOUBLE) / a.n")
+        norm = half_away(
+            f"CAST(f.val AS DOUBLE) * {SCALE} / sqrt(CAST(greatest(q.s2, 1) AS DOUBLE))"
+        )
+        parts.append(
+            f"""a{k} AS (
+  SELECT i.l AS vid, x.d, CAST(sum(x.val) AS BIGINT) AS num, count(*) AS n
+  FROM inter i JOIN s{k - 1} x ON x.vid = i.s GROUP BY i.l, x.d),
+f{k} AS (
+  SELECT vd.vid, vd.d, coalesce({mean}, 0) AS val
+  FROM (SELECT vid, d FROM verts CROSS JOIN dims) vd
+  LEFT JOIN a{k} a ON a.vid = vd.vid AND a.d = vd.d),
+q{k} AS (SELECT vid, CAST(sum(val * val) AS BIGINT) AS s2 FROM f{k} GROUP BY vid),
+s{k} AS MATERIALIZED (
+  SELECT f.vid, f.d, {norm} AS val
+  FROM f{k} f JOIN q{k} q USING (vid)),
+e{k} AS (SELECT vid, d, {half_away(f"CAST(val AS DOUBLE) * {w!r}")} AS val FROM s{k})"""
+        )
+        emb_terms.append(f"e{k}")
+    acc = emb_terms[0]
+    for idx, term in enumerate(emb_terms[1:], start=2):
+        parts.append(
+            f"""acc{idx} AS (
+  SELECT a.vid, a.d, a.val + b.val AS val
+  FROM {acc} a JOIN {term} b ON a.vid = b.vid AND a.d = b.d)"""
+        )
+        acc = f"acc{idx}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vid, CAST(d AS INTEGER) AS dim, val AS val_q6 FROM {acc}"
+    )

@@ -131,6 +131,7 @@ PROCEDURES: dict[str, str] = {
     "algo.topoLevels": "neo4j_graph_algorithms_spark.operators.dag.topo_levels",
     "algo.isDag": "neo4j_graph_algorithms_spark.operators.dag.is_dag",
     "algo.sllpa": "neo4j_graph_algorithms_spark.operators.sllpa.sllpa",
+    "algo.fastRP": "neo4j_graph_algorithms_spark.operators.fastrp.fastrp",
     "algo.conductance": "neo4j_graph_algorithms_spark.operators.louvain.conductance_df",
     "algo.bipartiteProject": "neo4j_graph_algorithms_spark.graph.bipartite_project",
     "algo.betweenness": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness",
