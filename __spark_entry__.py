@@ -939,6 +939,16 @@ def _q_bipartite_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_project(rel, "part", "cust", max_group_size=40)
 
 
+def _q_lpa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted LPA (votes sum shared-order edge weights) on the undirected
+    co-order graph — the relationshipWeight path of the reference's
+    labelPropagation (weightProperty, LabelPropagationProc.java)."""
+    res = lpa(
+        spark, coorder_edges(spark, sf_dir), direction="BOTH", max_iterations=3
+    )
+    return res.state.select("vid", "label")
+
+
 def _q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastRP node embeddings (gds.fastRP twin): 8 dims, two averaging
     iterations, hash-deterministic sparse projection — exploded to
@@ -1127,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_copurchase": _q_bipartite_copurchase,
         "katz_20iter": _q_katz,
         "graph_fastrp_embeddings": _q_fastrp,
+        "lpa_weighted_3iter": _q_lpa_weighted,
         "community_conductance": _q_conductance,
         "community_sllpa_overlap": _q_sllpa,
         "doc_pack_sequences": _q_pack_sequences,
@@ -1357,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_copurchase": oracles.bipartite_copurchase_sql(max_group_size=40),
         "katz_20iter": oracles.katz_sql(iterations=20, alpha=0.05),
         "graph_fastrp_embeddings": oracles.fastrp_sql(dim=8, iteration_weights=(1.0, 1.0), seed=42),
+        "lpa_weighted_3iter": oracles.lpa_weighted_sql(iterations=3),
         "community_conductance": oracles.conductance_sql(mod=7),
         "community_sllpa_overlap": oracles.sllpa_sql(iterations=4, threshold=0.3, seed=42),
         "doc_pack_sequences": pipeline_oracles.pack_sequences_sql(budget=256),

@@ -1748,3 +1748,32 @@ e{k} AS (SELECT vid, d, {half_away(f"CAST(val AS DOUBLE) * {w!r}")} AS val FROM 
         "WITH " + ",\n".join(parts)
         + f"\nSELECT vid, CAST(d AS INTEGER) AS dim, val AS val_q6 FROM {acc}"
     )
+
+
+def lpa_weighted_sql(iterations: int = 3) -> str:
+    """Unrolled WEIGHTED synchronous LPA on the undirected co-order graph —
+    twin of operators/lpa.py lpa(direction='BOTH') where votes sum edge
+    weights (integer-valued doubles: shared-order counts, so the sums are
+    exact and order-independent)."""
+    parts = [
+        COORDER_CTES,
+        COORDER_VERTS,
+        """und AS MATERIALIZED (
+  SELECT src, dst, weight FROM coorder
+  UNION ALL SELECT dst, src, weight FROM coorder WHERE src <> dst)""",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT e.src AS vid, l.label, sum(e.weight) AS w
+  FROM und e JOIN l{i - 1} l ON e.dst = l.vid GROUP BY 1, 2),
+t{i} AS MATERIALIZED (
+  SELECT vid, label FROM (
+    SELECT vid, label, row_number() OVER (PARTITION BY vid ORDER BY w DESC, label ASC) AS rn
+    FROM v{i}) x WHERE rn = 1),
+l{i} AS MATERIALIZED (
+  SELECT a.vid, coalesce(t.label, a.label) AS label
+  FROM l{i - 1} a LEFT JOIN t{i} t USING (vid))"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, label FROM l{iterations}"

@@ -77,3 +77,20 @@ def test_lpa_deterministic_tie_break(spark):
     res = lpa(spark, edges, seeds=seeds, max_iterations=1)
     labels = collect_map(res.state, "vid", "label")
     assert labels[0] == 5
+
+
+def test_weighted_votes_beat_count_votes(spark):
+    # vertex 0 hears: label 9 from ONE heavy edge (w=5) vs label 2 from TWO
+    # light edges (w=1 each, seeded to share label 2).  Weighted LPA adopts
+    # 9 (wsum 5 > 2); count-based voting would adopt 2 — and so would the
+    # tie-break (2 < 9), so this discriminates weight handling.
+    edges = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 1.0), (0, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    seeds = spark.createDataFrame(
+        [(1, 9), (2, 2), (3, 2)], "vid long, label long"
+    )
+    res = lpa(spark, edges, seeds=seeds, max_iterations=1)
+    got = {r["vid"]: r["label"] for r in res.state.collect()}
+    assert got[0] == 9
