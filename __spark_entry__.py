@@ -1143,7 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": _q_pack_sequences,
         "doc_unigram_logprob": _q_unigram_logprob,
         "graph_khop_sample": _q_khop_sample,
-        "degree_centrality": _q_degree_centrality,
+        "triangle_total_csr": _q_triangle_total_csr,
         "events_sessionize": _q_sessionize,
         "events_windowed_agg": _q_windowed_events,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1159,7 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outrank the r2-green metapath/louvain variants rotated to the tail
         "sssp_csr_from_0": _q_sssp_csr,
         "closeness_csr_sampled": _q_closeness_csr,
-        "triangle_total_csr": _q_triangle_total_csr,
+        "degree_centrality": _q_degree_centrality,  # rotated out for the Tier B triangle kernel; trivial agg, pytest + local green
         "doc_subword_count": _q_subword_count,  # positions 51+: never-driver-run overflow (window=50); green in CORRECTNESS_local_r03.json, regex pre-tokenizer also covered by doc_token_count sibling
         "hits_10iter": _q_hits,  # position 51: the one never-driver-run gate that no longer fits the 50-window; green in CORRECTNESS_local_r03.json + test_hits fixed points
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
