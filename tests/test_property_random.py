@@ -224,3 +224,70 @@ def test_lpa_csr_matches_tier_a_random(spark, pairs):
         ).state.collect()
     }
     assert a == b
+
+
+def py_ktruss(pairs, k):
+    """Sequential peel: canonical undirected simple edges with support
+    >= k-2 at fixpoint."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {
+            (a, b)
+            for a, b in edges
+            if len(adj[a] & adj[b]) >= k - 2
+        }
+        if keep == edges:
+            return edges
+        edges = keep
+
+
+@given(pairs=EDGES)
+@SETTINGS
+def test_ktruss_random(spark, pairs):
+    from neo4j_graph_algorithms_spark.operators.ktruss import ktruss
+
+    got = {(r["src"], r["dst"]) for r in ktruss(spark, edge_df(spark, pairs), k=4).collect()}
+    assert got == py_ktruss(pairs, 4)
+
+
+def py_topo_levels(pairs):
+    """Longest-path-from-source levels; None if cyclic."""
+    nodes = {v for e in pairs for v in e}
+    adj, indeg = {}, {v: 0 for v in nodes}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+        indeg[d] += 1
+    level = {v: 0 for v in nodes}
+    q = deque(v for v in nodes if indeg[v] == 0)
+    seen = 0
+    while q:
+        u = q.popleft()
+        seen += 1
+        for w in adj.get(u, []):
+            level[w] = max(level[w], level[u] + 1)
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                q.append(w)
+    return level if seen == len(nodes) else None
+
+
+DAG_EDGES = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).map(
+        lambda t: (min(t), max(t) + 1)  # src < dst: guaranteed acyclic
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pairs=DAG_EDGES)
+@SETTINGS
+def test_topo_levels_random_dag(spark, pairs):
+    from neo4j_graph_algorithms_spark.operators.dag import topo_levels
+
+    got = {r["vid"]: r["level"] for r in topo_levels(spark, edge_df(spark, pairs)).state.collect()}
+    assert got == py_topo_levels(pairs)
