@@ -12,7 +12,7 @@ Algorithms: pagerank, wcc, mscoloring, lpa, louvain, triangles,
 clustering_coefficients, scc, sssp, shortest_path, apsp_weighted,
 all_shortest_paths, delta_stepping, closeness, harmonic, betweenness, mst,
 kcore, coreness, ktruss, hits, eigenvector, katz, topo_levels,
-random_walks, node2vec_walks, degree,
+random_walks, node2vec_walks, fastrp, sllpa, degree,
 metapath (needs typed edges + labels tables).
 """
 
@@ -178,6 +178,26 @@ def main() -> None:
             walks_per_node=cfg.get("walksPerNode", 1),
             p=cfg.get("p", 1.0),
             q=cfg.get("q", 1.0),
+            seed=cfg.get("seed", 42),
+        )
+    elif algo == "fastrp":
+        from neo4j_graph_algorithms_spark.operators.fastrp import fastrp
+
+        out = fastrp(
+            spark,
+            edges,
+            dim=cfg.get("dim", 8),
+            iteration_weights=tuple(cfg.get("iterationWeights", [1.0, 1.0])),
+            seed=cfg.get("seed", 42),
+        )
+    elif algo == "sllpa":
+        from neo4j_graph_algorithms_spark.operators.sllpa import sllpa
+
+        out = sllpa(
+            spark,
+            edges,
+            iterations=cfg.get("iterations", 4),
+            threshold=cfg.get("threshold", 0.3),
             seed=cfg.get("seed", 42),
         )
     elif algo == "degree":

@@ -38,3 +38,16 @@ def test_superstep_never_broadcasts_state(spark):
     res = katz(spark, edge_df(spark, [(i, (i + 1) % 8) for i in range(8)]),
                max_iterations=2)
     assert "BroadcastHashJoin" not in res.first_plan
+
+
+def test_katz_checkpoint_resume(spark, tmp_path):
+    pairs = [(i, (i + 1) % 10) for i in range(10)]
+    cold = katz(spark, edge_df(spark, pairs), alpha=0.2, max_iterations=12)
+    ck = str(tmp_path / "katz")
+    katz(spark, edge_df(spark, pairs), alpha=0.2, max_iterations=12,
+         checkpoint_dir=ck)
+    resumed = katz(spark, edge_df(spark, pairs), alpha=0.2, max_iterations=12,
+                   checkpoint_dir=ck, resume=True)
+    a = {r["vid"]: r["score"] for r in cold.state.collect()}
+    b = {r["vid"]: r["score"] for r in resumed.state.collect()}
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
