@@ -37,6 +37,34 @@ from neo4j_graph_algorithms_spark.operators.reducer import (
     graph_reducer,
     label_dictionary,
 )
+from neo4j_graph_algorithms_spark.operators.hits import hits
+from neo4j_graph_algorithms_spark.operators.hyperball import (
+    hyperball,
+    hyperball_harmonic,
+)
+from neo4j_graph_algorithms_spark.operators.walks import (
+    khop_fanout_sample,
+    node2vec_walks,
+    random_walks,
+    walk_skipgram_pairs,
+)
+from neo4j_graph_algorithms_spark.operators.kcore import coreness, kcore
+from neo4j_graph_algorithms_spark.operators.ktruss import ktruss, truss_stats
+from neo4j_graph_algorithms_spark.operators.eigenvector import eigenvector
+from neo4j_graph_algorithms_spark.operators.katz import katz
+from neo4j_graph_algorithms_spark.operators.degrees import (
+    degree_assortativity,
+    degree_centrality,
+)
+from neo4j_graph_algorithms_spark.operators.nodesim import (
+    adamic_adar,
+    node_similarity,
+)
+from neo4j_graph_algorithms_spark.operators.triangles import transitivity
+from neo4j_graph_algorithms_spark.operators.dag import is_dag, topo_levels
+from neo4j_graph_algorithms_spark.operators.sllpa import sllpa
+from neo4j_graph_algorithms_spark.operators.fastrp import fastrp
+from neo4j_graph_algorithms_spark.operators.louvain import conductance_df
 
 __all__ = [
     "wcc",
@@ -71,4 +99,27 @@ __all__ = [
     "modularity_df",
     "graph_reducer",
     "label_dictionary",
+    "hits",
+    "hyperball",
+    "hyperball_harmonic",
+    "random_walks",
+    "node2vec_walks",
+    "walk_skipgram_pairs",
+    "khop_fanout_sample",
+    "kcore",
+    "coreness",
+    "ktruss",
+    "truss_stats",
+    "eigenvector",
+    "katz",
+    "degree_centrality",
+    "degree_assortativity",
+    "node_similarity",
+    "adamic_adar",
+    "transitivity",
+    "topo_levels",
+    "is_dag",
+    "sllpa",
+    "fastrp",
+    "conductance_df",
 ]
