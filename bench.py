@@ -111,6 +111,31 @@ def main() -> None:
     extras["lineseq_edges"] = n_seq_edges
     extras["parallelism"] = cpus
 
+    # opt-in extended timings for the round-3 operators — kept OUT of the
+    # headline `queries`/`value` so cross-round comparability holds
+    if os.environ.get("SPARK_GRAFT_EXTENDED"):
+        ext: dict[str, float] = {}
+
+        def timed_ext(name: str, fn):
+            t0 = time.time()
+            out = fn()
+            ext[name] = round(time.time() - t0, 3)
+            return out
+
+        from neo4j_graph_algorithms_spark.operators.fastrp import fastrp
+        from neo4j_graph_algorithms_spark.operators.katz import katz
+        from neo4j_graph_algorithms_spark.operators.ktruss import ktruss
+        from neo4j_graph_algorithms_spark.operators.walks import node2vec_walks
+
+        timed_ext("fastrp_d16_2iter", lambda: fastrp(
+            spark, co, dim=16, iteration_weights=(1.0, 1.0)).count())
+        timed_ext("node2vec_len4", lambda: node2vec_walks(
+            spark, seq, walk_length=4, p=2.0, q=0.5).count())
+        timed_ext("ktruss_k4", lambda: ktruss(spark, seq, k=4).count())
+        timed_ext("katz_20iter", lambda: katz(
+            spark, seq, alpha=0.05, max_iterations=20).state.count())
+        extras["extended"] = ext
+
     co.unpersist()
     seq.unpersist()
     spark.stop()

@@ -50,17 +50,27 @@ def _half_away(col):
     ).cast("long")
 
 
-def _normalize_int(vec, dim: int):
-    """Rescale an int64-component vector to L2 norm SCALE (zero stays zero:
-    greatest(s2, 1) keeps the divisor finite and 0·SCALE/1 = 0).
+def _normalize_int(df: DataFrame, dim: int) -> DataFrame:
+    """Rescale the int64-component `vec` column to L2 norm SCALE (zero
+    stays zero: greatest(s2, 1) keeps the divisor finite and 0·SCALE/1 = 0).
 
     s2 is an exact integer sum of squares; sqrt/division are per-row IEEE
-    ops on it — bit-reproducible."""
-    s2 = sum(vec[i] * vec[i] for i in range(dim))
-    nrm = F.sqrt(F.greatest(s2, F.lit(1)).cast("double"))
-    return F.array(*[
-        _half_away(vec[i].cast("double") * SCALE / nrm) for i in range(dim)
-    ])
+    ops on it — bit-reproducible.  Staged as a named column first: inlining
+    the s2 tree into each of the dim array elements multiplies the
+    expression tree by dim² and stalls codegen (measured: 75 s compiling a
+    15.7 MiB task binary at dim=16)."""
+    staged = df.select(
+        VID, "vec",
+        sum(F.col("vec")[i] * F.col("vec")[i] for i in range(dim)).alias("_s2"),
+    )
+    nrm = F.sqrt(F.greatest(F.col("_s2"), F.lit(1)).cast("double"))
+    return staged.select(
+        VID,
+        F.array(*[
+            _half_away(F.col("vec")[i].cast("double") * SCALE / nrm)
+            for i in range(dim)
+        ]).alias("vec"),
+    )
 
 
 def fastrp(
@@ -83,6 +93,8 @@ def fastrp(
     )
     adj.count()
 
+    # staged columns (signs -> nnz -> array): inlining the hash tree into
+    # every array element is O(dim²) expression blowup — see _normalize_int
     signs = []
     for d in range(dim):
         h = F.pmod(
@@ -94,16 +106,26 @@ def fastrp(
         signs.append(
             F.when(h == 0, F.lit(-1)).when(h == 5, F.lit(1)).otherwise(F.lit(0))
         )
+    staged = ef.vertices().select(
+        VID, *[s.alias(f"_g{d}") for d, s in enumerate(signs)]
+    )
+    staged = staged.select(
+        VID,
+        *[f"_g{d}" for d in range(dim)],
+        sum(F.col(f"_g{d}") * F.col(f"_g{d}") for d in range(dim)).alias("_nnz"),
+    )
     # ±√3 components share one magnitude, so x0 normalized is just
     # sign/√nnz — integer-scaled directly (all-zero rows: signs are 0, so
     # the greatest(nnz, 1) divisor is irrelevant)
-    nnz = sum(s * s for s in signs)
     unit = _half_away(
-        F.lit(float(SCALE)) / F.sqrt(F.greatest(nnz, F.lit(1)).cast("double"))
+        F.lit(float(SCALE))
+        / F.sqrt(F.greatest(F.col("_nnz"), F.lit(1)).cast("double"))
     )
-    x = ef.vertices().select(
+    x = staged.select(
         VID,
-        F.array(*[(s * unit).cast("long") for s in signs]).alias("vec"),
+        F.array(*[
+            (F.col(f"_g{d}") * unit).cast("long") for d in range(dim)
+        ]).alias("vec"),
     ).localCheckpoint(eager=True)
 
     emb = None
@@ -133,8 +155,7 @@ def fastrp(
                 ).alias("vec"),
             )
         )
-        x = x.select(VID, _normalize_int(F.col("vec"), dim).alias("vec"))
-        x = x.localCheckpoint(eager=True)
+        x = _normalize_int(x, dim).localCheckpoint(eager=True)
         contrib = F.array(*[
             _half_away(F.col("vec")[i].cast("double") * float(w)) for i in range(dim)
         ])
