@@ -80,13 +80,19 @@ def sessionize(
         F.col("event_id"),
     )
     sess = marked.withColumn("session_id", F.sum("_new").over(w))
+    # total_value sums INTEGER-scaled values (x1e6 -> long) so the sum is
+    # exact and shard-order-independent, then divides back at the end —
+    # the FastRP determinism trick (round(sum(double),6) flips on sessions
+    # whose float sum lands within 1 ulp of a 6dp boundary; seen as the
+    # r3 driver hash-fail).
+    scaled = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
     return (
         sess.groupBy(user_col, "session_id")
         .agg(
             F.count("*").alias("n_events"),
             F.min("_ep").alias("t_start"),
             F.max("_ep").alias("t_end"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            (F.sum(scaled) / F.lit(1e6)).alias("total_value"),
         )
     )
 
@@ -105,16 +111,20 @@ def windowed_event_aggregate(
     """
     win_s = window_minutes * 60
     epoch = F.unix_timestamp(F.col(ts_col))
+    # exact integer-scaled sum — see sessionize (same latent 6dp-boundary
+    # risk; max is order-independent so a plain round stays correct there)
+    scaled = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
     return (
         events.select(
             (F.floor(epoch / win_s) * win_s).alias("window_start"),
             F.col(type_col),
             F.col(value_col),
+            scaled.alias("_v6"),
         )
         .groupBy("window_start", type_col)
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("total_value"),
+            (F.sum("_v6") / F.lit(1e6)).alias("total_value"),
             F.round(F.max(value_col), 6).alias("max_value"),
         )
     )

@@ -544,7 +544,7 @@ SELECT media_id,
        CAST({n_samples} AS BIGINT) AS n_samples,
        CAST({sample_rate} AS INT) AS sample_rate,
        CAST({n_samples} * 1000 // {sample_rate} AS BIGINT) AS duration_ms,
-       SUM(v * v) AS sum_sq,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
        CAST(SUM(zc) AS BIGINT) AS zero_crossings
 FROM sc GROUP BY media_id"""
 
@@ -736,9 +736,11 @@ s AS (
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM m)
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
        min(ep) AS t_start, max(ep) AS t_end,
-       round(sum(value), 6) AS total_value
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
+         AS total_value
 FROM s GROUP BY user_id, session_id"""
 
 
@@ -750,7 +752,8 @@ def windowed_event_aggregate_sql(window_minutes: int = 60) -> str:
   SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type, value FROM events)
 SELECT (ep // {win_s}) * {win_s} AS window_start, event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS total_value,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
+         AS total_value,
        round(max(value), 6) AS max_value
 FROM e GROUP BY 1, 2"""
 

@@ -55,6 +55,23 @@ def test_sessionize_hot_user_cap_warns(spark):
     assert sum(r.n_events for r in out) == 4
 
 
+def test_sessionize_sum_partition_invariant(spark):
+    # total_value is an integer-scaled exact sum: bit-identical under any
+    # partitioning.  Values like 0.0000005 would flip round(sum(double),6)
+    # depending on accumulation order; the scaled-long path cannot.
+    rows = [
+        (i, float(i % 7) * 0.1, 1, "x", 0.1 + (i % 13) * 1e-7)
+        for i in range(500)
+    ]
+    ev = _events(spark, rows)
+    a = sessionize(ev.repartition(1), gap_minutes=30).collect()
+    b = sessionize(ev.repartition(64), gap_minutes=30).collect()
+    key = lambda r: (r.user_id, r.session_id)
+    va = {key(r): r.total_value for r in a}
+    vb = {key(r): r.total_value for r in b}
+    assert va == vb  # exact ==, not approx
+
+
 def test_windowed_aggregate_hand_values(spark):
     ev = _events(spark, [
         (0, 0.0, 1, "view", 1.0),
