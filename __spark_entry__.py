@@ -140,6 +140,20 @@ def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball_estimates(res.state, m=16)
 
 
+def _q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality (the Boldi-Vigna headline output) —
+    the approximate-centrality path a 100 TB user actually runs instead of
+    exact MS-BFS closeness.  radius 4, m=16; the sketch registers and the
+    discounted-growth chain are bit-deterministic, so the oracle checks
+    values exactly (approximation error is w.r.t. TRUE harmonic, which the
+    pytest fixtures check separately)."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import hyperball_harmonic
+
+    return hyperball_harmonic(
+        spark, lineseq_edges(spark, sf_dir), radius=4, m=16, direction="INCOMING"
+    )
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (beyond the reference catalogue) on the
     line-seq multigraph, 10 fixed iterations, L2-normalized half-steps."""
@@ -964,6 +978,21 @@ def _q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fastrp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier B FastRP twin (cogrouped numpy kernels for the d-wide integer
+    neighbor sums — csr/fastrp.py): same params and oracle as
+    graph_fastrp_embeddings, bit-identical by the integer-state contract."""
+    from neo4j_graph_algorithms_spark.csr.fastrp import fastrp_csr
+
+    emb = fastrp_csr(
+        spark, lineseq_edges(spark, sf_dir),
+        dim=8, iteration_weights=(1.0, 1.0), seed=42,
+    )
+    return emb.select(
+        "vid", F.posexplode("embedding_q6").alias("dim", "val_q6")
+    )
+
+
 def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality (gds.katz twin), 20 delta-push rounds at
     alpha=0.05 on the line-seq multigraph."""
@@ -1112,7 +1141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "audio_features": _q_audio_features,
         "image_png_features": _q_image_png_features,
-        "image_gif_features": _q_image_gif_features,
+        # r4 rotation: the last 3 never-driver-run gates (green in the
+        # committed local sweeps since r2/r3) take the slots of 3 r3-green
+        # gates whose code path has an in-window sibling (VERDICT r3 item 3)
+        "degree_centrality": _q_degree_centrality,
+        "doc_subword_count": _q_subword_count,
+        "hits_10iter": _q_hits,
         "dedup_embedding_cosine": _q_embedding_near_dedup,
         "dedup_minhash_groups": _q_minhash_groups,
         "doc_tfidf_topk": _q_tf_idf,
@@ -1130,13 +1164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_resample": _q_mixture_resample,
         "ktruss_4": _q_ktruss,
         "dag_topo_levels": _q_dag_levels,
-        "dedup_semantic": _q_semantic_dedup,
-        "pagerank_articlerank": _q_article_rank,
-        "degree_assortativity": _q_assortativity,
-        "triangle_transitivity": _q_transitivity,
+        "hyperball_harmonic": _q_hyperball_harmonic,  # new r4 gate (VERDICT item 8)
+        "pagerank_articlerank": _q_article_rank,  # stays in-window r4: build join refactored (denominator folded, VERDICT/ADVICE)
         "bipartite_copurchase": _q_bipartite_copurchase,
-        "katz_20iter": _q_katz,
         "graph_fastrp_embeddings": _q_fastrp,
+        "graph_fastrp_csr": _q_fastrp_csr,  # new r4 Tier B kernel (VERDICT item 6)
         "lpa_weighted_3iter": _q_lpa_weighted,
         "community_conductance": _q_conductance,
         "community_sllpa_overlap": _q_sllpa,
@@ -1159,9 +1191,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outrank the r2-green metapath/louvain variants rotated to the tail
         "sssp_csr_from_0": _q_sssp_csr,
         "closeness_csr_sampled": _q_closeness_csr,
-        "degree_centrality": _q_degree_centrality,  # rotated out for the Tier B triangle kernel; trivial agg, pytest + local green
-        "doc_subword_count": _q_subword_count,  # positions 51+: never-driver-run overflow (window=50); green in CORRECTNESS_local_r03.json, regex pre-tokenizer also covered by doc_token_count sibling
-        "hits_10iter": _q_hits,  # position 51: the one never-driver-run gate that no longer fits the 50-window; green in CORRECTNESS_local_r03.json + test_hits fixed points
+        # r4: rotated out of the window for the 3 never-driver-run gates —
+        # each r3-green with an in-window sibling on the same code path
+        "image_gif_features": _q_image_gif_features,  # r3 green; PNG twin (same Arrow-batched codec-feature path) in window
+        "dedup_semantic": _q_semantic_dedup,  # r3 green; k-means cells = IVF path (ann_ivf_search) + SRP dedup both in window
+        "triangle_transitivity": _q_transitivity,  # r3 green; triangle_total_csr + ktruss_4 exercise the triangle stream in window
+        "degree_assortativity": _q_assortativity,  # r3 green; degree_centrality (degrees path) now in window
+        "katz_20iter": _q_katz,  # r3 green; eigenvector_20iter (same power-iteration superstep shape) in window
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
         "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
@@ -1368,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_copurchase": oracles.bipartite_copurchase_sql(max_group_size=40),
         "katz_20iter": oracles.katz_sql(iterations=20, alpha=0.05),
         "graph_fastrp_embeddings": oracles.fastrp_sql(dim=8, iteration_weights=(1.0, 1.0), seed=42),
+        "graph_fastrp_csr": oracles.fastrp_sql(dim=8, iteration_weights=(1.0, 1.0), seed=42),
         "lpa_weighted_3iter": oracles.lpa_weighted_sql(iterations=3),
         "community_conductance": oracles.conductance_sql(mod=7),
         "community_sllpa_overlap": oracles.sllpa_sql(iterations=4, threshold=0.3, seed=42),
@@ -1381,4 +1418,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_quantize_int8": pipeline_oracles.quantize_sql(),
         "hyperball_est_r2": oracles.hyperball_sql(radius=2, m=16),
+        "hyperball_harmonic": oracles.hyperball_harmonic_sql(radius=4, m=16),
     }

@@ -180,16 +180,25 @@ def hyperball_harmonic(
     m: int = 64,
     direction: str = "INCOMING",
 ) -> DataFrame:
-    """[vid, approx_harmonic] — the HyperBall paper's headline output:
-    harmonic centrality  Σ_{u≠v} 1/d(u,v)  estimated as
+    """[vid, approx_harmonic, harmonic_q6] — the HyperBall paper's headline
+    output: harmonic centrality  Σ_{u≠v} 1/d(u,v)  estimated as
     Σ_t (|ball(t)| − |ball(t−1)|)/t  from the per-radius sketch growth.
 
     One incremental sketch pass (radius supersteps total — NOT one run per
     radius): after each superstep the per-vertex estimate is re-read from
     the live register state and the discounted growth accumulates.
     INCOMING balls (who reaches v) give the usual centrality reading.
-    Approximate by construction (HLL error), so pytest-verified against
-    exact harmonic on fixtures rather than oracle-gated."""
+    Approximate w.r.t. TRUE harmonic (HLL error, pytest-checked on
+    fixtures), but the COMPUTATION is bit-deterministic and oracle-gated:
+    the discounted-growth chain divides by t = 2, 3, ... which lands
+    exactly on 6dp midpoints where Spark's and DuckDB's round(double, 6)
+    disagree, so the accumulation runs on the INTEGER grid — per-round
+    estimates quantized to E = ⌊est·10⁶ + ½⌋ (est is already 6dp-rounded,
+    so est·10⁶ sits next to an integer, never near a midpoint), growth
+    summed as S = Σ_t max(E_t − E_{t−1}, 0)·(L/t) with L = lcm(1..radius),
+    and harmonic_q6 = (2S + L) div 2L — the exact half-up value of S/L,
+    pure int64 arithmetic on both engines (exact while est < 2^53/10⁶ ≈
+    9·10⁹, far beyond any gate scale; the double view is unaffected)."""
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     if direction == "INCOMING":
         e = ef.df.select(F.col(SRC).alias("_from"), F.col(DST).alias("_to"))
@@ -200,14 +209,23 @@ def hyperball_harmonic(
     e = e.distinct().repartition("_from").persist()
     e.count()
 
+    L = math.lcm(*range(1, radius + 1))
+
+    def q6(est_df: DataFrame, alias: str) -> DataFrame:
+        # est is round(x, 6) ≥ 0: est·10⁶ sits within 1 ulp of an integer,
+        # so +0.5-floor never sees a midpoint — robust integer quantization
+        return est_df.select(
+            VID, F.floor(F.col("est") * F.lit(1e6) + F.lit(0.5)).cast("long").alias(alias)
+        )
+
     verts = ef.vertices()
     state = verts.select(
         VID,
         F.pmod(_h(F.col(VID), A1, B1), F.lit(m)).alias("bucket"),
         _rho(F.pmod(_h(F.col(VID), A2, B2), F.lit(2**RHO_W))).alias("reg"),
     ).localCheckpoint(eager=True)
-    prev = hyperball_estimates(state, m).select(VID, F.col("est").alias("_e0"))
-    acc = verts.select(VID, F.lit(0.0).alias("_h"))
+    prev = q6(hyperball_estimates(state, m), "_e0")
+    acc = verts.select(VID, F.lit(0).cast("long").alias("_s"))
     for t in range(1, radius + 1):
         msgs = (
             state.hint("shuffle_hash")
@@ -220,19 +238,27 @@ def hyperball_harmonic(
             .agg(F.max("reg").alias("reg"))
             .localCheckpoint(eager=True)
         )
-        cur = hyperball_estimates(state, m).select(VID, F.col("est").alias("_e1"))
+        cur = q6(hyperball_estimates(state, m), "_e1")
         acc = (
             acc.join(prev, on=VID)
             .join(cur, on=VID)
             .select(
                 VID,
                 (
-                    F.col("_h")
-                    + F.greatest(F.col("_e1") - F.col("_e0"), F.lit(0.0)) / F.lit(float(t))
-                ).alias("_h"),
+                    F.col("_s")
+                    + F.greatest(F.col("_e1") - F.col("_e0"), F.lit(0).cast("long"))
+                    * F.lit(L // t)
+                ).alias("_s"),
             )
             .localCheckpoint(eager=True)
         )
         prev = cur.select(VID, F.col("_e1").alias("_e0"))
     e.unpersist()
-    return acc.select(VID, F.round("_h", 6).alias("approx_harmonic"))
+    return acc.select(
+        VID,
+        F.expr(f"(_s * 2 + {L}) div {2 * L}").alias("harmonic_q6"),
+    ).select(
+        VID,
+        (F.col("harmonic_q6") / F.lit(1e6)).alias("approx_harmonic"),
+        "harmonic_q6",
+    )

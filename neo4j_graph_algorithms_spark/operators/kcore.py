@@ -111,6 +111,10 @@ def coreness(
     while peeling to the k-core have coreness k-1.  Isolated vertices (deg
     0 after canonicalization, incl. self-loop-only) never enter the sweep
     and are emitted with core 0.
+
+    When ``max_k`` cuts the sweep short, every vertex still surviving in
+    the max_k-core is emitted with ``core = max_k`` — a documented CLAMP
+    (their true coreness is >= max_k), not a silent fall-through to 0.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     all_verts = ef.vertices()
@@ -120,6 +124,14 @@ def coreness(
     k = 1
     while True:
         if max_k is not None and k > max_k:
+            # clamp: survivors of the max_k-core have coreness >= max_k
+            assigned.append(
+                adj.select(F.col(SRC).alias(VID))
+                .distinct()
+                .select(VID, F.lit(max_k).alias("core"))
+                .localCheckpoint(eager=True)
+            )
+            adj.unpersist()
             break
         survivors = adj
         for _ in range(max_iterations_per_k):

@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
 
+# Default wedge-center degree cap (gds.nodeSimilarity degreeCutoff
+# analogue).  A hub center fans out deg² candidate pairs, so the DEFAULT
+# must be finite at 100 TB; pass max_center_degree=None to opt out.
+DEFAULT_MAX_CENTER_DEGREE = 10_000
+
 
 def _neighborhoods(edges: EdgeFrame | DataFrame) -> DataFrame:
     """Distinct undirected [vid, nbr] adjacency (Direction.BOTH, simple)."""
@@ -76,7 +81,7 @@ def node_similarity(
     metric: str = "jaccard",
     top_k: int | None = 10,
     similarity_cutoff: float = 1e-9,
-    max_center_degree: int | None = None,
+    max_center_degree: int | None = DEFAULT_MAX_CENTER_DEGREE,
 ) -> DataFrame:
     """[a, b, common, sim] neighborhood similarity for canonical pairs a<b.
 
@@ -86,6 +91,11 @@ def node_similarity(
     `top_k` keeps the k best pairs per LEFT node a (ranked sim desc, b asc —
     deterministic), mirroring gds.nodeSimilarity topK.  `sim` rounded to 6dp
     (repo float policy).
+
+    `max_center_degree` defaults FINITE (10^4, the GDS degreeCutoff
+    analogue): a single unbounded celebrity hub fans out deg² = 10^12
+    candidate pairs at web scale, so unbounded generation must be an
+    explicit `max_center_degree=None` opt-out, never the default.
     """
     if metric not in ("jaccard", "overlap"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -129,7 +139,7 @@ def adamic_adar(
     spark: SparkSession,
     edges: EdgeFrame | DataFrame,
     top_k: int | None = None,
-    max_center_degree: int | None = None,
+    max_center_degree: int | None = DEFAULT_MAX_CENTER_DEGREE,
     existing_links: bool = True,
 ) -> DataFrame:
     """[a, b, common, score] Adamic-Adar link-prediction scores for a<b:
@@ -137,6 +147,9 @@ def adamic_adar(
     by convention — ln(1)=0 would divide by zero; such centers cannot close
     a wedge anyway).  `existing_links=False` drops pairs already joined by
     an edge (the usual link-prediction framing: score only NEW candidates).
+
+    `max_center_degree` defaults finite (see node_similarity) — explicit
+    None to go unbounded.
     """
     nbrs = _neighborhoods(edges).persist()
     deg = nbrs.groupBy("nbr").agg(F.count("*").alias("center_deg"))

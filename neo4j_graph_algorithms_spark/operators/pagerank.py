@@ -123,6 +123,20 @@ def pagerank(
         out_deg = ef.df.groupBy(F.col(SRC).alias(VID)).agg(
             F.sum(WEIGHT).alias("outdeg")
         )
+        # guard: a source whose weights sum to <= 0 has no well-defined push
+        # fraction (w/Σw is NULL or negative) and would silently poison every
+        # downstream rank — drop its out-edges (it becomes a dangler) + warn.
+        n_bad = out_deg.filter(F.col("outdeg") <= 0).count()
+        if n_bad:
+            import warnings
+
+            warnings.warn(
+                f"pagerank(weighted=True): {n_bad} source vertices have "
+                "non-positive out-weight sums; their out-edges are dropped "
+                "(treated as dangling)",
+                stacklevel=2,
+            )
+            out_deg = out_deg.filter(F.col("outdeg") > 0)
         push_num = F.col(WEIGHT)
         cols = [SRC, DST, WEIGHT]
     else:
@@ -131,6 +145,14 @@ def pagerank(
         )
         push_num = F.lit(1.0)
         cols = [SRC, DST]
+    # article_rank only changes the push DENOMINATOR (outdeg + avg_outdeg,
+    # averaged over ALL vertices with danglers contributing 0) — one scalar
+    # aggregation folded into the same single build join.
+    denom_extra = 0.0
+    if article_rank:
+        n_verts = (vertices if vertices is not None else ef.vertices()).count()
+        n_edges = ef.df.count()
+        denom_extra = n_edges / n_verts if n_verts else 0.0
     edges_wd = (
         ef.df.select(*cols)
         # shuffle_hash: out_deg is |V|-sized — broadcasting it in the build
@@ -139,24 +161,12 @@ def pagerank(
             out_deg.select(F.col(VID).alias(SRC), "outdeg").hint("shuffle_hash"),
             on=SRC,
         )
-        .select(SRC, DST, (push_num / F.col("outdeg")).alias("inv_deg"))
-    )
-    if article_rank:
-        # avg outdeg over ALL vertices (danglers = 0): scalar, computed once
-        n_verts = (vertices if vertices is not None else ef.vertices()).count()
-        n_edges = ef.df.count()
-        avg_outdeg = n_edges / n_verts if n_verts else 0.0
-        edges_wd = (
-            ef.df.select(SRC, DST)
-            .join(
-                out_deg.select(F.col(VID).alias(SRC), "outdeg").hint("shuffle_hash"),
-                on=SRC,
-            )
-            .select(
-                SRC, DST,
-                (F.lit(1.0) / (F.col("outdeg") + F.lit(avg_outdeg))).alias("inv_deg"),
-            )
+        .select(
+            SRC,
+            DST,
+            (push_num / (F.col("outdeg") + F.lit(denom_extra))).alias("inv_deg"),
         )
+    )
     if hub_threshold is not None:
         # static salt column: salt = hash(src) % buckets on hub-destined
         # edges, 0 elsewhere (graph.hub_salting semantics, built once)

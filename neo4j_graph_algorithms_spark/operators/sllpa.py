@@ -46,10 +46,13 @@ def sllpa(
     """[vid, label] — overlapping community memberships: every label whose
     count fills >= `threshold` of the vertex's memory after `iterations`
     propagation rounds (memory size = iterations + 1, counting the initial
-    self-label).  Straight paper semantics: a vertex whose memory is fully
-    fragmented (every label heard once) can end with NO membership when
-    threshold > 1/(iterations+1) — raise iterations or lower the threshold
-    to guarantee coverage.
+    self-label).  Divergence from straight paper semantics, matching
+    gds.sllpa: a vertex with NO label reaching the threshold (isolated
+    vertices keep the single self-label with count 1 <
+    threshold*(iterations+1); a connected vertex's memory can be fully
+    fragmented) falls back to a SELF-LABEL membership instead of vanishing
+    from the output, so every vertex belongs to at least one community.
+    The DuckDB twin (oracles.sllpa_sql) encodes the same convention.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     und = ef.canonical().df.select(SRC, DST)
@@ -109,4 +112,15 @@ def sllpa(
 
     inter.unpersist()
     min_cnt = threshold * (iterations + 1)
-    return mem.filter(F.col("cnt") >= min_cnt).select(VID, "label")
+    kept = mem.filter(F.col("cnt") >= min_cnt).select(VID, "label")
+    # every vertex keeps >= 1 membership (gds.sllpa convention): union a
+    # self-label row for vertices with no label above the threshold.  mem
+    # contains every vertex (all start with a self-label), so the anti-join
+    # is against vertex state — hinted, never broadcast.
+    orphans = (
+        mem.select(VID)
+        .distinct()
+        .join(kept.select(VID).distinct().hint("shuffle_hash"), on=VID, how="left_anti")
+        .select(VID, F.col(VID).alias("label"))
+    )
+    return kept.unionByName(orphans)

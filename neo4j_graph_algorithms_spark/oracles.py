@@ -1272,6 +1272,96 @@ FROM est"""
     )
 
 
+def hyperball_harmonic_sql(radius: int = 4, m: int = 16) -> str:
+    """Unrolled HyperBall harmonic centrality on the line-seq graph
+    (INCOMING balls) — twin of operators/hyperball.py:hyperball_harmonic.
+    Registers are exact integers; each per-round estimate is rounded to 6dp
+    then quantized to the ×10⁶ integer grid, and the discounted-growth
+    chain runs in exact int64 arithmetic (S = Σ max(ΔE,0)·(L/t),
+    harmonic_q6 = (2S+L)//(2L)) — see the operator docstring for why the
+    float chain's /2, /3 divisions land on 6dp midpoints where the two
+    engines' round(double, 6) disagree."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        A1,
+        A2,
+        B1,
+        B2,
+        HB_P,
+        RHO_W,
+        hll_alpha,
+    )
+
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN z >= {2 ** (k - 1)} THEN {RHO_W - k + 1}"
+            for k in range(RHO_W, 0, -1)
+        )
+        + f" ELSE {RHO_W + 1} END"
+    )
+    alpha_mm = repr(hll_alpha(m) * m * m)
+
+    def est_cte(i: int) -> str:
+        return f"""agg{i} AS (
+  SELECT vid, count(*) AS nnz, sum(power(2.0, -reg)) AS sp
+  FROM r{i} GROUP BY vid),
+est{i} AS (
+  SELECT vid,
+         round(CASE WHEN {alpha_mm} / ((CAST({m} AS DOUBLE) - nnz) + sp)
+                         <= {repr(2.5 * m)} AND {m} - nnz > 0
+                    THEN {repr(float(m))} * ln({repr(float(m))} / ({m} - nnz))
+                    ELSE {alpha_mm} / ((CAST({m} AS DOUBLE) - nnz) + sp)
+               END, 6) AS est
+  FROM agg{i})"""
+
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "dedges AS (SELECT DISTINCT src, dst FROM lineseq)",
+        f"""hz AS (
+  SELECT vid,
+         ((vid % {HB_P}) * {A1} + {B1}) % {HB_P} % {m} AS bucket,
+         ((vid % {HB_P}) * {A2} + {B2}) % {HB_P} % {2 ** RHO_W} AS z
+  FROM verts)""",
+        f"r0 AS MATERIALIZED (SELECT vid, bucket, {rho_case} AS reg FROM hz)",
+        est_cte(0),
+    ]
+    for i in range(1, radius + 1):
+        # INCOMING balls: registers flow src -> dst (who reaches v)
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT vid, bucket, max(reg) AS reg FROM (
+    SELECT e.dst AS vid, r.bucket, r.reg FROM r{i - 1} r JOIN dedges e ON r.vid = e.src
+    UNION ALL SELECT vid, bucket, reg FROM r{i - 1}) x
+  GROUP BY vid, bucket)"""
+        )
+        parts.append(est_cte(i))
+    import math as _math
+
+    L = _math.lcm(*range(1, radius + 1))
+    for i in range(radius + 1):
+        parts.append(
+            f"""eq{i} AS (
+  SELECT vid, CAST(floor(est * 1000000 + 0.5) AS BIGINT) AS e FROM est{i})"""
+        )
+    s_terms = " + ".join(
+        f"greatest(e{t}.e - e{t - 1}.e, 0) * {L // t}" for t in range(1, radius + 1)
+    )
+    joins = "eq0 e0 " + " ".join(
+        f"JOIN eq{t} e{t} USING (vid)" for t in range(1, radius + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+s AS (SELECT vid, {s_terms} AS s FROM {joins})
+SELECT vid,
+       CAST((s * 2 + {L}) // {2 * L} AS BIGINT) / 1000000.0 AS approx_harmonic,
+       CAST((s * 2 + {L}) // {2 * L} AS BIGINT) AS harmonic_q6
+FROM s"""
+    )
+
+
 # ---- neighborhood similarity / link prediction (operators/nodesim.py) --------
 
 NBR_CTES = f"""{LINESEQ_CTES},
@@ -1667,9 +1757,16 @@ m{t} AS MATERIALIZED (
     SELECT vid, label, cnt FROM m{t - 1}
     UNION ALL SELECT vid, label, cnt FROM ad{t}) u GROUP BY vid, label)"""
         )
+    # gds.sllpa convention (mirrors the operator): vertices with no label
+    # above the threshold fall back to a self-label membership.
+    parts.append(
+        f"kept AS (SELECT vid, label FROM m{iterations} WHERE cnt >= {min_cnt})"
+    )
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT vid, label FROM m{iterations} WHERE cnt >= {min_cnt}"
+        + "\nSELECT vid, label FROM kept"
+        + "\nUNION ALL SELECT vid, vid AS label FROM verts"
+        + " WHERE vid NOT IN (SELECT vid FROM kept)"
     )
 
 

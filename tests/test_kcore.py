@@ -94,3 +94,12 @@ def test_kcore_resume(spark, tmp_path):
     assert sorted(map(tuple, resumed.state.collect())) == sorted(
         map(tuple, cold.state.collect())
     )
+
+
+def test_coreness_max_k_clamps_survivors(spark):
+    # 4-clique (true coreness 3) + pendant 0-7: with max_k=2 the sweep is
+    # cut off and clique survivors are CLAMPED to core 2 (not dropped to 0)
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(0, 7)]
+    out = {r["vid"]: r["core"]
+           for r in coreness(spark, edge_df(spark, pairs), max_k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2, 3: 2, 7: 1}

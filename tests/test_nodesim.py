@@ -91,3 +91,29 @@ def test_degree1_center_contributes_zero(spark):
     path = [(1, 0), (0, 2), (0, 3)]
     out = _by_pair(adamic_adar(spark, edge_df(spark, path)).collect())
     assert out[(1, 2)]["score"] == pytest.approx(1.0 / math.log(3), abs=1e-6)
+
+
+def test_default_center_cap_is_finite():
+    # the 100 TB guard: unbounded wedge generation must be an explicit
+    # opt-out (max_center_degree=None), never the default
+    import inspect
+
+    from neo4j_graph_algorithms_spark.operators.nodesim import (
+        DEFAULT_MAX_CENTER_DEGREE,
+    )
+
+    assert DEFAULT_MAX_CENTER_DEGREE == 10_000
+    for fn in (node_similarity, adamic_adar):
+        d = inspect.signature(fn).parameters["max_center_degree"].default
+        assert d == DEFAULT_MAX_CENTER_DEGREE
+
+
+def test_default_cap_drops_celebrity_hub(spark):
+    # star with 10,001 leaves: hub center degree exceeds the DEFAULT cap,
+    # so candidate generation drops it (with a warning) instead of fanning
+    # out deg^2 ≈ 1e8 pairs; every leaf pair's only shared neighbor is the
+    # hub, so the capped result is empty
+    star = [(0, i) for i in range(1, 10_002)]
+    with pytest.warns(RuntimeWarning, match="hub wedge centers"):
+        out = node_similarity(spark, edge_df(spark, star)).collect()
+    assert out == []

@@ -39,3 +39,18 @@ def test_overlap_possible_at_low_threshold(spark):
     for r in out:
         per_vid.setdefault(r["vid"], set()).add(r["label"])
     assert max(len(v) for v in per_vid.values()) >= 2  # someone overlaps
+
+
+def test_every_vertex_keeps_a_membership(spark):
+    # vertex 9 is self-loop-only (isolated after canonicalization): its
+    # memory stays at the single self-label, below threshold*(iters+1) —
+    # the gds.sllpa fallback keeps it in its own community instead of
+    # dropping it, and every vertex has >= 1 membership
+    pairs = _two_cliques_with_bridge() + [(9, 9)]
+    out = sllpa(spark, edge_df(spark, pairs), iterations=4,
+                threshold=0.3, seed=1).collect()
+    per_vid = {}
+    for r in out:
+        per_vid.setdefault(r["vid"], set()).add(r["label"])
+    assert per_vid[9] == {9}
+    assert set(per_vid) == {v for e in pairs for v in e}
