@@ -700,6 +700,20 @@ def _q_image_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_gif_media(spark, n=64, width=8, height=8))
 
 
+def _q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec JPEG gate: genuine baseline-JPEG payloads (pure-numpy
+    DCT + canonical-Huffman encoder) decoded by pipeline/jpeg.py's full
+    marker/Huffman/dequant/IDCT decoder inside the Arrow-batched kernel.
+    The fixture is block-constant so the lossy codec round-trips exactly
+    and the oracle regenerates pixels by formula (jpeg.py docstring)."""
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        extract_features,
+        synthesize_jpeg_media,
+    )
+
+    return extract_features(synthesize_jpeg_media(spark, n=64, width=16, height=16))
+
+
 def _q_closeness_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.csr.msbfs import closeness_csr
     from neo4j_graph_algorithms_spark.graph import EdgeFrame
@@ -1161,7 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_20iter": _q_eigenvector,
         "pagerank_personalized": _q_pagerank_personalized,
         "doc_pii_scrub": _q_pii_scrub,
-        "doc_mixture_resample": _q_mixture_resample,
+        "image_jpeg_features": _q_image_jpeg_features,  # new r4 gate: real baseline-JPEG codec (VERDICT item 5)
         "ktruss_4": _q_ktruss,
         "dag_topo_levels": _q_dag_levels,
         "hyperball_harmonic": _q_hyperball_harmonic,  # new r4 gate (VERDICT item 8)
@@ -1198,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_transitivity": _q_transitivity,  # r3 green; triangle_total_csr + ktruss_4 exercise the triangle stream in window
         "degree_assortativity": _q_assortativity,  # r3 green; degree_centrality (degrees path) now in window
         "katz_20iter": _q_katz,  # r3 green; eigenvector_20iter (same power-iteration superstep shape) in window
+        "doc_mixture_resample": _q_mixture_resample,  # r3 green; hash-threshold column exprs, doc_pack_sequences + sample pytest cover the module
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
         "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
@@ -1361,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "image_png_features": pipeline_oracles.png_features_sql(n=64, width=8, height=8),
         "image_gif_features": pipeline_oracles.png_features_sql(n=64, width=8, height=8),
+        "image_jpeg_features": pipeline_oracles.jpeg_features_sql(n=64, width=16, height=16),
         "dedup_embedding_cosine": pipeline_oracles.embedding_near_dedup_sql(
             threshold=0.4, n_planes=16, bands=4, dim=64
         ),

@@ -103,11 +103,15 @@ def random_walks(
             )
             .select("walk_id", F.col(DST).alias("cur"))
         )
-        frontier = nxt.localCheckpoint(eager=True)
+        # LAZY checkpoint + count(): the count materializes the checkpoint
+        # blocks AND reads the surviving-walk cardinality in the SAME job —
+        # eager + isEmpty() was one extra driver-blocking job per step
+        frontier = nxt.localCheckpoint(eager=False)
+        n_alive = frontier.count()
         rows.append(
             frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias(VID))
         )
-        if frontier.isEmpty():
+        if n_alive == 0:
             break
     result = rows[0]
     for r in rows[1:]:
@@ -238,11 +242,13 @@ def node2vec_walks(
             .filter((F.col("_r") >= F.col("cum") - F.col("wt")) & (F.col("_r") < F.col("cum")))
             .select("walk_id", F.col("cand").alias("cur"), F.col("cur").alias("prev"))
         )
-        frontier = picked.localCheckpoint(eager=True)
+        # lazy checkpoint + count: one job per step (see random_walks)
+        frontier = picked.localCheckpoint(eager=False)
+        n_alive = frontier.count()
         rows.append(
             frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias(VID))
         )
-        if frontier.isEmpty():
+        if n_alive == 0:
             break
     result = rows[0]
     for r in rows[1:]:

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side machinery is real and tested — schemas, Arrow-batched
-`mapInPandas` UDF signatures, partitioning, metadata propagation.  The
-actual codec work (JPEG decode, audio resample, video frame extraction)
-needs libraries absent from this environment, so each kernel routes through
-`_decode_bytes`, which raises NotImplementedError for real codecs and
-provides a deterministic fake ('fake' codec: payload = struct-packed pixel
-grid) so every downstream stage is exercised end-to-end.
+`mapInPandas` UDF signatures, partitioning, metadata propagation.  REAL
+codecs, all pure stdlib+numpy: PNG (pipeline/png.py), GIF (pipeline/
+gif.py), baseline JPEG (pipeline/jpeg.py), WAV (stdlib wave).  Video
+frame extraction genuinely needs libraries absent from this environment,
+so `_decode_bytes` raises NotImplementedError there; the deterministic
+'fake' codec (payload = struct-packed pixel grid) keeps every downstream
+stage exercised end-to-end regardless.
 
 Schema convention for a multimodal row:
     media: binary            -- opaque payload
@@ -62,10 +63,12 @@ def encode_fake_image(media_id: int, width: int, height: int) -> bytes:
 def _decode_bytes(payload: bytes, media_type: str) -> np.ndarray:
     """Decode payload → HxW (grey) or HxWx3 (RGB) uint8 array.
 
-    REAL codecs: image/png (stdlib-zlib decoder, pipeline/png.py) and
-    audio/wav (stdlib wave, decode_wav).  'image/fake' is the deterministic
-    struct-packed fixture codec.  JPEG/video stay stubbed — those genuinely
-    need libraries absent from this environment."""
+    REAL codecs: image/png (stdlib-zlib decoder, pipeline/png.py),
+    image/gif (pure-stdlib LZW, pipeline/gif.py), image/jpeg (pure-numpy
+    baseline DCT/Huffman, pipeline/jpeg.py) and audio/wav (stdlib wave,
+    decode_wav).  'image/fake' is the deterministic struct-packed fixture
+    codec.  Video stays stubbed — frame extraction genuinely needs
+    libraries absent from this environment."""
     if media_type == "image/fake":
         if payload[:4] != _FAKE_MAGIC:
             raise ValueError("bad fake-image payload")
@@ -79,10 +82,15 @@ def _decode_bytes(payload: bytes, media_type: str) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(payload)
+    if media_type == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"codec for {media_type!r} requires image/video libraries not present "
+        f"codec for {media_type!r} requires video libraries not present "
         "in this environment; REAL paths: 'image/png' (stdlib-zlib decoder), "
-        "'image/gif' (pure-stdlib LZW decoder) and 'audio/wav' (stdlib wave); "
+        "'image/gif' (pure-stdlib LZW decoder), 'image/jpeg' (pure-numpy "
+        "baseline DCT/Huffman decoder) and 'audio/wav' (stdlib wave); "
         "plumbing fixture: 'image/fake'"
     )
 
@@ -182,6 +190,28 @@ def synthesize_gif_media(
             i,
             encode_gif(png_pixels(i, width, height)),
             "image/gif",
+            (width, height, 1, None, 1),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthesize_jpeg_media(
+    spark: SparkSession, n: int = 64, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Deterministic media table whose payloads are genuine baseline JPEG
+    files (media_type='image/jpeg', pure-numpy DCT + canonical-Huffman
+    encoder).  Pixels are BLOCK-CONSTANT (jpeg_block_pixels) so the lossy
+    codec round-trips EXACTLY and a SQL oracle can regenerate them by
+    formula — see pipeline/jpeg.py's module docstring."""
+    from .jpeg import encode_jpeg, jpeg_block_pixels
+
+    rows = [
+        (
+            i,
+            encode_jpeg(jpeg_block_pixels(i, width, height)),
+            "image/jpeg",
             (width, height, 1, None, 1),
         )
         for i in range(n)

@@ -524,6 +524,28 @@ SELECT media_id,
 FROM px GROUP BY media_id"""
 
 
+def jpeg_features_sql(n: int = 64, width: int = 16, height: int = 16) -> str:
+    """Twin of multimodal.extract_features over synthesize_jpeg_media's
+    REAL baseline-JPEG payloads: the fixture is BLOCK-CONSTANT — pixel
+    (y,x) of media m = (17·(x//8) + 29·(y//8) + 31·m) % 256 — because a
+    constant 8×8 block round-trips the lossy DCT codec exactly (DC
+    quantizer 8; see pipeline/jpeg.py), so the SQL regenerates pixels by
+    formula while Spark Huffman-decodes genuine JPEG streams in the
+    Arrow-batched kernel.  width*height is a power of two, so the
+    mean/percentage floats are IEEE-exact and parity is hash-exact."""
+    npx = width * height
+    return f"""WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({n}) t(i)),
+px AS (
+  SELECT media_id, (17 * (x // 8) + 29 * (y // 8) + 31 * media_id) % 256 AS v
+  FROM ids, range({width}) tx(x), range({height}) ty(y))
+SELECT media_id,
+       CAST(floor(avg(v)) AS INT) AS mean_intensity,
+       CAST(max(v) AS INT) AS max_intensity,
+       CAST(floor(100.0 * sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) / {npx}) AS INT)
+         AS nonzero_frac_pct
+FROM px GROUP BY media_id"""
+
+
 def audio_features_sql(n: int = 64, n_samples: int = 800, sample_rate: int = 8000) -> str:
     """Twin of multimodal.audio_features over synthesize_audio's REAL WAV
     payloads: sample t of media m = ((t*(m%17+3)) % 1024) - 512, so the SQL

@@ -90,3 +90,62 @@ def test_windowed_aggregate_hand_values(spark):
     assert got[(first, "view")].total_value == 3.0
     assert got[(second, "view")].n_events == 1
     assert got[(first, "click")].max_value == 8.0
+
+
+def test_sessionize_bot_user_truncation_matches_oracle(spark):
+    # skew hardening (VERDICT r3 item 9): a bot user far above the cap is
+    # truncated to its first max_events (by ts, event_id) BEFORE gap
+    # sessionization; a DuckDB twin of cap-then-sessionize must agree on
+    # every output row, not just the warned count
+    import duckdb
+
+    rows = (
+        # bot user 1: 40 events every 2 min (one giant session uncapped)
+        [(i, 2.0 * i, 1, "bot", 0.5 + i * 1e-6) for i in range(40)]
+        # human user 2: two sessions split by a 90-min gap
+        + [(100, 0.0, 2, "view", 1.0), (101, 5.0, 2, "click", 2.0),
+           (102, 95.0, 2, "view", 4.0)]
+    )
+    ev = _events(spark, rows)
+    with pytest.warns(RuntimeWarning, match="exceed"):
+        got = sorted(
+            (r.user_id, r.session_id, r.n_events, r.t_start, r.t_end,
+             r.total_value)
+            for r in sessionize(ev, gap_minutes=30,
+                                max_events_per_user=10).collect()
+        )
+
+    pdf = ev.toPandas()
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+WITH capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS rn FROM ev)
+  WHERE rn <= 10),
+m AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value, event_id,
+         CASE WHEN floor(epoch(ts))
+                   - lag(floor(epoch(ts))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                   <= 1800 THEN 0
+              WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL THEN 0
+              ELSE 1 END AS new_s
+  FROM capped),
+s AS (
+  SELECT user_id, ep, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ep) AS t_start, max(ep) AS t_end,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         / 1000000.0 AS total_value
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+""").fetchall()
+    )
+    assert got == want
