@@ -127,7 +127,11 @@ def main() -> None:
         from neo4j_graph_algorithms_spark.operators.ktruss import ktruss
         from neo4j_graph_algorithms_spark.operators.walks import node2vec_walks
 
+        from neo4j_graph_algorithms_spark.csr.fastrp import fastrp_csr
+
         timed_ext("fastrp_d16_2iter", lambda: fastrp(
+            spark, co, dim=16, iteration_weights=(1.0, 1.0)).count())
+        timed_ext("fastrp_csr_d16_2iter", lambda: fastrp_csr(
             spark, co, dim=16, iteration_weights=(1.0, 1.0)).count())
         timed_ext("node2vec_len4", lambda: node2vec_walks(
             spark, seq, walk_length=4, p=2.0, q=0.5).count())

@@ -237,6 +237,13 @@ def conductance_df(
     Scale shape: two hash joins of the edge table against the (hinted)
     assignment projection and one map-side-combined aggregation per term —
     the same plan skeleton as `modularity_df`.
+
+    Determinism note: the weight sums are IEEE doubles, exact (and so
+    shard-order-independent) whenever weights are integer-valued — true of
+    every engine-derived graph (co-order/co-commit counts).  For fractional
+    user weights the 6dp rounding can sit within float-sum noise of a
+    boundary; integer-scale the weight column first if you need exact
+    cross-engine parity there (see pipeline/events.py for the pattern).
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     und = _und_simple(ef)

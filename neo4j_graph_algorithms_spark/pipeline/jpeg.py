@@ -289,10 +289,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated at marker")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated marker segment header")
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + length > len(payload):
+            raise ValueError("truncated marker segment payload")
         data = payload[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT (possibly several tables)
             p = 0

@@ -132,6 +132,7 @@ PROCEDURES: dict[str, str] = {
     "algo.isDag": "neo4j_graph_algorithms_spark.operators.dag.is_dag",
     "algo.sllpa": "neo4j_graph_algorithms_spark.operators.sllpa.sllpa",
     "algo.fastRP": "neo4j_graph_algorithms_spark.operators.fastrp.fastrp",
+    "algo.fastRP.csr": "neo4j_graph_algorithms_spark.csr.fastrp.fastrp_csr",
     "algo.conductance": "neo4j_graph_algorithms_spark.operators.louvain.conductance_df",
     "algo.bipartiteProject": "neo4j_graph_algorithms_spark.graph.bipartite_project",
     "algo.betweenness": "neo4j_graph_algorithms_spark.operators.betweenness.betweenness",
