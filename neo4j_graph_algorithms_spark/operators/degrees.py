@@ -90,3 +90,62 @@ def degree_assortativity(
             "assortativity"
         )
     )
+
+
+def degree_distribution(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    vertices: DataFrame | None = None,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """One-row exact degree-distribution summary —
+    [n_vertices, n_edges, min_deg, max_deg, sum_deg, p<q>_deg ...].
+
+    The skew audit a 10^12-edge ingest runs before choosing hub thresholds
+    (the reference sizes its hugegraph loader from exactly these statistics,
+    /root/reference/core/src/main/java/org/neo4j/graphalgo/core/huge/loader/ —
+    degree scan before adjacency allocation).  Degrees follow
+    `degree_centrality`'s undirected-simple `deg` convention.
+
+    Percentiles are DISCRETE and integer-exact on both engines:
+    p(q) = min degree whose cumulative vertex count >= ceil(n*q/100),
+    computed on the degree HISTOGRAM (one groupBy of the |V|-sized degree
+    table down to |distinct degrees| rows — typically a few thousand even at
+    web scale, so the single-partition cumulative window over it is a
+    deliberate, bounded driver-adjacent step, never |V|-sized).  All outputs
+    are BIGINT (no float rounding to disagree on).
+    """
+    deg_df = degree_centrality(spark, edges, vertices).select(VID, "deg")
+    hist = deg_df.groupBy("deg").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("deg", "cnt", F.sum("cnt").over(w).alias("cum"))
+    totals = hist.agg(
+        F.sum("cnt").alias("n_vertices"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+        F.sum(F.col("deg") * F.col("cnt")).alias("sum_deg"),
+    )
+    joined = cum.crossJoin(F.broadcast(totals))
+    # cum >= ceil(n*q/100)  <=>  100*cum >= n*q — pure BIGINT comparison,
+    # no float division for the two engines to round differently.
+    pct_aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("n_vertices") * q,
+                F.col("deg"),
+            )
+        ).alias(f"p{q}_deg")
+        for q in percentiles
+    ]
+    return joined.groupBy("n_vertices", "min_deg", "max_deg", "sum_deg").agg(
+        (F.col("sum_deg") / 2).cast("long").alias("n_edges"), *pct_aggs
+    ).select(
+        "n_vertices",
+        "n_edges",
+        F.col("min_deg").cast("long").alias("min_deg"),
+        F.col("max_deg").cast("long").alias("max_deg"),
+        F.col("sum_deg").cast("long").alias("sum_deg"),
+        *[F.col(f"p{q}_deg").cast("long").alias(f"p{q}_deg") for q in percentiles],
+    )

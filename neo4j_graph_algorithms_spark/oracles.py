@@ -1874,3 +1874,38 @@ l{i} AS MATERIALIZED (
   FROM l{i - 1} a LEFT JOIN t{i} t USING (vid))"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT vid, label FROM l{iterations}"
+
+
+def degree_distribution_sql(percentiles: tuple[int, ...] = (50, 90, 99)) -> str:
+    """Twin of operators/degrees.py:degree_distribution on the line-seq
+    graph: histogram + cumulative count; p(q) = min deg with
+    100*cum >= n*q (discrete percentile, pure BIGINT comparison)."""
+    pct_cols = ",\n       ".join(
+        f"(SELECT min(deg) FROM cum, tot WHERE cum.cum * 100 >= tot.n_vertices * {q})"
+        f" AS p{q}_deg"
+        for q in percentiles
+    )
+    return f"""WITH {LINESEQ_CTES},
+{LINESEQ_VERTS},
+und AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+        FROM lineseq WHERE src <> dst),
+both_d AS (
+  SELECT vid, count(*) AS deg FROM (
+    SELECT s AS vid FROM und UNION ALL SELECT d AS vid FROM und) x
+  GROUP BY vid),
+degs AS (
+  SELECT v.vid, coalesce(b.deg, 0) AS deg
+  FROM verts v LEFT JOIN both_d b ON v.vid = b.vid),
+hist AS (SELECT deg, count(*) AS cnt FROM degs GROUP BY deg),
+cum AS (SELECT deg, cnt, sum(cnt) OVER (ORDER BY deg) AS cum FROM hist),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_vertices,
+         CAST(min(deg) AS BIGINT) AS min_deg,
+         CAST(max(deg) AS BIGINT) AS max_deg,
+         CAST(sum(deg * cnt) AS BIGINT) AS sum_deg
+  FROM hist)
+SELECT n_vertices,
+       CAST(sum_deg / 2 AS BIGINT) AS n_edges,
+       min_deg, max_deg, sum_deg,
+       {pct_cols}
+FROM tot"""

@@ -454,3 +454,50 @@ def semantic_dedup(
         F.col("comp").alias("rep_id"),
         (F.col("vid") != F.col("comp")).cast("int").alias("is_dup"),
     )
+
+
+def keep_best_in_groups(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    hash_mode: str = "dict",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, rep_id, q4, keep] — canonical-document selection per near-dup
+    group (the RefinedWeb/FineWeb curation convention: keep ONE document per
+    duplicate cluster, and make it the best one, not the lowest-id one).
+
+    Groups come from `minhash_near_dup_groups` (LSH-banded pairs → WCC);
+    the winner per group maximizes the integer quality grade ``q4`` (the
+    number of `quality_score` heuristics passed, 0-4 — an exact integer so
+    Spark and the DuckDB twin can never disagree on a float boundary), ties
+    broken by MIN id.  ``keep = 1`` marks the cluster representative;
+    singleton groups keep their only member.
+
+    Scale shape: the quality join is a hash join of two |corpus|-sized
+    projections (never broadcast), and the per-group window is bounded by
+    duplicate-cluster size — LSH band width caps candidate fan-out long
+    before any cluster approaches partition scale.
+    """
+    from pyspark.sql import Window
+
+    from neo4j_graph_algorithms_spark.pipeline.text import quality_score
+
+    groups = minhash_near_dup_groups(
+        docs, num_hashes, bands, threshold, ngram, hash_mode, id_col, text_col
+    )
+    # quality is a sum of 0.25 literals — *4 is exact in IEEE binary
+    q4 = quality_score(docs, id_col, text_col).select(
+        id_col, (F.col("quality") * 4).cast("int").alias("q4")
+    )
+    joined = groups.join(q4.hint("shuffle_hash"), on=id_col)
+    w = Window.partitionBy("rep_id").orderBy(F.desc("q4"), F.asc(id_col))
+    return joined.select(
+        id_col,
+        "rep_id",
+        "q4",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )

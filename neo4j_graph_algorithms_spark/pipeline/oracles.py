@@ -886,3 +886,44 @@ SELECT doc_id, count(*) AS n_tokens,
        round(avg(ln(m.cnt / (SELECT t FROM tot))), 6) AS avg_logp
 FROM toks JOIN model m USING (tok)
 GROUP BY doc_id"""
+
+
+def keep_best_sql(
+    num_hashes: int = 8, bands: int = 4, n: int = 3, threshold: float = 0.8
+) -> str:
+    """Twin of dedup.keep_best_in_groups: minhash_groups_sql nested as a
+    CTE, q4 = integer count of quality_score heuristics passed, winner per
+    rep_id by (q4 DESC, doc_id ASC)."""
+    groups_query = minhash_groups_sql(num_hashes, bands, n, threshold)
+    all_markers = ", ".join(
+        f"'{m}'" for m in sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    )
+    return f"""WITH g AS ({groups_query}),
+{DOCS_CTE},
+m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         CASE WHEN len(toks) > 0
+              THEN (length(text) - (len(toks) - 1)) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> t IN ({all_markers}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS alpha_ratio
+  FROM docs),
+q AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n >= 10 AND n <= 100000 THEN 1 ELSE 0 END
+            + CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1 ELSE 0 END
+            + CASE WHEN stop_ratio >= 0.01 THEN 1 ELSE 0 END
+            + CASE WHEN alpha_ratio >= 0.5 THEN 1 ELSE 0 END AS INT) AS q4
+  FROM m),
+r AS (
+  SELECT g.doc_id, g.rep_id, q.q4,
+         row_number() OVER (PARTITION BY g.rep_id
+                            ORDER BY q.q4 DESC, g.doc_id ASC) AS rn
+  FROM g JOIN q USING (doc_id))
+SELECT doc_id, rep_id, q4,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM r"""

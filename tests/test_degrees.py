@@ -43,3 +43,31 @@ def test_degree_assortativity_signs(spark):
     k4 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
     r2 = degree_assortativity(spark, edge_df(spark, k3 + k4)).collect()[0]["assortativity"]
     assert r2 == pytest.approx(1.0)
+
+
+def test_degree_distribution_hand_values(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_distribution
+
+    # path 0-1-2-3 plus hub 4 connected to all: degs = [2,3,3,2,4]
+    pairs = [(0, 1), (1, 2), (2, 3), (4, 0), (4, 1), (4, 2), (4, 3)]
+    row = degree_distribution(spark, edge_df(spark, pairs)).collect()[0]
+    assert row["n_vertices"] == 5
+    assert row["n_edges"] == 7
+    assert (row["min_deg"], row["max_deg"], row["sum_deg"]) == (2, 4, 14)
+    # sorted degs [2,2,3,3,4]: ceil-rank discrete percentiles
+    assert row["p50_deg"] == 3   # rank ceil(2.5)=3 -> value 3
+    assert row["p90_deg"] == 4   # rank ceil(4.5)=5 -> value 4
+    assert row["p99_deg"] == 4
+
+
+def test_degree_distribution_isolated_and_selfloop(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_distribution
+
+    edges = edge_df(spark, [(0, 1), (2, 2)])
+    verts = spark.createDataFrame([(0,), (1,), (2,), (9,)], "vid long")
+    row = degree_distribution(spark, edges, vertices=verts).collect()[0]
+    # self-loop and isolated vertex both have simple degree 0
+    assert row["n_vertices"] == 4
+    assert (row["min_deg"], row["max_deg"], row["sum_deg"], row["n_edges"]) == (0, 1, 2, 1)
+    assert row["p50_deg"] == 0   # sorted [0,0,1,1], rank 2 -> 0
+    assert row["p90_deg"] == 1

@@ -257,3 +257,43 @@ def test_semantic_dedup_no_dups_below_threshold(spark):
     out = semantic_dedup(embs, threshold=0.5, n_centroids=2, iterations=1).collect()
     assert all(r["is_dup"] == 0 for r in out)
     assert {r["vec_id"] for r in out} == {0, 1, 2}
+
+
+def test_keep_best_in_groups_picks_quality_then_min_id(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import keep_best_in_groups
+    from neo4j_graph_algorithms_spark.pipeline.text import quality_score
+
+    # docs 0/1/2 form one near-dup cluster; doc 1 is padded with stopword-free
+    # junk words so its quality grade q4 differs from its twins; docs 3/4 are
+    # an identical pair (q4 tie -> min id wins); doc 5 is a singleton.
+    base = "the a of and " + " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base + " zz"),
+        (3, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"),
+        (4, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"),
+        (5, "solo document with its own vocabulary entirely disjoint here ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.rep_id, r.q4, r.keep) for r in
+           keep_best_in_groups(docs, num_hashes=8, bands=4, threshold=0.5,
+                               ngram=1, hash_mode="dict").collect()}
+    q4 = {r.doc_id: r.quality * 4 for r in quality_score(docs).collect()}
+    # every doc got a row; exactly one keep per rep_id
+    assert set(got) == set(range(6))
+    reps = {}
+    for doc_id, (rep, q, keep) in got.items():
+        assert q == int(q4[doc_id])
+        reps.setdefault(rep, []).append((doc_id, q, keep))
+    for rep, members in reps.items():
+        kept = [m for m in members if m[2] == 1]
+        assert len(kept) == 1
+        best_q = max(q for _, q, _ in members)
+        expect = min(d for d, q, _ in members if q == best_q)
+        assert kept[0][0] == expect
+    # the identical pair 3/4 must share a group and keep doc 3
+    assert got[3][0] == got[4][0]
+    assert (got[3][2], got[4][2]) == (1, 0)
+    # the singleton keeps itself
+    assert got[5][2] == 1
