@@ -898,6 +898,29 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_minutes=30.0)
 
 
+def _q_streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed-aggregate gate: stage the events table
+    as 4 parquet files, drain with availableNow (maxFilesPerTrigger=1 → 4
+    micro-batches updating shared window state) through the watermarked
+    tumbling-window aggregation, and return the final window table — which
+    must equal the BATCH windowed_event_aggregate row-for-row (same
+    windowed_event_aggregate_sql oracle; exact integer-scaled sums make the
+    result batch-boundary-independent)."""
+    import shutil
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.streaming.events import run_windowed_events
+
+    base = tempfile.mkdtemp(prefix="linkgraph-stream-events-")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.repartition(4).write.parquet(f"{base}/in")
+        out = run_windowed_events(spark, f"{base}/in", window_minutes=60)
+        return out.localCheckpoint(eager=True)  # materialize before tmp dies
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window per-type event aggregate — batch twin of the
     watermarked streaming window."""
@@ -1216,12 +1239,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total_csr": _q_triangle_total_csr,
         "events_sessionize": _q_sessionize,
         "events_windowed_agg": _q_windowed_events,
+        "streaming_windowed_events": _q_streaming_windowed_events,  # new r4 gate: watermarked streaming window drain == batch aggregate (hyperball_est_r2 rotates to tail; hyperball_harmonic, same HLL chain at radius 4, stays in window)
         "pagerank_weighted": _q_pagerank_weighted,
         "graph_node2vec_walks": _q_node2vec_walks,
         # --- distinct core paths --------------------------------------------
         "pagerank_warm_restart": _q_pagerank_warm,
         "lpa_csr_3iter": _q_lpa_csr,
-        "hyperball_est_r2": _q_hyperball,
         "graph_random_walks": _q_random_walks,
         "louvain_fixed2_planted": _q_louvain_fixed,
         "streaming_cocommit_edges": _q_streaming_cocommit,
@@ -1239,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_resample": _q_mixture_resample,  # r3 green; hash-threshold column exprs, doc_pack_sequences + sample pytest cover the module
         "doc_bm25": _q_bm25,  # r3 green; rotated out r4 for dedup_keep_best — doc_tfidf_topk (same doc_tokens+idf join) in window
         "emb_quantize_int8": _q_quantize,  # r3 green; rotated out r4 for graph_degree_stats — pure column exprs, embedding path in window via ann_ivf_search
+        "hyperball_est_r2": _q_hyperball,  # r2 green; rotated out r4 for streaming_windowed_events — hyperball_harmonic (same HLL register chain, radius 4) in window
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
         "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
@@ -1430,6 +1454,9 @@ def oracle_sql() -> dict[str, str]:
         "degree_centrality": oracles.degree_centrality_sql(),
         "events_sessionize": pipeline_oracles.sessionize_sql(gap_minutes=30.0),
         "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(
+            window_minutes=60
+        ),
+        "streaming_windowed_events": pipeline_oracles.windowed_event_aggregate_sql(
             window_minutes=60
         ),
         "pagerank_weighted": oracles.pagerank_weighted_sql(iterations=20),

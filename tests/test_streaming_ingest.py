@@ -177,3 +177,41 @@ def test_refresh_wcc_components_warm_tracks_merged_table(spark, tmp_path):
     assert got == want
     with open(os.path.join(comps_path, "_edge_batch_id")) as fh:
         assert fh.read() == "9"
+
+
+def test_streaming_windowed_events_equals_batch(spark, tmp_path):
+    """availableNow drain of the watermarked window stream == batch
+    windowed_event_aggregate, including rows split across micro-batches."""
+    from neo4j_graph_algorithms_spark.pipeline.events import windowed_event_aggregate
+    from neo4j_graph_algorithms_spark.streaming.events import run_windowed_events
+
+    rows = [
+        # two hourly windows, two types; values exercise the 6dp sum grid
+        (1, "2026-01-01 10:05:00", 7, "click", 0.1000005, ""),
+        (2, "2026-01-01 10:15:00", 8, "click", 0.2, ""),
+        (3, "2026-01-01 10:55:00", 7, "view", 1.5, ""),
+        (4, "2026-01-01 11:01:00", 9, "click", 2.25, ""),
+        (5, "2026-01-01 11:59:00", 9, "view", -0.75, ""),
+        # a LATE row for the 10:00 window arriving in the last file
+        (6, "2026-01-01 10:30:00", 8, "click", 0.0000015, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # stage as 3 files so maxFilesPerTrigger=1 yields 3 micro-batches,
+    # with the late row in its own batch (complete mode must still count it)
+    for i, frac in enumerate([[1, 2], [3, 4, 5], [6]]):
+        ev.filter(F.col("event_id").isin(frac)).coalesce(1).write.parquet(
+            str(tmp_path / "in" / f"wave={i}")
+        )
+    got = run_windowed_events(spark, str(tmp_path / "in"), window_minutes=60)
+    want = windowed_event_aggregate(ev, window_minutes=60)
+    key = ["window_start", "event_type"]
+    g = {tuple(r[k] for k in key): (r.n_events, r.total_value, r.max_value)
+         for r in got.collect()}
+    w = {tuple(r[k] for k in key): (r.n_events, r.total_value, r.max_value)
+         for r in want.collect()}
+    assert g == w
+    assert len(g) == 4  # 2 windows x 2 types minus the empty combos
