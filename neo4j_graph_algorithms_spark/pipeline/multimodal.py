@@ -67,8 +67,10 @@ def _decode_bytes(payload: bytes, media_type: str) -> np.ndarray:
     image/gif (pure-stdlib LZW, pipeline/gif.py), image/jpeg (pure-numpy
     baseline DCT/Huffman, pipeline/jpeg.py) and audio/wav (stdlib wave,
     decode_wav).  'image/fake' is the deterministic struct-packed fixture
-    codec.  Video stays stubbed — frame extraction genuinely needs
-    libraries absent from this environment."""
+    codec.  Video (multi-frame, so not a single HxW array) has its own
+    REAL path: AVI/MJPG via pipeline/avi.py + `video_features` below;
+    other video containers/codecs genuinely need libraries absent from
+    this environment."""
     if media_type == "image/fake":
         if payload[:4] != _FAKE_MAGIC:
             raise ValueError("bad fake-image payload")
@@ -87,10 +89,12 @@ def _decode_bytes(payload: bytes, media_type: str) -> np.ndarray:
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        f"codec for {media_type!r} requires video libraries not present "
+        f"codec for {media_type!r} requires media libraries not present "
         "in this environment; REAL paths: 'image/png' (stdlib-zlib decoder), "
         "'image/gif' (pure-stdlib LZW decoder), 'image/jpeg' (pure-numpy "
-        "baseline DCT/Huffman decoder) and 'audio/wav' (stdlib wave); "
+        "baseline DCT/Huffman decoder), 'audio/wav' (stdlib wave) and "
+        "'video/avi' MJPG (pipeline/avi.py, via video_features — multi-frame, "
+        "so not dispatched through this single-image helper); "
         "plumbing fixture: 'image/fake'"
     )
 
@@ -370,3 +374,99 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
             new_frames.alias("n_frames"),
         ),
     )
+
+
+# -- REAL codec: AVI/MJPG video (pipeline/avi.py) ------------------------------
+
+
+def video_frame_pixels(
+    media_id: int, frame: int, width: int, height: int
+) -> "np.ndarray":
+    """Deterministic BLOCK-CONSTANT frame grid (exact-JPEG-roundtrip, like
+    jpeg_block_pixels): pixel (y,x) of frame f of media m =
+    (17·(x//8) + 29·(y//8) + 31·m + 41·f) % 256."""
+    bx = np.arange(width, dtype=np.int64) // 8
+    by = np.arange(height, dtype=np.int64) // 8
+    return (
+        (17 * bx[None, :] + 29 * by[:, None] + 31 * media_id + 41 * frame) % 256
+    ).astype(np.uint8)
+
+
+def synthesize_video_media(
+    spark: SparkSession,
+    n: int = 48,
+    width: int = 16,
+    height: int = 16,
+    n_frames: int = 6,
+    fps: int = 4,
+) -> DataFrame:
+    """Deterministic media table whose payloads are genuine AVI/MJPG files
+    (media_type='video/avi'): every frame is a real baseline JPEG inside a
+    real RIFF container (pipeline/avi.py).  Block-constant frames round-trip
+    the lossy codec exactly, so a SQL oracle regenerates pixels by formula."""
+    from .avi import encode_avi_mjpeg
+
+    rows = [
+        (
+            i,
+            encode_avi_mjpeg(
+                [video_frame_pixels(i, f, width, height) for f in range(n_frames)],
+                fps=fps,
+            ),
+            "video/avi",
+            (width, height, 1, None, n_frames),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sampled_frames", IntegerType()),
+        StructField("sum_mean_intensity", LongType()),
+        StructField("max_intensity", IntegerType()),
+    ]
+)
+
+
+def video_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """[media_id, n_frames, width, height, sampled_frames,
+    sum_mean_intensity, max_intensity] per AVI/MJPG payload.
+
+    The video analogue of extract_features: each Arrow batch walks the RIFF
+    container and Huffman-decodes only the SAMPLED frames (f % every_n == 0
+    — frame sampling bounds decode cost, the knob a 100 TB video corpus
+    actually turns).  All features are exact integers: per-frame
+    floor(mean) summed across sampled frames, max over sampled pixels."""
+    from .avi import decode_avi_mjpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, ws, hs, sfs, sums, maxs = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                sampled, info = decode_avi_mjpeg(payload, sample_every=every_n)
+                ids.append(mid)
+                nfs.append(info["n_frames"])
+                ws.append(info["width"])
+                hs.append(info["height"])
+                sfs.append(len(sampled))
+                sums.append(sum(int(a.mean()) for a in sampled))
+                maxs.append(max(int(a.max()) for a in sampled))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frames": nfs,
+                    "width": ws,
+                    "height": hs,
+                    "sampled_frames": sfs,
+                    "sum_mean_intensity": sums,
+                    "max_intensity": maxs,
+                }
+            )
+
+    return media.mapInPandas(kernel, VIDEO_FEATURE_SCHEMA)

@@ -927,3 +927,37 @@ r AS (
 SELECT doc_id, rep_id, q4,
        CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
 FROM r"""
+
+
+def video_features_sql(
+    n: int = 48,
+    width: int = 16,
+    height: int = 16,
+    n_frames: int = 6,
+    every_n: int = 2,
+) -> str:
+    """Twin of multimodal.video_features over synthesize_video_media's REAL
+    AVI/MJPG payloads: block-constant frames — pixel (y,x) of frame f of
+    media m = (17·(x//8) + 29·(y//8) + 31·m + 41·f) % 256 — round-trip the
+    lossy JPEG codec exactly, so the SQL regenerates sampled-frame pixels
+    by formula while Spark walks genuine RIFF containers and Huffman-decodes
+    genuine JPEG streams (pipeline/avi.py).  width*height is a power of two
+    so floor(avg) is IEEE-exact; every output is an integer."""
+    return f"""WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({n}) t(i)),
+fs AS (SELECT CAST(f AS INT) AS f FROM range(0, {n_frames}, {every_n}) t(f)),
+px AS (
+  SELECT media_id, f,
+         (17 * (x // 8) + 29 * (y // 8) + 31 * media_id + 41 * f) % 256 AS v
+  FROM ids, fs, range({width}) tx(x), range({height}) ty(y)),
+fm AS (
+  SELECT media_id, f,
+         CAST(floor(avg(v)) AS BIGINT) AS mean_v, max(v) AS max_v
+  FROM px GROUP BY media_id, f)
+SELECT media_id,
+       CAST({n_frames} AS INT) AS n_frames,
+       CAST({width} AS INT) AS width,
+       CAST({height} AS INT) AS height,
+       CAST(count(*) AS INT) AS sampled_frames,
+       CAST(sum(mean_v) AS BIGINT) AS sum_mean_intensity,
+       CAST(max(max_v) AS INT) AS max_intensity
+FROM fm GROUP BY media_id"""

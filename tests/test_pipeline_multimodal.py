@@ -26,10 +26,10 @@ def test_fake_codec_roundtrip():
     assert arr.shape == (3, 4) and arr.dtype == np.uint8
 
 
-def test_video_codec_is_stubbed():
-    # video frame extraction genuinely needs absent libraries; JPEG is a
-    # real codec now (pipeline/jpeg.py), so a truncated JPEG is a payload
-    # error, not an unsupported codec
+def test_non_avi_video_is_stubbed():
+    # AVI/MJPG is a real codec now (pipeline/avi.py, via video_features);
+    # other video containers genuinely need absent libraries, and a
+    # truncated JPEG is a payload error, not an unsupported codec
     with pytest.raises(NotImplementedError):
         _decode_bytes(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
     with pytest.raises(ValueError, match="truncated"):
