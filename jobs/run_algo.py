@@ -12,7 +12,7 @@ Algorithms: pagerank, wcc, mscoloring, lpa, louvain, triangles,
 clustering_coefficients, scc, sssp, shortest_path, apsp_weighted,
 all_shortest_paths, delta_stepping, closeness, harmonic, betweenness, mst,
 kcore, coreness, ktruss, hits, eigenvector, katz, topo_levels,
-random_walks, node2vec_walks, fastrp, sllpa, degree,
+random_walks, node2vec_walks, fastrp, sllpa, degree, degree_stats,
 metapath (needs typed edges + labels tables).
 """
 
@@ -204,6 +204,10 @@ def main() -> None:
         from neo4j_graph_algorithms_spark.operators.degrees import degree_centrality
 
         out = degree_centrality(spark, edges)
+    elif algo == "degree_stats":
+        from neo4j_graph_algorithms_spark.operators.degrees import degree_distribution
+
+        out = degree_distribution(spark, edges)
     elif algo == "metapath":
         labels = spark.read.parquet(args.labels)
         typed = spark.read.parquet(args.edges)  # keeps the `type` column

@@ -55,6 +55,7 @@ from neo4j_graph_algorithms_spark.operators.katz import katz
 from neo4j_graph_algorithms_spark.operators.degrees import (
     degree_assortativity,
     degree_centrality,
+    degree_distribution,
 )
 from neo4j_graph_algorithms_spark.operators.nodesim import (
     adamic_adar,
@@ -114,6 +115,7 @@ __all__ = [
     "katz",
     "degree_centrality",
     "degree_assortativity",
+    "degree_distribution",
     "node_similarity",
     "adamic_adar",
     "transitivity",
