@@ -90,3 +90,24 @@ def test_video_features_matches_local_decode(spark):
         assert (r.n_frames, r.width, r.height, r.sampled_frames) == (6, 16, 16, 3)
         assert r.sum_mean_intensity == sum(int(a.mean()) for a in sampled)
         assert r.max_intensity == max(int(a.max()) for a in sampled)
+
+
+def test_property_roundtrip_random_block_grids():
+    """Random block-constant frames of varied sizes round-trip bit-exactly
+    (pure-python property loop; the codec is deterministic so a seeded
+    sweep is equivalent to a Hypothesis run without the JVM cost)."""
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        w = int(rng.choice([8, 16, 24, 32]))
+        h = int(rng.choice([8, 16, 24]))
+        n = int(rng.randint(1, 5))
+        frames = []
+        for _ in range(n):
+            blocks = rng.randint(0, 256, ((h + 7) // 8, (w + 7) // 8))
+            frames.append(
+                np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+            )
+        out, info = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=2))
+        assert (info["width"], info["height"], info["n_frames"]) == (w, h, n)
+        for a, b in zip(frames, out):
+            assert np.array_equal(a, b), (trial, w, h, n)

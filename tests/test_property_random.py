@@ -291,3 +291,37 @@ def test_topo_levels_random_dag(spark, pairs):
 
     got = {r["vid"]: r["level"] for r in topo_levels(spark, edge_df(spark, pairs)).state.collect()}
     assert got == py_topo_levels(pairs)
+
+
+@given(EDGES)
+@SETTINGS
+def test_degree_distribution_matches_python(spark, pairs):
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_distribution
+
+    # python oracle: undirected-simple degrees, ceil-rank discrete percentiles
+    neigh = {}
+    for s, d in pairs:
+        neigh.setdefault(s, set())
+        neigh.setdefault(d, set())
+        if s != d:
+            neigh[s].add(d)
+            neigh[d].add(s)
+    degs = sorted(len(v) for v in neigh.values())
+    n = len(degs)
+
+    def pct(q):
+        # min degree whose cumulative count satisfies 100*cum >= n*q
+        cum = 0
+        for deg in degs:
+            cum += 1
+            if 100 * cum >= n * q:
+                return deg
+        return degs[-1]
+
+    row = degree_distribution(spark, edge_df(spark, pairs)).collect()[0]
+    assert row["n_vertices"] == n
+    assert row["min_deg"] == degs[0] and row["max_deg"] == degs[-1]
+    assert row["sum_deg"] == sum(degs) and row["n_edges"] == sum(degs) // 2
+    assert (row["p50_deg"], row["p90_deg"], row["p99_deg"]) == (
+        pct(50), pct(90), pct(99),
+    )
