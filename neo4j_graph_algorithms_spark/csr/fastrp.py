@@ -46,13 +46,16 @@ def _sum_kernel(dim: int):
     components per destination, plus the contributing-neighbor count."""
     vcols = [f"v{i}" for i in range(dim)]
 
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {VID: pd.Series(dtype="int64")}
+            | {c: pd.Series(dtype="int64") for c in vcols}
+            | {"_n": pd.Series(dtype="int64")}
+        )
+
     def kernel(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(edges_pdf) == 0 or len(state_pdf) == 0:
-            return pd.DataFrame(
-                {VID: pd.Series(dtype="int64")}
-                | {c: pd.Series(dtype="int64") for c in vcols}
-                | {"_n": pd.Series(dtype="int64")}
-            )
+            return empty()
         merged = edges_pdf.merge(
             state_pdf[[VID] + vcols],
             left_on=SRC,
@@ -61,11 +64,7 @@ def _sum_kernel(dim: int):
             copy=False,
         )
         if len(merged) == 0:
-            return pd.DataFrame(
-                {VID: pd.Series(dtype="int64")}
-                | {c: pd.Series(dtype="int64") for c in vcols}
-                | {"_n": pd.Series(dtype="int64")}
-            )
+            return empty()
         merged["_n"] = np.int64(1)
         out = (
             merged[[DST] + vcols + ["_n"]]
@@ -140,7 +139,7 @@ def fastrp_csr(
     for w in iteration_weights:
         st = x.withColumn("pkey", F.pmod(F.col(VID), F.lit(P)))
         partial = adj_grouped.cogroup(st.groupby("pkey")).applyInPandas(
-            lambda e, s: kernel(e, s), schema=kernel_schema
+            kernel, schema=kernel_schema
         )
         agg = partial.groupBy(VID).agg(
             *[F.sum(c).alias(f"_s{i}") for i, c in enumerate(vcols)],

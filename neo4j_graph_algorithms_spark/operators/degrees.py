@@ -139,11 +139,13 @@ def degree_distribution(
         ).alias(f"p{q}_deg")
         for q in percentiles
     ]
-    return joined.groupBy("n_vertices", "min_deg", "max_deg", "sum_deg").agg(
-        (F.col("sum_deg") / 2).cast("long").alias("n_edges"), *pct_aggs
-    ).select(
-        "n_vertices",
-        "n_edges",
+    # GLOBAL (keyless) aggregations so an empty graph yields exactly one
+    # all-NULL row — the same contract as the SQL twin's `SELECT ... FROM
+    # tot` aggregate — instead of zero rows.
+    pcts = joined.agg(*pct_aggs)
+    return totals.crossJoin(F.broadcast(pcts)).select(
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        (F.col("sum_deg") / 2).cast("long").alias("n_edges"),
         F.col("min_deg").cast("long").alias("min_deg"),
         F.col("max_deg").cast("long").alias("max_deg"),
         F.col("sum_deg").cast("long").alias("sum_deg"),

@@ -54,10 +54,11 @@ def _common_neighbor_pairs(
     `max_center_degree` are excluded (warned)."""
     deg = nbrs.groupBy("nbr").agg(F.count("*").alias("center_deg"))
     if max_center_degree is not None:
-        dropped = deg.filter(F.col("center_deg") > max_center_degree).count()
-        if dropped:
+        # head(1) existence probe (not a full count): the clean no-hub path
+        # pays one early-terminating job, not a second full aggregation
+        if deg.filter(F.col("center_deg") > max_center_degree).head(1):
             warnings.warn(
-                f"node_similarity: {dropped} hub wedge centers with degree > "
+                "node_similarity: hub wedge centers with degree > "
                 f"{max_center_degree} excluded from candidate generation; "
                 "pairs connected ONLY through those hubs are not scored",
                 RuntimeWarning,
@@ -155,10 +156,9 @@ def adamic_adar(
     deg = nbrs.groupBy("nbr").agg(F.count("*").alias("center_deg"))
     centers = nbrs.join(deg.hint("shuffle_hash"), on="nbr")
     if max_center_degree is not None:
-        dropped = deg.filter(F.col("center_deg") > max_center_degree).count()
-        if dropped:
+        if deg.filter(F.col("center_deg") > max_center_degree).head(1):
             warnings.warn(
-                f"adamic_adar: {dropped} hub wedge centers with degree > "
+                "adamic_adar: hub wedge centers with degree > "
                 f"{max_center_degree} excluded",
                 RuntimeWarning,
                 stacklevel=2,

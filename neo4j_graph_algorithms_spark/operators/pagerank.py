@@ -119,24 +119,30 @@ def pagerank(
     from neo4j_graph_algorithms_spark.graph import WEIGHT
 
     # --- static side: out-degrees folded onto the edge table, built once ----
+    build_edges = ef.df
     if weighted:
-        out_deg = ef.df.groupBy(F.col(SRC).alias(VID)).agg(
-            F.sum(WEIGHT).alias("outdeg")
-        )
-        # guard: a source whose weights sum to <= 0 has no well-defined push
-        # fraction (w/Σw is NULL or negative) and would silently poison every
-        # downstream rank — drop its out-edges (it becomes a dangler) + warn.
-        n_bad = out_deg.filter(F.col("outdeg") <= 0).count()
-        if n_bad:
+        # guard: an edge with NULL or non-positive weight has no well-defined
+        # push fraction (w/Σw is NULL or negative) and would silently poison
+        # (NULL: vanish; negative: invert) downstream ranks — drop such edges
+        # up front + warn.  A source left with no positive-weight out-edge
+        # then falls out of the inner build join and becomes a dangler.
+        # NULL must be matched explicitly (~(w > 0) is NULL, i.e. filtered
+        # OUT, under SQL three-valued logic); head(1) is an existence probe,
+        # not a full count, on the common clean path.
+        bad = F.col(WEIGHT).isNull() | (F.col(WEIGHT) <= 0)
+        if build_edges.filter(bad).head(1):
             import warnings
 
             warnings.warn(
-                f"pagerank(weighted=True): {n_bad} source vertices have "
-                "non-positive out-weight sums; their out-edges are dropped "
-                "(treated as dangling)",
+                "pagerank(weighted=True): edges with NULL or non-positive "
+                "weight dropped; sources left without positive out-weight "
+                "become dangling",
                 stacklevel=2,
             )
-            out_deg = out_deg.filter(F.col("outdeg") > 0)
+            build_edges = build_edges.filter(F.col(WEIGHT) > 0)
+        out_deg = build_edges.groupBy(F.col(SRC).alias(VID)).agg(
+            F.sum(WEIGHT).alias("outdeg")
+        )
         push_num = F.col(WEIGHT)
         cols = [SRC, DST, WEIGHT]
     else:
@@ -154,7 +160,7 @@ def pagerank(
         n_edges = ef.df.count()
         denom_extra = n_edges / n_verts if n_verts else 0.0
     edges_wd = (
-        ef.df.select(*cols)
+        build_edges.select(*cols)
         # shuffle_hash: out_deg is |V|-sized — broadcasting it in the build
         # join is as wrong at scale as broadcasting state in a superstep
         .join(

@@ -1371,14 +1371,23 @@ nbrs AS (SELECT s AS vid, d AS nbr FROM und
          UNION ALL SELECT d AS vid, s AS nbr FROM und)"""
 
 
-def node_similarity_sql(top_k: int = 10, cutoff: float = 1e-9) -> str:
+def node_similarity_sql(
+    top_k: int = 10, cutoff: float = 1e-9, max_center_degree: int = 10_000
+) -> str:
     """Neighborhood Jaccard over the undirected-simple line-seq graph,
-    top_k per left node — twin of operators/nodesim.py:node_similarity."""
+    top_k per left node — twin of operators/nodesim.py:node_similarity,
+    INCLUDING its default hub cap: wedge centers with degree >
+    `max_center_degree` are excluded from candidate generation (pair
+    degrees da/db still come from the UNCAPPED neighborhoods, matching the
+    Spark side)."""
     return f"""WITH {NBR_CTES},
 deg AS (SELECT vid, count(*) AS deg FROM nbrs GROUP BY vid),
+cdeg AS (SELECT nbr, count(*) AS center_deg FROM nbrs GROUP BY nbr),
+kn AS (SELECT n.vid, n.nbr FROM nbrs n JOIN cdeg c USING (nbr)
+       WHERE c.center_deg <= {max_center_degree}),
 pairs AS (
   SELECT x.vid AS a, y.vid AS b, count(*) AS common
-  FROM nbrs x JOIN nbrs y ON x.nbr = y.nbr AND x.vid < y.vid
+  FROM kn x JOIN kn y ON x.nbr = y.nbr AND x.vid < y.vid
   GROUP BY 1, 2),
 scored AS (
   SELECT p.a, p.b, p.common,
@@ -1391,9 +1400,12 @@ ranked AS (
 SELECT a, b, common, sim FROM ranked WHERE rk <= {top_k}"""
 
 
-def adamic_adar_sql(top_k: int | None = None) -> str:
+def adamic_adar_sql(
+    top_k: int | None = None, max_center_degree: int = 10_000
+) -> str:
     """Adamic-Adar link-prediction scores over canonical wedge pairs —
-    twin of operators/nodesim.py:adamic_adar."""
+    twin of operators/nodesim.py:adamic_adar, INCLUDING its default hub
+    cap on wedge centers."""
     tail = "SELECT a, b, common, score FROM scored"
     if top_k is not None:
         tail = f"""ranked AS (
@@ -1406,7 +1418,8 @@ SELECT a, b, common, score FROM ranked WHERE rk <= {top_k}"""
         tail = "\n" + tail
     return f"""WITH {NBR_CTES},
 cdeg AS (SELECT nbr, count(*) AS center_deg FROM nbrs GROUP BY nbr),
-w AS (SELECT n.vid, n.nbr, c.center_deg FROM nbrs n JOIN cdeg c USING (nbr)),
+w AS (SELECT n.vid, n.nbr, c.center_deg FROM nbrs n JOIN cdeg c USING (nbr)
+      WHERE c.center_deg <= {max_center_degree}),
 scored AS (
   SELECT x.vid AS a, y.vid AS b, count(*) AS common,
          round(sum(CASE WHEN x.center_deg > 1

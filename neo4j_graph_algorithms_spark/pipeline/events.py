@@ -43,6 +43,14 @@ def sessionize(
 
     Identical grouping to streaming `F.session_window(ts, gap)`: sessions
     are maximal chains of events with consecutive gaps <= gap.
+
+    total_value contract: each value is quantized to the 1e-6 grid FIRST
+    (round-to-long), then summed exactly — i.e. `value` is treated as a
+    fixed-point 6dp quantity.  This makes the sum order/partitioning/
+    engine-independent; values carrying real sub-1e-6 precision can drift
+    from round(float-sum, 6) by up to n·5e-7 per session, the price of
+    determinism.  Same contract in `windowed_event_aggregate` and the
+    streaming twin (streaming/events.py).
     """
     if max_events_per_user is not None:
         deg = events.groupBy(user_col).agg(F.count("*").alias("_n"))

@@ -455,8 +455,10 @@ def video_features(media: DataFrame, every_n: int = 2) -> DataFrame:
                 ws.append(info["width"])
                 hs.append(info["height"])
                 sfs.append(len(sampled))
+                # a structurally valid zero-frame AVI yields the zero row,
+                # not an opaque max()-of-empty crash inside the Arrow worker
                 sums.append(sum(int(a.mean()) for a in sampled))
-                maxs.append(max(int(a.max()) for a in sampled))
+                maxs.append(max((int(a.max()) for a in sampled), default=0))
             yield pd.DataFrame(
                 {
                     "media_id": ids,

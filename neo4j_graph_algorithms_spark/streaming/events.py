@@ -112,5 +112,10 @@ def run_windowed_events(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_s}s — "
+            "refusing to return a partial window table"
+        )
     return spark.table(name)

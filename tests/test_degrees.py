@@ -71,3 +71,13 @@ def test_degree_distribution_isolated_and_selfloop(spark):
     assert (row["min_deg"], row["max_deg"], row["sum_deg"], row["n_edges"]) == (0, 1, 2, 1)
     assert row["p50_deg"] == 0   # sorted [0,0,1,1], rank 2 -> 0
     assert row["p90_deg"] == 1
+
+
+def test_degree_distribution_empty_graph_one_null_row(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_distribution
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    rows = degree_distribution(spark, empty).collect()
+    # one all-NULL row — the same shape as the SQL twin's aggregate
+    assert len(rows) == 1
+    assert all(v is None for v in rows[0].asDict().values())

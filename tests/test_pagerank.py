@@ -195,3 +195,41 @@ def test_article_rank_dampens_hubs(spark):
     assert got[6] > got[1]  # hub fan-out dampened vs the single-edge source
     with pytest.raises(ValueError):
         pagerank(spark, edges, article_rank=True, weighted=True)
+
+
+def test_weighted_pagerank_drops_bad_weight_edges_and_warns(spark):
+    import warnings as _w
+
+    # 0 pushes over a NULL-weight and a negative-weight edge (both invalid)
+    # plus one clean edge; 3's only out-edge is zero-weight -> dangler
+    dirty = spark.createDataFrame(
+        [(0, 1, None), (0, 2, -2.0), (0, 4, 1.0), (3, 0, 0.0)],
+        "src long, dst long, weight double",
+    )
+    with pytest.warns(UserWarning, match="non-positive"):
+        res = pagerank(spark, dirty, max_iterations=10, weighted=True)
+    got = {r["vid"]: r["rank"] for r in res.state.collect()}
+    # clean graph = the one surviving edge, over the SAME vertex set
+    verts = spark.createDataFrame([(v,) for v in range(5)], "vid long")
+    clean = spark.createDataFrame([(0, 4, 1.0)], "src long, dst long, weight double")
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # clean path must NOT warn (head(1) probe)
+        want = {r["vid"]: r["rank"] for r in
+                pagerank(spark, clean, max_iterations=10, weighted=True,
+                         vertices=verts).state.collect()}
+    assert got == pytest.approx(want)
+    assert set(got) == {0, 1, 2, 3, 4}
+
+
+def test_weighted_pagerank_null_only_weights_still_warn(spark):
+    # NULL weights alone must trigger the guard: ~(w > 0) is NULL under SQL
+    # three-valued logic, so the probe matches isNull explicitly
+    dirty = spark.createDataFrame(
+        [(0, 1, None), (0, 2, None), (3, 4, 2.0)],
+        "src long, dst long, weight double",
+    )
+    with pytest.warns(UserWarning, match="non-positive"):
+        res = pagerank(spark, dirty, max_iterations=5, weighted=True)
+    got = {r["vid"]: r["rank"] for r in res.state.collect()}
+    assert got[1] == pytest.approx(0.15)  # 0 danglerized, no push reaches 1
+    assert got[4] > 0.15                  # the one clean edge still pushes

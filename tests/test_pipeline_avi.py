@@ -111,3 +111,28 @@ def test_property_roundtrip_random_block_grids():
         assert (info["width"], info["height"], info["n_frames"]) == (w, h, n)
         for a, b in zip(frames, out):
             assert np.array_equal(a, b), (trial, w, h, n)
+
+
+def test_zero_frame_avi_yields_zero_feature_row(spark):
+    """A structurally valid zero-frame AVI (foreign writer) produces the
+    zero row, not an Arrow-worker crash."""
+    import struct
+
+    from neo4j_graph_algorithms_spark.pipeline.avi import _chunk, _list
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        video_features,
+    )
+
+    avih = _chunk(b"avih", struct.pack("<14I", 250000, 0, 0, 0x10, 0, 0, 1,
+                                       0, 16, 16, 0, 0, 0, 0))
+    strh = _chunk(b"strh", b"vidsMJPG" + struct.pack("<IHHIIIIIIIi4H",
+                  0, 0, 0, 0, 1, 4, 0, 0, 0, 0, 0, 0, 0, 16, 16))
+    strf = _chunk(b"strf", struct.pack("<IiiHH4sIiiII", 40, 16, 16, 1, 8,
+                                       b"MJPG", 256, 0, 0, 0, 0))
+    payload = _chunk(b"RIFF", b"AVI " + _list(b"hdrl", avih + _list(b"strl", strh + strf))
+                     + _list(b"movi", b"") + _chunk(b"idx1", b""))
+    media = spark.createDataFrame([(0, payload, "video/avi", (16, 16, 1, None, 0))],
+                                  MEDIA_SCHEMA)
+    r = video_features(media, every_n=2).collect()[0]
+    assert (r.n_frames, r.sampled_frames, r.sum_mean_intensity, r.max_intensity) == (0, 0, 0, 0)
