@@ -601,6 +601,15 @@ def _q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: universal-hash interval
+    assignment (pipeline/sample.py:hash_split) — re-run/re-shard invariant,
+    never randomSplit."""
+    from neo4j_graph_algorithms_spark.pipeline.sample import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
 def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row exact degree-distribution summary (histogram + discrete
     integer percentiles) — the pre-ingest skew audit."""
@@ -1235,7 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_30": _q_kcore,
         "doc_repetition_ratio": _q_repetition_ratio,
         "doc_decontaminate": _q_decontaminate,
-        "eigenvector_20iter": _q_eigenvector,
+        "doc_hash_split": _q_hash_split,  # new r4 gate: deterministic train/val/test assignment (eigenvector_20iter rotates to tail; hits_10iter covers the normalized power-iteration superstep in window)
         "pagerank_personalized": _q_pagerank_personalized,
         "doc_pii_scrub": _q_pii_scrub,
         "image_jpeg_features": _q_image_jpeg_features,  # new r4 gate: real baseline-JPEG codec (VERDICT item 5)
@@ -1280,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _q_quantize,  # r3 green; rotated out r4 for graph_degree_stats — pure column exprs, embedding path in window via ann_ivf_search
         "hyperball_est_r2": _q_hyperball,  # r2 green; rotated out r4 for streaming_windowed_events — hyperball_harmonic (same HLL register chain, radius 4) in window
         "multimodal_features": _q_multimodal_features,  # r3 green; rotated out r4 for video_features — fake-codec plumbing twin of the real png/jpeg/audio gates in window
+        "eigenvector_20iter": _q_eigenvector,  # r3 green; rotated out r4 for doc_hash_split — hits_10iter (same normalized power-iteration superstep) in window
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
         "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
@@ -1483,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_node2vec_walks": oracles.node2vec_walks_sql(
             walk_length=3, walks_per_node=1, p=2.0, q=0.5, seed=7
         ),
+        "doc_hash_split": pipeline_oracles.hash_split_sql(),
         "doc_mixture_resample": pipeline_oracles.mixture_resample_sql(
             weights={"en": 0.5, "zh": 2.25, "es": 1.0}, default_weight=0.75, seed=42
         ),

@@ -961,3 +961,19 @@ SELECT media_id,
        CAST(sum(mean_v) AS BIGINT) AS sum_mean_intensity,
        CAST(max(max_v) AS INT) AS max_intensity
 FROM fm GROUP BY media_id"""
+
+
+def hash_split_sql(fractions: dict[str, float] | None = None, seed: int = 7) -> str:
+    """Twin of sample.hash_split: same universal hash, same integer
+    interval bounds (sample.split_bounds is the shared source of truth)."""
+    from neo4j_graph_algorithms_spark.pipeline.sample import split_bounds
+
+    bounds = split_bounds(fractions)
+    a, b = hash_params(seed)
+    whens = " ".join(
+        f"WHEN h < {hi} THEN '{name}'" for name, hi in bounds[:-1]
+    )
+    return f"""WITH base AS (
+  SELECT doc_id, ((doc_id % {HASH_P}) * {a} + {b}) % {HASH_P} AS h
+  FROM documents)
+SELECT doc_id, CASE {whens} ELSE '{bounds[-1][0]}' END AS split FROM base"""

@@ -89,3 +89,55 @@ def mixture_counts(
         F.countDistinct(id_col).alias("n_docs"),
         F.count("*").alias("n_rows"),
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Input columns + `split` — deterministic train/val/test assignment.
+
+    Every training pipeline's final partitioning step: row r goes to the
+    split whose cumulative-fraction interval contains hash(id, seed)/P.
+    Same universal-hash family as `mixture_resample` (single source of
+    truth), so the assignment is re-run/resume/re-shard invariant and
+    engine-independent (the DuckDB twin reproduces it bit-exactly) — never
+    `randomSplit`, whose Bernoulli draws are partition-order dependent and
+    non-reproducible across shards.
+
+    `fractions` maps split name → fraction (must sum to ≤ 1 within integer
+    rounding of the hash space; any remainder falls into the LAST split in
+    sorted-name order).  Default {'test': 0.1, 'train': 0.8, 'val': 0.1}.
+
+    Scale shape: one pure column expression, zero shuffle — pipelines into
+    the feeding scan.
+    """
+    bounds = split_bounds(fractions)
+    a, b = hash_params(seed)
+    h = F.pmod(F.pmod(F.col(id_col), F.lit(HASH_P)) * a + b, F.lit(HASH_P))
+    expr = F.lit(bounds[-1][0])
+    for name, hi in reversed(bounds[:-1]):
+        expr = F.when(h < hi, F.lit(name)).otherwise(expr)
+    # the when-chain assigns the FIRST interval whose upper bound exceeds h,
+    # built right-to-left so earlier names take precedence
+    return docs.withColumn("split", expr)
+
+
+def split_bounds(fractions: dict[str, float] | None) -> list[tuple[str, int]]:
+    """[(name, exclusive upper hash bound)] in sorted-name order — the one
+    place the fraction→integer-interval mapping lives (hash_split and its
+    DuckDB oracle twin both call it)."""
+    fractions = fractions or {"test": 0.1, "train": 0.8, "val": 0.1}
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative and non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    cum, bounds = 0.0, []
+    for name in sorted(fractions):
+        cum += fractions[name]
+        bounds.append((name, int(round(cum * HASH_P))))
+    bounds[-1] = (bounds[-1][0], HASH_P)  # remainder -> last split
+    return bounds

@@ -1,5 +1,6 @@
 """Mixture resampling: determinism, exact copy rule, expected-rate sanity."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from neo4j_graph_algorithms_spark.pipeline.sample import (
@@ -117,3 +118,35 @@ def test_prefix_sums_matches_sequential(spark):
     for k, v in rows:
         assert got[k] == acc, k
         acc += v
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    from neo4j_graph_algorithms_spark.pipeline.sample import hash_split, split_bounds
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = hash_split(docs).collect()
+    got = {r.doc_id: r.split for r in out}
+    assert set(got.values()) <= {"train", "val", "test"}
+    # deterministic under re-partitioning and re-run
+    got2 = {r.doc_id: r.split
+            for r in hash_split(docs.repartition(16)).collect()}
+    assert got == got2
+    # fractions roughly honored (universal hash over 2000 sequential ids)
+    from collections import Counter
+    c = Counter(got.values())
+    assert 0.7 < c["train"] / 2000 < 0.9
+    assert 0.05 < c["val"] / 2000 < 0.15
+    assert 0.05 < c["test"] / 2000 < 0.15
+    # bounds helper covers the full hash space exactly once
+    bs = split_bounds(None)
+    assert bs[-1][1] == 1000003 and [n for n, _ in bs] == ["test", "train", "val"]
+
+
+def test_hash_split_validation(spark):
+    from neo4j_graph_algorithms_spark.pipeline.sample import hash_split
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="> 1"):
+        hash_split(docs, {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(docs, {"a": -0.1, "b": 0.5})
