@@ -154,6 +154,18 @@ def _q_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF effective diameter (the WWW'11 headline whole-graph stat):
+    smallest radius covering 9/10 of the max-radius ball mass.  One sketch
+    pass, per-round scalar collects, pure-integer fraction test — oracle
+    checks the exact quantized totals."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import effective_diameter
+
+    return effective_diameter(
+        spark, lineseq_edges(spark, sf_dir), fraction=(9, 10), max_radius=6, m=16
+    )
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (beyond the reference catalogue) on the
     line-seq multigraph, 10 fixed iterations, L2-normalized half-steps."""
@@ -1245,7 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_ratio": _q_repetition_ratio,
         "doc_decontaminate": _q_decontaminate,
         "doc_hash_split": _q_hash_split,  # new r4 gate: deterministic train/val/test assignment (eigenvector_20iter rotates to tail; hits_10iter covers the normalized power-iteration superstep in window)
-        "pagerank_personalized": _q_pagerank_personalized,
+        "graph_effective_diameter": _q_effective_diameter,  # new r4 gate: HyperANF effective diameter (pagerank_personalized rotates to tail; weighted/warm/articlerank cover the pagerank superstep in window)
         "doc_pii_scrub": _q_pii_scrub,
         "image_jpeg_features": _q_image_jpeg_features,  # new r4 gate: real baseline-JPEG codec (VERDICT item 5)
         "ktruss_4": _q_ktruss,
@@ -1290,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_est_r2": _q_hyperball,  # r2 green; rotated out r4 for streaming_windowed_events — hyperball_harmonic (same HLL register chain, radius 4) in window
         "multimodal_features": _q_multimodal_features,  # r3 green; rotated out r4 for video_features — fake-codec plumbing twin of the real png/jpeg/audio gates in window
         "eigenvector_20iter": _q_eigenvector,  # r3 green; rotated out r4 for doc_hash_split — hits_10iter (same normalized power-iteration superstep) in window
+        "pagerank_personalized": _q_pagerank_personalized,  # r3 green; rotated out r4 for graph_effective_diameter — weighted/warm/articlerank cover the pagerank superstep in window
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
         "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
@@ -1523,4 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_quantize_int8": pipeline_oracles.quantize_sql(),
         "hyperball_est_r2": oracles.hyperball_sql(radius=2, m=16),
         "hyperball_harmonic": oracles.hyperball_harmonic_sql(radius=4, m=16),
+        "graph_effective_diameter": oracles.effective_diameter_sql(
+            fraction=(9, 10), max_radius=6, m=16
+        ),
     }

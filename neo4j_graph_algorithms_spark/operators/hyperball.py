@@ -262,3 +262,76 @@ def hyperball_harmonic(
         (F.col("harmonic_q6") / F.lit(1e6)).alias("approx_harmonic"),
         "harmonic_q6",
     )
+
+
+def effective_diameter(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    fraction: tuple[int, int] = (9, 10),
+    max_radius: int = 8,
+    m: int = 16,
+    direction: str = "OUTGOING",
+) -> DataFrame:
+    """[effective_diameter, ball_sum_q] — the HyperANF paper's headline
+    whole-graph statistic (Boldi/Rosa/Vigna, WWW'11; the reference has no
+    diameter procedure — this is the approximate path a 10^12-edge graph
+    actually runs): the smallest radius t whose total reachable-ball mass
+    Σ_v |ball_t(v)| covers `fraction` of the mass at `max_radius`.
+
+    Same incremental register chain as `hyperball_harmonic` — ONE sketch
+    pass of `max_radius` supersteps, with a per-round SCALAR collect (one
+    int64 per round, never a |V|-sized collect).  Cross-engine exactness:
+    per-round per-vertex estimates are 6dp-rounded then quantized to the
+    ×10⁶ integer grid (the q6 trick), the per-round totals are exact int64
+    sums, and the fraction test is the pure-integer comparison
+    total_t · den ≥ num · total_R — nothing for two engines to round
+    differently.  `fraction` is an exact rational (num, den).
+    """
+    num, den = fraction
+    if not (0 < num <= den):
+        raise ValueError(f"fraction must be a rational in (0, 1]: {fraction}")
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    if direction == "OUTGOING":
+        e = ef.df.select(F.col(DST).alias("_from"), F.col(SRC).alias("_to"))
+    elif direction == "INCOMING":
+        e = ef.df.select(F.col(SRC).alias("_from"), F.col(DST).alias("_to"))
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+    e = e.distinct().repartition("_from").persist()
+    e.count()
+
+    def total_q(state: DataFrame) -> int:
+        est = hyperball_estimates(state, m)
+        row = est.agg(
+            F.sum(
+                F.floor(F.col("est") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).alias("t")
+        ).collect()[0]
+        return int(row["t"] or 0)
+
+    verts = ef.vertices()
+    state = verts.select(
+        VID,
+        F.pmod(_h(F.col(VID), A1, B1), F.lit(m)).alias("bucket"),
+        _rho(F.pmod(_h(F.col(VID), A2, B2), F.lit(2**RHO_W))).alias("reg"),
+    ).localCheckpoint(eager=True)
+    totals = [total_q(state)]
+    for _t in range(1, max_radius + 1):
+        msgs = (
+            state.hint("shuffle_hash")
+            .join(e, state[VID] == e["_from"], "inner")
+            .select(F.col("_to").alias(VID), "bucket", "reg")
+        )
+        state = (
+            state.unionByName(msgs)
+            .groupBy(VID, "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)
+        )
+        totals.append(total_q(state))
+    e.unpersist()
+    final = totals[-1]
+    eff = next(r for r, t in enumerate(totals) if t * den >= num * final)
+    return spark.createDataFrame(
+        [(eff, final)], "effective_diameter int, ball_sum_q long"
+    )

@@ -1922,3 +1922,77 @@ SELECT n_vertices,
        min_deg, max_deg, sum_deg,
        {pct_cols}
 FROM tot"""
+
+
+def effective_diameter_sql(
+    fraction: tuple[int, int] = (9, 10), max_radius: int = 8, m: int = 16
+) -> str:
+    """Twin of operators/hyperball.py:effective_diameter on the line-seq
+    graph (OUTGOING balls): the same register chain as hyperball_sql with a
+    quantized total per level, then the pure-integer fraction test."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        A1,
+        A2,
+        B1,
+        B2,
+        HB_P,
+        RHO_W,
+        hll_alpha,
+    )
+
+    num, den = fraction
+    rho_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN z >= {2 ** (k - 1)} THEN {RHO_W - k + 1}"
+            for k in range(RHO_W, 0, -1)
+        )
+        + f" ELSE {RHO_W + 1} END"
+    )
+    alpha_mm = repr(hll_alpha(m) * m * m)
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "dedges AS (SELECT DISTINCT src, dst FROM lineseq)",
+        f"""hz AS (
+  SELECT vid,
+         ((vid % {HB_P}) * {A1} + {B1}) % {HB_P} % {m} AS bucket,
+         ((vid % {HB_P}) * {A2} + {B2}) % {HB_P} % {2 ** RHO_W} AS z
+  FROM verts)""",
+        f"r0 AS MATERIALIZED (SELECT vid, bucket, {rho_case} AS reg FROM hz)",
+    ]
+    for i in range(1, max_radius + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT vid, bucket, max(reg) AS reg FROM (
+    SELECT e.src AS vid, r.bucket, r.reg FROM r{i - 1} r JOIN dedges e ON r.vid = e.dst
+    UNION ALL SELECT vid, bucket, reg FROM r{i - 1}) x
+  GROUP BY vid, bucket)"""
+        )
+    for i in range(max_radius + 1):
+        parts.append(
+            f"""t{i} AS (
+  SELECT CAST(sum(CAST(floor(round(est, 6) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS tq
+  FROM (
+    SELECT vid,
+           round(CASE WHEN raw <= {repr(2.5 * m)} AND zeros > 0
+                      THEN {repr(float(m))} * ln({repr(float(m))} / zeros)
+                      ELSE raw END, 6) AS est
+    FROM (
+      SELECT vid, {alpha_mm} / ((CAST({m} AS DOUBLE) - nnz) + sp) AS raw,
+             {m} - nnz AS zeros
+      FROM (SELECT vid, count(*) AS nnz, sum(power(2.0, -reg)) AS sp
+            FROM r{i} GROUP BY vid) a) b) c)"""
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT {i} AS r, tq FROM t{i}" for i in range(max_radius + 1)
+    )
+    parts.append(f"lv AS ({levels})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(min(r) AS INT) AS effective_diameter,
+       (SELECT tq FROM lv WHERE r = {max_radius}) AS ball_sum_q
+FROM lv WHERE tq * {den} >= {num} * (SELECT tq FROM lv WHERE r = {max_radius})"""
+    )

@@ -94,3 +94,40 @@ def test_harmonic_ranks_star_center_highest(spark):
     }
     assert got[0] == max(got.values())
     assert got[0] > 2.0  # true value 6; HLL error keeps it well above the leaves
+
+
+def test_effective_diameter_path_graph(spark):
+    from neo4j_graph_algorithms_spark.operators.hyperball import effective_diameter
+    from tests.conftest import edge_df
+
+    # directed path 0->1->...->9: ball mass grows linearly with radius, so
+    # the 9/10 threshold lands near radius 8 on the exact neighborhood
+    # function; the HLL estimate (m=16) is noisy per-vertex but the
+    # MONOTONICITY + determinism properties must hold exactly
+    pairs = [(i, i + 1) for i in range(9)]
+    row = effective_diameter(spark, edge_df(spark, pairs), max_radius=9,
+                             m=16).collect()[0]
+    assert 0 < row["effective_diameter"] <= 9
+    # deterministic under re-run (hash registers, no RNG)
+    row2 = effective_diameter(spark, edge_df(spark, pairs), max_radius=9,
+                              m=16).collect()[0]
+    assert row.asDict() == row2.asDict()
+
+
+def test_effective_diameter_star_is_one(spark):
+    from neo4j_graph_algorithms_spark.operators.hyperball import effective_diameter
+    from tests.conftest import edge_df
+
+    # hub -> all leaves: every OUTGOING ball saturates at radius 1
+    pairs = [(0, i) for i in range(1, 30)]
+    row = effective_diameter(spark, edge_df(spark, pairs), max_radius=3,
+                             m=16).collect()[0]
+    assert row["effective_diameter"] <= 1
+
+
+def test_effective_diameter_validates_fraction(spark):
+    from neo4j_graph_algorithms_spark.operators.hyperball import effective_diameter
+    from tests.conftest import edge_df
+
+    with pytest.raises(ValueError, match="rational"):
+        effective_diameter(spark, edge_df(spark, [(0, 1)]), fraction=(3, 2))
