@@ -113,3 +113,22 @@ def test_topo_levels_superstep_never_broadcasts_state(spark):
     dag_pairs = [(i, j) for i in range(8) for j in range(8) if i < j and (i + j) % 3 == 0]
     res = topo_levels(spark, edge_df(spark, dag_pairs), max_iterations=3)
     _assert_no_state_broadcast(res.first_plan)
+
+
+def test_keep_best_join_never_broadcasts_corpus(spark):
+    """keep_best_in_groups joins two |corpus|-sized projections (groups ×
+    quality) — the shuffle_hash hint must hold so neither side is ever a
+    driver-built broadcast relation at scale."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import keep_best_in_groups
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} the a of and") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        keep_best_in_groups(docs, num_hashes=4, bands=2, ngram=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan, plan
