@@ -562,6 +562,16 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction: 6 greedy merge rounds over the corpus word
+    histogram (pipeline/bpe.py) — winner per round by (count, lexicographic)
+    and merges applied via the anchored-string replace whose left-to-right
+    non-overlapping scan Spark and DuckDB share byte-for-byte."""
+    from neo4j_graph_algorithms_spark.pipeline.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), num_merges=6)
+
+
 def _q_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.text import subword_count
 
@@ -1253,7 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
         "node_similarity_topk": _q_node_similarity,
         "link_adamic_adar": _q_adamic_adar,
-        "kcore_30": _q_kcore,
+        "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
         "doc_repetition_ratio": _q_repetition_ratio,
         "doc_decontaminate": _q_decontaminate,
         "doc_hash_split": _q_hash_split,  # new r4 gate: deterministic train/val/test assignment (eigenvector_20iter rotates to tail; hits_10iter covers the normalized power-iteration superstep in window)
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,  # r3 green; rotated out r4 for video_features — fake-codec plumbing twin of the real png/jpeg/audio gates in window
         "eigenvector_20iter": _q_eigenvector,  # r3 green; rotated out r4 for doc_hash_split — hits_10iter (same normalized power-iteration superstep) in window
         "pagerank_personalized": _q_pagerank_personalized,  # r3 green; rotated out r4 for graph_effective_diameter — weighted/warm/articlerank cover the pagerank superstep in window
+        "kcore_30": _q_kcore,  # r3 green; rotated out r4 for doc_bpe_merges — ktruss_4 (same synchronous peel loop) in window
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
         "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
@@ -1507,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
             walk_length=3, walks_per_node=1, p=2.0, q=0.5, seed=7
         ),
         "doc_hash_split": pipeline_oracles.hash_split_sql(),
+        "doc_bpe_merges": pipeline_oracles.bpe_train_sql(num_merges=6),
         "doc_mixture_resample": pipeline_oracles.mixture_resample_sql(
             weights={"en": 0.5, "zh": 2.25, "es": 1.0}, default_weight=0.75, seed=42
         ),

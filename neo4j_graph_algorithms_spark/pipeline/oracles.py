@@ -977,3 +977,52 @@ def hash_split_sql(fractions: dict[str, float] | None = None, seed: int = 7) -> 
   SELECT doc_id, ((doc_id % {HASH_P}) * {a} + {b}) % {HASH_P} AS h
   FROM documents)
 SELECT doc_id, CASE {whens} ELSE '{bounds[-1][0]}' END AS split FROM base"""
+
+
+def bpe_train_sql(num_merges: int = 6) -> str:
+    """Twin of bpe.bpe_train: the same k greedy merge rounds over the word
+    histogram, each round's winner by (count DESC, left, right) and each
+    merge applied via the identical anchored-string replace() (DuckDB's
+    replace scans left-to-right non-overlapping, byte-for-byte the same
+    greedy semantics as Spark's F.replace — probed in tests)."""
+    S = "\x1f"
+    parts = [
+        DOCS_CTE,
+        """wh AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(toks) AS word FROM docs) GROUP BY word)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT cnt, regexp_replace(word, '(.)', '{S}\\1{S}', 'g') AS s
+  FROM wh WHERE length(word) > 0)""",
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT y.syms[i + 1] AS l, y.syms[i + 2] AS r2, sum(y.cnt) AS c
+  FROM (SELECT cnt, string_split(s[2:-2], '{S}{S}') AS syms FROM w{r}) y,
+       unnest(range(len(y.syms) - 1)) t(i)
+  GROUP BY 1, 2),
+top{r} AS MATERIALIZED (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l ASC, r2 ASC LIMIT 1)"""
+        )
+        if r + 1 < num_merges:
+            parts.append(
+                f"""w{r + 1} AS MATERIALIZED (
+  SELECT cnt,
+         replace(s,
+                 '{S}' || (SELECT l FROM top{r}) || '{S}{S}' ||
+                   (SELECT r2 FROM top{r}) || '{S}',
+                 '{S}' || (SELECT l FROM top{r}) ||
+                   (SELECT r2 FROM top{r}) || '{S}') AS s
+  FROM w{r})"""
+            )
+    levels = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, l, r2, c FROM top{r}" for r in range(num_merges)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(merge_rank AS INT) AS merge_rank,
+       l AS "left", r2 AS "right", CAST(c AS BIGINT) AS pair_count
+FROM ({levels}) ORDER BY merge_rank"""
+    )
