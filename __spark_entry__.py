@@ -562,6 +562,15 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
 
+def _q_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution summary (histogram + discrete integer
+    percentiles) — the packing-budget audit, documents-side twin of
+    graph_degree_stats."""
+    from neo4j_graph_algorithms_spark.pipeline.text import length_stats
+
+    return length_stats(_docs(spark, sf_dir))
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer induction: 6 greedy merge rounds over the corpus word
     histogram (pipeline/bpe.py) — winner per round by (count, lexicographic)
@@ -1282,7 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_sllpa_overlap": _q_sllpa,
         "doc_pack_sequences": _q_pack_sequences,
         "doc_unigram_logprob": _q_unigram_logprob,
-        "graph_khop_sample": _q_khop_sample,
+        "doc_length_stats": _q_length_stats,  # new r4 gate: token-length histogram percentiles, the packing-budget audit (graph_khop_sample rotates to tail; random/node2vec/skipgram walks keep the hash-deterministic sampling path covered in window)
         "triangle_total_csr": _q_triangle_total_csr,
         "events_sessionize": _q_sessionize,
         "events_windowed_agg": _q_windowed_events,
@@ -1314,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_20iter": _q_eigenvector,  # r3 green; rotated out r4 for doc_hash_split — hits_10iter (same normalized power-iteration superstep) in window
         "pagerank_personalized": _q_pagerank_personalized,  # r3 green; rotated out r4 for graph_effective_diameter — weighted/warm/articlerank cover the pagerank superstep in window
         "kcore_30": _q_kcore,  # r3 green; rotated out r4 for doc_bpe_merges — ktruss_4 (same synchronous peel loop) in window
+        "graph_khop_sample": _q_khop_sample,  # r3 green; rotated out r4 for doc_length_stats — random/node2vec/skipgram walks cover the hash-deterministic sampling path in window
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
         "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
@@ -1519,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_hash_split": pipeline_oracles.hash_split_sql(),
         "doc_bpe_merges": pipeline_oracles.bpe_train_sql(num_merges=6),
+        "doc_length_stats": pipeline_oracles.length_stats_sql(),
         "doc_mixture_resample": pipeline_oracles.mixture_resample_sql(
             weights={"en": 0.5, "zh": 2.25, "es": 1.0}, default_weight=0.75, seed=42
         ),

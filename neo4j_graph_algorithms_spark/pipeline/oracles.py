@@ -1026,3 +1026,26 @@ SELECT CAST(merge_rank AS INT) AS merge_rank,
        l AS "left", r2 AS "right", CAST(c AS BIGINT) AS pair_count
 FROM ({levels}) ORDER BY merge_rank"""
     )
+
+
+def length_stats_sql(percentiles: tuple[int, ...] = (50, 90, 99)) -> str:
+    """Twin of text.length_stats: histogram + cumulative count, discrete
+    percentile by the pure-BIGINT 100*cum >= n*q rule."""
+    pct_cols = ",\n       ".join(
+        f"(SELECT min(n) FROM cum, tot WHERE cum.cum * 100 >= tot.n_docs * {q})"
+        f" AS p{q}_tokens"
+        for q in percentiles
+    )
+    return f"""WITH {DOCS_CTE},
+lens AS (SELECT len(toks) AS n FROM docs),
+hist AS (SELECT n, count(*) AS cnt FROM lens GROUP BY n),
+cum AS (SELECT n, cnt, sum(cnt) OVER (ORDER BY n) AS cum FROM hist),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(min(n) AS BIGINT) AS min_tokens,
+         CAST(max(n) AS BIGINT) AS max_tokens,
+         CAST(sum(n * cnt) AS BIGINT) AS sum_tokens
+  FROM hist)
+SELECT n_docs, min_tokens, max_tokens, sum_tokens,
+       {pct_cols}
+FROM tot"""

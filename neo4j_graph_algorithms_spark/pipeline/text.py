@@ -467,3 +467,47 @@ def unigram_logprob(
             ).alias("avg_logp"),
         )
     )
+
+
+def length_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """One-row exact token-length distribution —
+    [n_docs, min_tokens, max_tokens, sum_tokens, p<q>_tokens ...].
+
+    The packing-budget audit (sequence packing and curriculum binning are
+    sized from exactly this table) — the documents-side twin of
+    operators/degrees.py:degree_distribution, same integer-exact discrete
+    percentile rule: p(q) = min length whose cumulative doc count satisfies
+    100·cum ≥ n·q, computed on the LENGTH HISTOGRAM (|distinct lengths|
+    rows), never a |corpus|-sized window.  All outputs BIGINT.
+    """
+    from pyspark.sql import Window
+
+    lens = docs.select(F.size(tokens_col(text_col)).alias("n"))
+    hist = lens.groupBy("n").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("n", "cnt", F.sum("cnt").over(w).alias("cum"))
+    totals = hist.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+        F.sum(F.col("n") * F.col("cnt")).alias("sum_tokens"),
+    )
+    pct_aggs = [
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("n_docs") * q, F.col("n"))
+        ).alias(f"p{q}_tokens")
+        for q in percentiles
+    ]
+    pcts = cum.crossJoin(F.broadcast(totals)).agg(*pct_aggs)
+    return totals.crossJoin(F.broadcast(pcts)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        *[F.col(f"p{q}_tokens").cast("long").alias(f"p{q}_tokens") for q in percentiles],
+    )

@@ -255,3 +255,19 @@ def test_unigram_logprob_ranks_typical_docs_higher(spark):
     # empty docs dropped
     docs2 = spark.createDataFrame([(1, "a"), (2, "")], "doc_id long, text string")
     assert {r["doc_id"] for r in unigram_logprob(docs2).collect()} == {1}
+
+
+def test_length_stats_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import length_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b c"), (2, "a"), (3, "a b c d e"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    row = length_stats(docs).collect()[0]
+    # lengths sorted [1,2,3,3,5]
+    assert row["n_docs"] == 5
+    assert (row["min_tokens"], row["max_tokens"], row["sum_tokens"]) == (1, 5, 14)
+    assert row["p50_tokens"] == 3   # ceil-rank 3 -> value 3
+    assert row["p90_tokens"] == 5
+    assert row["p99_tokens"] == 5
