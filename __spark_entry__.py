@@ -562,6 +562,16 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
 
+def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 6-merge table learned by bpe_train on the same corpus and
+    count per-document subword units (pipeline/bpe.py:bpe_segment)."""
+    from neo4j_graph_algorithms_spark.pipeline.bpe import bpe_segment, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    table = [(r["left"], r["right"]) for r in bpe_train(docs, num_merges=6).collect()]
+    return bpe_segment(docs, table)
+
+
 def _q_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length distribution summary (histogram + discrete integer
     percentiles) — the packing-budget audit, documents-side twin of
@@ -1290,7 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": _q_conductance,
         "community_sllpa_overlap": _q_sllpa,
         "doc_pack_sequences": _q_pack_sequences,
-        "doc_unigram_logprob": _q_unigram_logprob,
+        "doc_bpe_subwords": _q_bpe_subwords,  # new r4 gate: learned-table segmentation counts (doc_unigram_logprob rotates to tail; doc_tfidf_topk covers the broadcast-token-model aggregation shape in window)
         "doc_length_stats": _q_length_stats,  # new r4 gate: token-length histogram percentiles, the packing-budget audit (graph_khop_sample rotates to tail; random/node2vec/skipgram walks keep the hash-deterministic sampling path covered in window)
         "triangle_total_csr": _q_triangle_total_csr,
         "events_sessionize": _q_sessionize,
@@ -1324,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,  # r3 green; rotated out r4 for graph_effective_diameter — weighted/warm/articlerank cover the pagerank superstep in window
         "kcore_30": _q_kcore,  # r3 green; rotated out r4 for doc_bpe_merges — ktruss_4 (same synchronous peel loop) in window
         "graph_khop_sample": _q_khop_sample,  # r3 green; rotated out r4 for doc_length_stats — random/node2vec/skipgram walks cover the hash-deterministic sampling path in window
+        "doc_unigram_logprob": _q_unigram_logprob,  # r3 green; rotated out r4 for doc_bpe_subwords — doc_tfidf_topk (same broadcast-token-model aggregation) in window
         # r1-green LSH/ANN baselines the r2 driver window skipped (VERDICT item 1)
         # --- tail: variants with an in-window sibling on the same path ------
         "dedup_minhash_lsh": _q_minhash_lsh,  # r1 green; dedup_minhash_groups (same signatures+bands+verify, plus grouping) in window
@@ -1530,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_split": pipeline_oracles.hash_split_sql(),
         "doc_bpe_merges": pipeline_oracles.bpe_train_sql(num_merges=6),
         "doc_length_stats": pipeline_oracles.length_stats_sql(),
+        "doc_bpe_subwords": pipeline_oracles.bpe_segment_sql(num_merges=6),
         "doc_mixture_resample": pipeline_oracles.mixture_resample_sql(
             weights={"en": 0.5, "zh": 2.25, "es": 1.0}, default_weight=0.75, seed=42
         ),

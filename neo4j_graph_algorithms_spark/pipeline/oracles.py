@@ -1049,3 +1049,56 @@ tot AS (
 SELECT n_docs, min_tokens, max_tokens, sum_tokens,
        {pct_cols}
 FROM tot"""
+
+
+def bpe_segment_sql(num_merges: int = 6) -> str:
+    """Twin of bpe.bpe_segment over the TABLE LEARNED BY bpe_train(k) on
+    the same corpus: replays the k merge rounds (same MATERIALIZED chain as
+    bpe_train_sql, but carrying the word through), then counts per-document
+    subwords by joining each document's words against the final
+    segmentation."""
+    S = "\x1f"
+    parts = [
+        DOCS_CTE,
+        """wh AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(toks) AS word FROM docs) GROUP BY word)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT word, cnt, regexp_replace(word, '(.)', '{S}\\1{S}', 'g') AS s
+  FROM wh WHERE length(word) > 0)""",
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT y.syms[i + 1] AS l, y.syms[i + 2] AS r2, sum(y.cnt) AS c
+  FROM (SELECT cnt, string_split(s[2:-2], '{S}{S}') AS syms FROM w{r}) y,
+       unnest(range(len(y.syms) - 1)) t(i)
+  GROUP BY 1, 2),
+top{r} AS MATERIALIZED (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l ASC, r2 ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{r + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s,
+                 '{S}' || (SELECT l FROM top{r}) || '{S}{S}' ||
+                   (SELECT r2 FROM top{r}) || '{S}',
+                 '{S}' || (SELECT l FROM top{r}) ||
+                   (SELECT r2 FROM top{r}) || '{S}') AS s
+  FROM w{r})"""
+        )
+    parts.append(
+        f"""seg AS MATERIALIZED (
+  SELECT word, len(string_split(s[2:-2], '{S}{S}')) AS n_sub
+  FROM w{num_merges})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(g.n_sub) AS BIGINT) AS n_subwords
+FROM (SELECT doc_id, unnest(toks) AS word FROM docs) d
+JOIN seg g USING (word)
+GROUP BY d.doc_id"""
+    )
