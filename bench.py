@@ -138,6 +138,20 @@ def main() -> None:
         timed_ext("ktruss_k4", lambda: ktruss(spark, seq, k=4).count())
         timed_ext("katz_20iter", lambda: katz(
             spark, seq, alpha=0.05, max_iterations=20).state.count())
+
+        from neo4j_graph_algorithms_spark.operators.hyperball import (
+            effective_diameter,
+        )
+        from neo4j_graph_algorithms_spark.pipeline.bpe import bpe_train
+        from neo4j_graph_algorithms_spark.pipeline.dedup import keep_best_in_groups
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timed_ext("effective_diameter_r6", lambda: effective_diameter(
+            spark, seq, max_radius=6, m=16).count())
+        timed_ext("bpe_train_6merges", lambda: bpe_train(
+            docs, num_merges=6).count())
+        timed_ext("dedup_keep_best", lambda: keep_best_in_groups(
+            docs, hash_mode="xxhash").count())
         extras["extended"] = ext
 
     co.unpersist()
