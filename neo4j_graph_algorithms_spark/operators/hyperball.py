@@ -74,6 +74,49 @@ def _rho(z: Column) -> Column:
     return expr
 
 
+
+def _direction_edges(ef: EdgeFrame, direction: str, both: bool = False) -> DataFrame:
+    """Distinct [_from, _to] register-flow edges, pre-partitioned on the
+    gather key (registers flow FROM the pointed-to vertex TO the pointer —
+    ball(v) pulls neighbor sketches).  Shared by hyperball /
+    hyperball_harmonic / effective_diameter so the direction semantics and
+    cache convention live in one place."""
+    if direction == "OUTGOING":
+        e = ef.df.select(F.col(DST).alias("_from"), F.col(SRC).alias("_to"))
+    elif direction == "INCOMING":
+        e = ef.df.select(F.col(SRC).alias("_from"), F.col(DST).alias("_to"))
+    elif both and direction == "BOTH":
+        e = ef.df.select(F.col(DST).alias("_from"), F.col(SRC).alias("_to")).unionByName(
+            ef.df.select(F.col(SRC).alias("_from"), F.col(DST).alias("_to"))
+        )
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+    e = e.select("_from", "_to").distinct().repartition("_from").persist()
+    e.count()
+    return e
+
+
+def _init_registers(verts: DataFrame, m: int) -> DataFrame:
+    """[vid, bucket, reg] round-0 HLL registers."""
+    return verts.select(
+        VID,
+        F.pmod(_h(F.col(VID), A1, B1), F.lit(m)).alias("bucket"),
+        _rho(F.pmod(_h(F.col(VID), A2, B2), F.lit(2**RHO_W))).alias("reg"),
+    )
+
+
+def _advance(state: DataFrame, e: DataFrame) -> DataFrame:
+    """One register-propagation superstep (join + union + groupBy-max);
+    the shuffle_hash hint keeps the |V|-sized state off the broadcast path
+    (repo superstep convention, pinned by tests/test_superstep_plans.py)."""
+    msgs = (
+        state.hint("shuffle_hash")
+        .join(e, state[VID] == e["_from"], "inner")
+        .select(F.col("_to").alias(VID), "bucket", "reg")
+    )
+    return state.unionByName(msgs).groupBy(VID, "bucket").agg(F.max("reg").alias("reg"))
+
+
 def hyperball(
     spark: SparkSession,
     edges: EdgeFrame | DataFrame,
@@ -90,40 +133,13 @@ def hyperball(
     cardinality estimates.
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
-    if direction == "OUTGOING":
-        e = ef.df.select(F.col(DST).alias("_from"), F.col(SRC).alias("_to"))
-    elif direction == "INCOMING":
-        e = ef.df.select(F.col(SRC).alias("_from"), F.col(DST).alias("_to"))
-    elif direction == "BOTH":
-        e = ef.df.select(F.col(DST).alias("_from"), F.col(SRC).alias("_to")).unionByName(
-            ef.df.select(F.col(SRC).alias("_from"), F.col(DST).alias("_to"))
-        )
-    else:
-        raise ValueError(f"unknown direction {direction!r}")
-    # ball(v) grows by PULLING neighbor sketches: v's ball at t includes u's
-    # ball at t-1 for every v→u edge, so registers flow _from the pointed-to
-    # vertex _to the pointer; the cache is pre-partitioned on the gather key
-    e = e.select("_from", "_to").distinct().repartition("_from").persist()
-    e.count()
+    e = _direction_edges(ef, direction, both=True)
 
     verts = vertices.select(VID) if vertices is not None else ef.vertices()
-    state0 = verts.select(
-        VID,
-        F.pmod(_h(F.col(VID), A1, B1), F.lit(m)).alias("bucket"),
-        _rho(F.pmod(_h(F.col(VID), A2, B2), F.lit(2**RHO_W))).alias("reg"),
-    )
+    state0 = _init_registers(verts, m)
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        msgs = (
-            state.hint("shuffle_hash")
-            .join(e, state[VID] == e["_from"], "inner")
-            .select(F.col("_to").alias(VID), "bucket", "reg")
-        )
-        return (
-            state.unionByName(msgs)
-            .groupBy(VID, "bucket")
-            .agg(F.max("reg").alias("reg"))
-        )
+        return _advance(state, e)
 
     def metric(new: DataFrame, old: DataFrame, i: int) -> float:
         # registers are monotone non-decreasing: the scalar Σreg+count is a
@@ -200,14 +216,7 @@ def hyperball_harmonic(
     pure int64 arithmetic on both engines (exact while est < 2^53/10⁶ ≈
     9·10⁹, far beyond any gate scale; the double view is unaffected)."""
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
-    if direction == "INCOMING":
-        e = ef.df.select(F.col(SRC).alias("_from"), F.col(DST).alias("_to"))
-    elif direction == "OUTGOING":
-        e = ef.df.select(F.col(DST).alias("_from"), F.col(SRC).alias("_to"))
-    else:
-        raise ValueError(f"unknown direction {direction!r}")
-    e = e.distinct().repartition("_from").persist()
-    e.count()
+    e = _direction_edges(ef, direction)
 
     L = math.lcm(*range(1, radius + 1))
 
@@ -219,25 +228,11 @@ def hyperball_harmonic(
         )
 
     verts = ef.vertices()
-    state = verts.select(
-        VID,
-        F.pmod(_h(F.col(VID), A1, B1), F.lit(m)).alias("bucket"),
-        _rho(F.pmod(_h(F.col(VID), A2, B2), F.lit(2**RHO_W))).alias("reg"),
-    ).localCheckpoint(eager=True)
+    state = _init_registers(verts, m).localCheckpoint(eager=True)
     prev = q6(hyperball_estimates(state, m), "_e0")
     acc = verts.select(VID, F.lit(0).cast("long").alias("_s"))
     for t in range(1, radius + 1):
-        msgs = (
-            state.hint("shuffle_hash")
-            .join(e, state[VID] == e["_from"], "inner")
-            .select(F.col("_to").alias(VID), "bucket", "reg")
-        )
-        state = (
-            state.unionByName(msgs)
-            .groupBy(VID, "bucket")
-            .agg(F.max("reg").alias("reg"))
-            .localCheckpoint(eager=True)
-        )
+        state = _advance(state, e).localCheckpoint(eager=True)
         cur = q6(hyperball_estimates(state, m), "_e1")
         acc = (
             acc.join(prev, on=VID)
@@ -291,44 +286,36 @@ def effective_diameter(
     if not (0 < num <= den):
         raise ValueError(f"fraction must be a rational in (0, 1]: {fraction}")
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
-    if direction == "OUTGOING":
-        e = ef.df.select(F.col(DST).alias("_from"), F.col(SRC).alias("_to"))
-    elif direction == "INCOMING":
-        e = ef.df.select(F.col(SRC).alias("_from"), F.col(DST).alias("_to"))
-    else:
-        raise ValueError(f"unknown direction {direction!r}")
-    e = e.distinct().repartition("_from").persist()
-    e.count()
+    e = _direction_edges(ef, direction)
 
-    def total_q(state: DataFrame) -> int:
+    def round_stats(state: DataFrame) -> tuple[int, int]:
+        """(quantized ball-mass total, register checksum) — the checksum
+        (Σreg + count over monotone registers) is the exact fixpoint
+        witness hyperball() uses, so the loop stops as soon as the sketch
+        converges instead of burning the remaining supersteps; totals are
+        padded with the final value (once registers are fixed, every later
+        round's total is identical by construction)."""
         est = hyperball_estimates(state, m)
         row = est.agg(
             F.sum(
                 F.floor(F.col("est") * F.lit(1e6) + F.lit(0.5)).cast("long")
             ).alias("t")
         ).collect()[0]
-        return int(row["t"] or 0)
+        chk = state.agg((F.sum("reg") + F.count("*")).alias("s")).collect()[0]
+        return int(row["t"] or 0), int(chk["s"] or 0)
 
     verts = ef.vertices()
-    state = verts.select(
-        VID,
-        F.pmod(_h(F.col(VID), A1, B1), F.lit(m)).alias("bucket"),
-        _rho(F.pmod(_h(F.col(VID), A2, B2), F.lit(2**RHO_W))).alias("reg"),
-    ).localCheckpoint(eager=True)
-    totals = [total_q(state)]
+    state = _init_registers(verts, m).localCheckpoint(eager=True)
+    t0, chk_prev = round_stats(state)
+    totals = [t0]
     for _t in range(1, max_radius + 1):
-        msgs = (
-            state.hint("shuffle_hash")
-            .join(e, state[VID] == e["_from"], "inner")
-            .select(F.col("_to").alias(VID), "bucket", "reg")
-        )
-        state = (
-            state.unionByName(msgs)
-            .groupBy(VID, "bucket")
-            .agg(F.max("reg").alias("reg"))
-            .localCheckpoint(eager=True)
-        )
-        totals.append(total_q(state))
+        state = _advance(state, e).localCheckpoint(eager=True)
+        tq, chk = round_stats(state)
+        totals.append(tq)
+        if chk == chk_prev:  # sketch fixpoint: pad and stop early
+            totals.extend([tq] * (max_radius - _t))
+            break
+        chk_prev = chk
     e.unpersist()
     final = totals[-1]
     eff = next(r for r, t in enumerate(totals) if t * den >= num * final)

@@ -970,13 +970,17 @@ def hash_split_sql(fractions: dict[str, float] | None = None, seed: int = 7) -> 
 
     bounds = split_bounds(fractions)
     a, b = hash_params(seed)
-    whens = " ".join(
-        f"WHEN h < {hi} THEN '{name}'" for name, hi in bounds[:-1]
-    )
+    if len(bounds) == 1:
+        split_expr = f"'{bounds[-1][0]}'"
+    else:
+        whens = " ".join(
+            f"WHEN h < {hi} THEN '{name}'" for name, hi in bounds[:-1]
+        )
+        split_expr = f"CASE {whens} ELSE '{bounds[-1][0]}' END"
     return f"""WITH base AS (
   SELECT doc_id, ((doc_id % {HASH_P}) * {a} + {b}) % {HASH_P} AS h
   FROM documents)
-SELECT doc_id, CASE {whens} ELSE '{bounds[-1][0]}' END AS split FROM base"""
+SELECT doc_id, {split_expr} AS split FROM base"""
 
 
 def bpe_train_sql(num_merges: int = 6) -> str:
@@ -992,7 +996,7 @@ def bpe_train_sql(num_merges: int = 6) -> str:
   SELECT word, count(*) AS cnt
   FROM (SELECT unnest(toks) AS word FROM docs) GROUP BY word)""",
         f"""w0 AS MATERIALIZED (
-  SELECT cnt, regexp_replace(word, '(.)', '{S}\\1{S}', 'g') AS s
+  SELECT cnt, regexp_replace(word, '(?s)(.)', '{S}\\1{S}', 'g') AS s
   FROM wh WHERE length(word) > 0)""",
     ]
     for r in range(num_merges):
@@ -1009,10 +1013,10 @@ top{r} AS MATERIALIZED (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l ASC, r2 ASC
                 f"""w{r + 1} AS MATERIALIZED (
   SELECT cnt,
          replace(s,
-                 '{S}' || (SELECT l FROM top{r}) || '{S}{S}' ||
-                   (SELECT r2 FROM top{r}) || '{S}',
-                 '{S}' || (SELECT l FROM top{r}) ||
-                   (SELECT r2 FROM top{r}) || '{S}') AS s
+                 coalesce('{S}' || (SELECT l FROM top{r}) || '{S}{S}' ||
+                   (SELECT r2 FROM top{r}) || '{S}', chr(0)),
+                 coalesce('{S}' || (SELECT l FROM top{r}) ||
+                   (SELECT r2 FROM top{r}) || '{S}', '')) AS s
   FROM w{r})"""
             )
     levels = " UNION ALL ".join(
@@ -1064,7 +1068,7 @@ def bpe_segment_sql(num_merges: int = 6) -> str:
   SELECT word, count(*) AS cnt
   FROM (SELECT unnest(toks) AS word FROM docs) GROUP BY word)""",
         f"""w0 AS MATERIALIZED (
-  SELECT word, cnt, regexp_replace(word, '(.)', '{S}\\1{S}', 'g') AS s
+  SELECT word, cnt, regexp_replace(word, '(?s)(.)', '{S}\\1{S}', 'g') AS s
   FROM wh WHERE length(word) > 0)""",
     ]
     for r in range(num_merges):
@@ -1080,10 +1084,10 @@ top{r} AS MATERIALIZED (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l ASC, r2 ASC
             f"""w{r + 1} AS MATERIALIZED (
   SELECT word, cnt,
          replace(s,
-                 '{S}' || (SELECT l FROM top{r}) || '{S}{S}' ||
-                   (SELECT r2 FROM top{r}) || '{S}',
-                 '{S}' || (SELECT l FROM top{r}) ||
-                   (SELECT r2 FROM top{r}) || '{S}') AS s
+                 coalesce('{S}' || (SELECT l FROM top{r}) || '{S}{S}' ||
+                   (SELECT r2 FROM top{r}) || '{S}', chr(0)),
+                 coalesce('{S}' || (SELECT l FROM top{r}) ||
+                   (SELECT r2 FROM top{r}) || '{S}', '')) AS s
   FROM w{r})"""
         )
     parts.append(
