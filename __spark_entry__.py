@@ -1253,6 +1253,56 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(spark, lineseq_edges(spark, sf_dir), k=30).state
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step view→click→purchase conversion funnel, 24 h window from the
+    first view (pipeline/events.py:funnel)."""
+    from neo4j_graph_algorithms_spark.pipeline.events import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "purchase"], window_minutes=24 * 60.0)
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over the events table
+    (pipeline/events.py:retention_cohorts)."""
+    from neo4j_graph_algorithms_spark.pipeline.events import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, period_days=1)
+
+
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type Markov transition counts
+    (pipeline/events.py:event_transitions)."""
+    from neo4j_graph_algorithms_spark.pipeline.events import event_transitions
+
+    return event_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window character chunking (120 chars, 30 overlap) — the
+    RAG/embedding prep shard step (pipeline/text.py:chunk_documents)."""
+    from neo4j_graph_algorithms_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_chars=120, overlap=30)
+
+
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 word bigrams (count desc, lexicographic ties) — the
+    boilerplate/stop-phrase audit (pipeline/text.py:top_ngrams)."""
+    from neo4j_graph_algorithms_spark.pipeline.text import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+
+def _q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-scaled d×d Gram matrix of the embedding table — the
+    distributed-PCA building block (pipeline/similarity.py:gram_matrix)."""
+    from neo4j_graph_algorithms_spark.pipeline.similarity import gram_matrix
+
+    return gram_matrix(_embs(spark, sf_dir), scale=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver evaluates entries in dict order and (r2
     # evidence) caps at the first 50.  The head window therefore carries one
@@ -1278,16 +1328,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_groups": _q_minhash_groups,
         "doc_tfidf_topk": _q_tf_idf,
         "dedup_keep_best": _q_keep_best,  # new r4 gate: keep-one-per-cluster canonical selection (doc_bm25 rotates to tail; doc_tfidf_topk covers the doc_tokens+idf path)
-        "graph_walk_skipgrams": _q_walk_skipgrams,
+        "emb_gram_matrix": _q_gram_matrix,  # new r4 gate: exact integer-scaled Gram matrix, the distributed-PCA pass (graph_walk_skipgrams rotates to tail: r3 green, and the r4 walk-loop change stays driver-covered in window by graph_node2vec_walks)
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
         "node_similarity_topk": _q_node_similarity,
         "link_adamic_adar": _q_adamic_adar,
         "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
         "doc_repetition_ratio": _q_repetition_ratio,
-        "doc_decontaminate": _q_decontaminate,
+        "doc_chunk_overlap": _q_chunk_overlap,  # new r4 gate: sliding-window chunking, the RAG shard step (doc_decontaminate rotates to tail: r3 green, unchanged since, and doc_repetition_ratio keeps the n-gram quality path in window)
         "doc_hash_split": _q_hash_split,  # new r4 gate: deterministic train/val/test assignment (eigenvector_20iter rotates to tail; hits_10iter covers the normalized power-iteration superstep in window)
         "graph_effective_diameter": _q_effective_diameter,  # new r4 gate: HyperANF effective diameter (pagerank_personalized rotates to tail; weighted/warm/articlerank cover the pagerank superstep in window)
-        "doc_pii_scrub": _q_pii_scrub,
+        "doc_top_ngrams": _q_top_ngrams,  # new r4 gate: corpus top-k n-grams via TakeOrderedAndProject (doc_pii_scrub rotates to tail: r3 green, regex path unchanged since)
         "image_jpeg_features": _q_image_jpeg_features,  # new r4 gate: real baseline-JPEG codec (VERDICT item 5)
         "ktruss_4": _q_ktruss,
         "dag_topo_levels": _q_dag_levels,
@@ -1305,6 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total_csr": _q_triangle_total_csr,
         "events_sessionize": _q_sessionize,
         "events_windowed_agg": _q_windowed_events,
+        "events_funnel": _q_funnel,  # new r4 gate: ordered conversion funnel (streaming_cocommit_edges rotates to tail: r3 green, streaming/ingest.py unchanged since; streaming_windowed_events keeps a Structured-Streaming drain gate in window)
+        "events_retention": _q_retention,  # new r4 gate: daily cohort retention (sssp_csr_from_0 rotates to tail: r3 green, csr/paths.py unchanged since; lpa/triangle/fastrp/closeness CSR kernels stay in window)
+        "events_transitions": _q_transitions,  # new r4 gate: Markov transition counts (closeness_csr_sampled rotates to tail: r3 green, csr/msbfs.py unchanged since)
         "streaming_windowed_events": _q_streaming_windowed_events,  # new r4 gate: watermarked streaming window drain == batch aggregate (hyperball_est_r2 rotates to tail; hyperball_harmonic, same HLL chain at radius 4, stays in window)
         "pagerank_weighted": _q_pagerank_weighted,
         "graph_node2vec_walks": _q_node2vec_walks,
@@ -1313,11 +1366,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_csr_3iter": _q_lpa_csr,
         "graph_random_walks": _q_random_walks,
         "louvain_fixed2_planted": _q_louvain_fixed,
-        "streaming_cocommit_edges": _q_streaming_cocommit,
-        # Tier B CSR twins added this round — never driver-verified, so they
-        # outrank the r2-green metapath/louvain variants rotated to the tail
-        "sssp_csr_from_0": _q_sssp_csr,
-        "closeness_csr_sampled": _q_closeness_csr,
+        # --- tail starts here (position 50+) ---------------------------------
+        # r4: rotated out of the window for new r4 gates — each r3-green on a
+        # code path unchanged since, with an in-window sibling where one exists
+        "streaming_cocommit_edges": _q_streaming_cocommit,  # r3 green; ingest.py unchanged; streaming_windowed_events keeps a streaming drain gate in window
+        "sssp_csr_from_0": _q_sssp_csr,  # r3 green; csr/paths.py unchanged; 4 other Tier B kernels in window
+        "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
+        "graph_walk_skipgrams": _q_walk_skipgrams,  # r3 green; the r4 walk-loop change is driver-covered in window by graph_node2vec_walks
+        "doc_decontaminate": _q_decontaminate,  # r3 green; unchanged since; doc_repetition_ratio keeps the n-gram quality path in window
+        "doc_pii_scrub": _q_pii_scrub,  # r3 green; regex single-scan path unchanged since
         # r4: rotated out of the window for the 3 never-driver-run gates —
         # each r3-green with an in-window sibling on the same code path
         "image_gif_features": _q_image_gif_features,  # r3 green; PNG twin (same Arrow-batched codec-feature path) in window
@@ -1528,6 +1585,14 @@ def oracle_sql() -> dict[str, str]:
         "graph_khop_sample": oracles.khop_fanout_sql(fanouts=(3, 2), seed=42),
         "degree_centrality": oracles.degree_centrality_sql(),
         "events_sessionize": pipeline_oracles.sessionize_sql(gap_minutes=30.0),
+        "events_funnel": pipeline_oracles.funnel_sql(
+            ["view", "click", "purchase"], window_minutes=24 * 60.0
+        ),
+        "events_retention": pipeline_oracles.retention_sql(period_days=1),
+        "events_transitions": pipeline_oracles.transitions_sql(),
+        "doc_chunk_overlap": pipeline_oracles.chunk_sql(chunk_chars=120, overlap=30),
+        "doc_top_ngrams": pipeline_oracles.top_ngrams_sql(n=2, k=50),
+        "emb_gram_matrix": pipeline_oracles.gram_matrix_sql(scale=1000),
         "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(
             window_minutes=60
         ),

@@ -105,6 +105,156 @@ def sessionize(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_minutes: float = 24 * 60.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """[step_idx, step, n_users] — ordered conversion funnel: a user counts
+    for step i iff they performed steps[0..i] in order, each event strictly
+    after the previous one (ties on the second grid broken by event_id) and
+    all within `window_minutes` of their FIRST step-0 event.
+
+    Semantics pinned for exact cross-engine parity: the step-i anchor is
+    the lexicographic MIN (epoch, event_id) among qualifying events —
+    deterministic under any partitioning.  Epochs compare on the second
+    grid (engine-neutral integers, same convention as `sessionize`).
+
+    Scale shape: one groupBy per step on the user key over the PRE-FILTERED
+    single-type slice (each step touches only its own event type — the
+    filter pushes to the scan), then a user-key join per step.  len(steps)
+    is a small constant (funnels are 3-6 steps), so the plan is a short
+    chain of co-partitioned shuffles; no windows over raw history, no
+    per-user explode.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    ep = F.unix_timestamp(F.col(ts_col))
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        ep.alias("_ep"),
+        F.col("event_id").alias("_eid"),
+        F.col(type_col).alias("_t"),
+    )
+    win_s = int(round(window_minutes * 60.0))
+    # step 0: first matching event per user (min struct = lexicographic)
+    cur = (
+        ev.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min(F.struct("_ep", "_eid")).alias("_a"))
+        .select(
+            "_u",
+            F.col("_a._ep").alias("_ep"),
+            F.col("_a._eid").alias("_eid"),
+            F.col("_a._ep").alias("_ep0"),
+        )
+    ).localCheckpoint(eager=True)  # truncate lineage: each step's count and
+    # the next join read the materialized survivors, not a re-run of the
+    # whole prefix chain (the superstep-runner convention)
+    counts = [cur.count()]
+    for step in steps[1:]:
+        nxt = ev.filter(F.col("_t") == step).select(
+            "_u", F.col("_ep").alias("_nep"), F.col("_eid").alias("_neid")
+        )
+        cur = (
+            cur.join(nxt, on="_u")
+            .filter(
+                (
+                    (F.col("_nep") > F.col("_ep"))
+                    | ((F.col("_nep") == F.col("_ep")) & (F.col("_neid") > F.col("_eid")))
+                )
+                & (F.col("_nep") <= F.col("_ep0") + F.lit(win_s))
+            )
+            .groupBy("_u", "_ep0")
+            .agg(F.min(F.struct(F.col("_nep"), F.col("_neid"))).alias("_a"))
+            .select(
+                "_u",
+                F.col("_a._nep").alias("_ep"),
+                F.col("_a._neid").alias("_eid"),
+                "_ep0",
+            )
+        ).localCheckpoint(eager=True)
+        counts.append(cur.count())
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(i, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))],
+        "step_idx int, step string, n_users long",
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_days: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[cohort_start, period_offset, n_users] — classic cohort retention:
+    users are cohorted by the period of their first event (period_start =
+    epoch seconds on the `period_days` grid), and n_users counts distinct
+    cohort members active in the period `period_offset` periods later
+    (offset 0 = the cohort period itself, so offset-0 rows equal cohort
+    sizes).
+
+    Pure integer arithmetic end to end (epoch // period), so the gate is
+    exact.  Scale shape: first-event agg is one user-key groupBy; activity
+    is a distinct over (user, period) — both map-side combinable; the
+    cohort join broadcasts nothing |V|-sized (user→cohort is user-keyed and
+    co-partitions with activity).
+    """
+    period_s = period_days * 86400
+    ep = F.unix_timestamp(F.col(ts_col))
+    pstart = (F.floor(ep / period_s) * period_s).cast("long")
+    base = events.select(F.col(user_col).alias("_u"), pstart.alias("_p"))
+    first = base.groupBy("_u").agg(F.min("_p").alias("cohort_start"))
+    active = base.distinct()
+    return (
+        active.join(first, on="_u")
+        .select(
+            "cohort_start",
+            ((F.col("_p") - F.col("cohort_start")) / period_s)
+            .cast("long")
+            .alias("period_offset"),
+            "_u",
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """[from_type, to_type, n_pairs] — first-order Markov transition counts
+    between consecutive event types within each user's timeline (ordered by
+    full-precision ts, ties by event_id — the repo's event-order
+    convention).  The sequence-model / behavioral-features primitive.
+
+    Scale shape: one lag window per user partition (per-user history is
+    human-bounded) + one tiny (|types|²-row) aggregation; the window and
+    the groupBy share no key, but the transition table is map-side combined
+    to |types|² rows per task before the final shuffle.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    return (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col("event_id"),
+            F.col(type_col).alias("to_type"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def windowed_event_aggregate(
     events: DataFrame,
     window_minutes: int = 60,

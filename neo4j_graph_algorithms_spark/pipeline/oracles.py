@@ -1106,3 +1106,116 @@ FROM (SELECT doc_id, unnest(toks) AS word FROM docs) d
 JOIN seg g USING (word)
 GROUP BY d.doc_id"""
     )
+
+
+def funnel_sql(steps: list[str], window_minutes: float = 24 * 60.0) -> str:
+    """Ordered conversion funnel over events — twin of events.py:funnel
+    (min-(ep,event_id) anchors, strictly-after tuple comparison, deadline
+    from the step-0 epoch).  CTEs MATERIALIZED per the repo's multi-round
+    chain rule."""
+    win_s = int(round(window_minutes * 60.0))
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         event_id AS eid, event_type AS t
+  FROM events)""",
+        f"""s0 AS MATERIALIZED (
+  SELECT u, ep, eid, ep AS ep0 FROM (
+    SELECT u, ep, eid,
+           row_number() OVER (PARTITION BY u ORDER BY ep, eid) AS rn
+    FROM e WHERE t = '{steps[0]}') WHERE rn = 1)""",
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT u, ep, eid, ep0 FROM (
+    SELECT p.u, n.ep, n.eid, p.ep0,
+           row_number() OVER (PARTITION BY p.u ORDER BY n.ep, n.eid) AS rn
+    FROM s{i - 1} p JOIN e n ON n.u = p.u AND n.t = '{step}'
+     AND (n.ep > p.ep OR (n.ep = p.ep AND n.eid > p.eid))
+     AND n.ep <= p.ep0 + {win_s}) WHERE rn = 1)"""
+        )
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS step_idx, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def retention_sql(period_days: int = 1) -> str:
+    """Cohort retention counts — twin of events.py:retention_cohorts."""
+    period_s = period_days * 86400
+    return f"""WITH b AS (
+  SELECT user_id AS u,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {period_s}) * {period_s} AS p
+  FROM events),
+f AS (SELECT u, min(p) AS cohort_start FROM b GROUP BY u),
+a AS (SELECT DISTINCT u, p FROM b)
+SELECT cohort_start, (p - cohort_start) // {period_s} AS period_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (u) GROUP BY 1, 2"""
+
+
+def transitions_sql() -> str:
+    """First-order event-type transition counts — twin of
+    events.py:event_transitions (full-precision ts order, event_id ties)."""
+    return """WITH o AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n_pairs
+FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2"""
+
+
+def chunk_sql(chunk_chars: int = 120, overlap: int = 30) -> str:
+    """Sliding-window character chunking — twin of
+    text.py:chunk_documents (same n_chunks = max(1, ceil((len-overlap)/
+    stride)) contract, 1-based substr in both engines)."""
+    stride = chunk_chars - overlap
+    return f"""WITH d AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - {overlap}) * 1.0 / {stride})
+                          AS INTEGER)) AS n_chunks
+  FROM documents),
+c AS (
+  SELECT doc_id, text, unnest([i FOR i IN range(n_chunks)]) AS i FROM d)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       CAST(i * {stride} AS INTEGER) AS chunk_start,
+       substr(text, CAST(i * {stride} + 1 AS INTEGER), {chunk_chars}) AS chunk_text
+FROM c"""
+
+
+def top_ngrams_sql(n: int = 2, k: int = 50) -> str:
+    """Corpus top-k word n-grams — twin of text.py:top_ngrams (count desc,
+    ngram asc ties; same slice-based gram construction as
+    repetition_ratio_sql)."""
+    return f"""WITH {DOCS_CTE},
+g AS (
+  SELECT unnest(CASE WHEN len(toks) >= {n}
+                     THEN [array_to_string(toks[i + 1 : i + {n}], ' ')
+                           FOR i IN range(len(toks) - {n} + 1)]
+                     ELSE [] END) AS ngram
+  FROM docs),
+c AS (SELECT ngram, count(*) AS n_count FROM g GROUP BY ngram)
+SELECT ngram, n_count,
+       CAST(row_number() OVER (ORDER BY n_count DESC, ngram ASC) AS INTEGER)
+         AS rank
+FROM c ORDER BY n_count DESC, ngram ASC LIMIT {k}"""
+
+
+def gram_matrix_sql(scale: int = 1000) -> str:
+    """Exact integer-scaled Gram matrix (upper triangle) — twin of
+    similarity.py:gram_matrix.  SUM over BIGINT products is HUGEINT in
+    DuckDB — CAST back to BIGINT before the divide (the audio_features
+    HUGEINT hash-mismatch lesson, pipeline/oracles.py:audio_features_sql)."""
+    denom = scale * scale
+    return f"""WITH q AS (
+  SELECT vec_id, CAST(i AS INTEGER) - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i))
+SELECT a.dim AS i, b.dim AS j,
+       round(CAST(SUM(a.q * b.q) AS BIGINT) / {denom}.0, 6) AS gram
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2"""

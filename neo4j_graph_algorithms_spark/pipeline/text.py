@@ -511,3 +511,68 @@ def length_stats(
         F.col("sum_tokens").cast("long").alias("sum_tokens"),
         *[F.col(f"p{q}_tokens").cast("long").alias(f"p{q}_tokens") for q in percentiles],
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 120,
+    overlap: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, chunk_id, chunk_start, chunk_text] — fixed-size sliding-window
+    character chunking with overlap, the retrieval/embedding prep step
+    (every RAG / long-context pipeline shards documents exactly this way
+    before embedding them).
+
+    Contract (pinned for cross-engine exactness): chunks start at
+    0, stride, 2·stride, ... with stride = chunk_chars − overlap;
+    n_chunks = max(1, ceil((len − overlap) / stride)) so the final chunk
+    is the first one whose window covers the document tail (short docs get
+    exactly one chunk).  chunk_start is 0-based; chunk_text is the
+    chunk_chars-wide substring (shorter at the tail).  Pure column
+    expressions — a bounded explode (len/stride rows per doc) that
+    pipelines into the feeding scan with zero shuffle at any corpus size.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        (F.col("_i") * stride).alias("chunk_start"),
+        F.substring(
+            F.col(text_col), F.col("_i") * stride + 1, chunk_chars
+        ).alias("chunk_text"),
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """[ngram, n_count, rank] — the corpus's k most frequent word n-grams
+    (count desc, ngram asc on ties) — the boilerplate-discovery /
+    stop-phrase audit every dedup-threshold tuning session starts from.
+
+    Scale shape: explode + one (ngram) count with map-side combine over a
+    Zipf-bounded gram table, then orderBy+limit — which Spark executes as
+    TakeOrderedAndProject (per-partition top-k heaps merged at the driver,
+    never a global sort); the rank window runs over the k survivors only.
+    """
+    grams = docs.select(F.explode(_all_grams(text_col, n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count("*").alias("n_count"))
+    topk = counts.orderBy(F.desc("n_count"), F.asc("ngram")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_count"), F.asc("ngram"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "ngram", "n_count", "rank"
+    )

@@ -149,3 +149,82 @@ FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """).fetchall()
     )
     assert got == want
+
+
+def test_funnel_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.events import funnel
+
+    ev = _events(spark, [
+        # user 1: full funnel in order
+        (0, 0.0, 1, "view", 0.0),
+        (1, 5.0, 1, "click", 0.0),
+        (2, 9.0, 1, "purchase", 0.0),
+        # user 2: click BEFORE view → stops after view
+        (3, 0.0, 2, "click", 0.0),
+        (4, 5.0, 2, "view", 0.0),
+        # user 3: view + click, purchase outside the 60-min window
+        (5, 0.0, 3, "view", 0.0),
+        (6, 10.0, 3, "click", 0.0),
+        (7, 90.0, 3, "purchase", 0.0),
+        # user 4: never views
+        (8, 0.0, 4, "purchase", 0.0),
+    ])
+    got = {r.step: r.n_users for r in
+           funnel(ev, ["view", "click", "purchase"], window_minutes=60.0).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_second_ties_use_event_id(spark):
+    from neo4j_graph_algorithms_spark.pipeline.events import funnel
+
+    # both events in the same epoch second: the later event_id counts as after
+    ev = _events(spark, [
+        (0, 0.0, 1, "view", 0.0),
+        (1, 0.0, 1, "click", 0.0),
+    ])
+    got = {r.step: r.n_users for r in
+           funnel(ev, ["view", "click"], window_minutes=60.0).collect()}
+    assert got == {"view": 1, "click": 1}
+    # reversed ids → click is BEFORE the view anchor, funnel stalls
+    ev2 = _events(spark, [
+        (5, 0.0, 1, "view", 0.0),
+        (1, 0.0, 1, "click", 0.0),
+    ])
+    got2 = {r.step: r.n_users for r in
+            funnel(ev2, ["view", "click"], window_minutes=60.0).collect()}
+    assert got2 == {"view": 1, "click": 0}
+
+
+def test_retention_cohorts_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.events import retention_cohorts
+
+    day = 24 * 60.0
+    ev = _events(spark, [
+        (0, 0.0, 1, "a", 0.0),          # u1 first day 0
+        (1, day, 1, "a", 0.0),          # active day 1
+        (2, 2 * day, 1, "a", 0.0),      # active day 2
+        (3, 0.0, 2, "a", 0.0),          # u2 first day 0, never returns
+        (4, day, 3, "a", 0.0),          # u3 first day 1
+        (5, 2 * day, 3, "a", 0.0),      # active day 2
+    ])
+    got = {(r.cohort_start, r.period_offset): r.n_users
+           for r in retention_cohorts(ev, period_days=1).collect()}
+    d0 = int(T0.timestamp())  # conftest T0 is midnight → on the daily grid
+    assert got[(d0, 0)] == 2 and got[(d0, 1)] == 1 and got[(d0, 2)] == 1
+    assert got[(d0 + 86400, 0)] == 1 and got[(d0 + 86400, 1)] == 1
+    assert (d0, 3) not in got
+
+
+def test_event_transitions_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.events import event_transitions
+
+    ev = _events(spark, [
+        (0, 0.0, 1, "view", 0.0),
+        (1, 1.0, 1, "click", 0.0),
+        (2, 2.0, 1, "view", 0.0),
+        (3, 0.0, 2, "view", 0.0),
+        (4, 1.0, 2, "click", 0.0),
+    ])
+    got = {(r.from_type, r.to_type): r.n_pairs
+           for r in event_transitions(ev).collect()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}

@@ -133,3 +133,27 @@ def test_quantize_embeddings_roundtrip(spark):
     assert sorted((r.vec_id, r.dim, r.q) for r in ex if r.vec_id == 0) == [
         (0, 0, 64), (0, 1, -127), (0, 2, 32)
     ]
+
+
+def test_gram_matrix_matches_numpy_and_partitioning(spark):
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.similarity import gram_matrix
+
+    rng = np.random.RandomState(7)
+    mat = rng.uniform(-0.5, 0.5, size=(40, 6)).astype(np.float32)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = np.sign(mat.astype(np.float64) * 1000) * np.floor(
+        np.abs(mat.astype(np.float64) * 1000) + 0.5
+    )
+    expected = (q.T @ q) / 1e6
+
+    for nparts in (1, 7):
+        got = {(r.i, r.j): r.gram
+               for r in gram_matrix(embs.repartition(nparts), scale=1000).collect()}
+        assert len(got) == 6 * 7 // 2  # upper triangle only
+        for (i, j), v in got.items():
+            assert i <= j
+            assert v == round(expected[i, j], 6)

@@ -271,3 +271,65 @@ def test_length_stats_hand_values(spark):
     assert row["p50_tokens"] == 3   # ceil-rank 3 -> value 3
     assert row["p90_tokens"] == 5
     assert row["p99_tokens"] == 5
+
+
+def test_chunk_documents_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.chunk_id): r for r in
+           chunk_documents(docs, chunk_chars=6, overlap=2).collect()}
+    # doc 1: len 10, stride 4 → ceil((10-2)/4) = 2 chunks
+    assert out[(1, 0)].chunk_text == "abcdef" and out[(1, 0)].chunk_start == 0
+    assert out[(1, 1)].chunk_text == "efghij" and out[(1, 1)].chunk_start == 4
+    assert (1, 2) not in out
+    # short and empty docs: exactly one chunk
+    assert out[(2, 0)].chunk_text == "xy"
+    assert out[(3, 0)].chunk_text == ""
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from neo4j_graph_algorithms_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_chars=4, overlap=4)
+
+
+def test_chunk_documents_covers_tail(spark):
+    # property: concatenating chunks at stride offsets reconstructs the doc
+    from neo4j_graph_algorithms_spark.pipeline.text import chunk_documents
+
+    text = "the quick brown fox jumps over the lazy dog" * 3
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(docs, chunk_chars=20, overlap=5).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    rebuilt = chunks[0].chunk_text + "".join(
+        c.chunk_text[5:] for c in chunks[1:]
+    )
+    assert rebuilt == text
+    # every char position is covered by some chunk
+    last = chunks[-1]
+    assert last.chunk_start + len(last.chunk_text) == len(text)
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b z z")],
+        "doc_id long, text string",
+    )
+    out = top_ngrams(docs, n=2, k=3).collect()
+    assert [(r.ngram, r.n_count, r.rank) for r in out] == [
+        ("a b", 3, 1),   # doc1 twice + doc2 once
+        ("b a", 1, 2),   # count-1 ties broken lexicographically
+        ("b c", 1, 3),
+    ]
