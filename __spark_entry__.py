@@ -1295,6 +1295,22 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own MLE
+    bigram model (pipeline/text.py:bigram_logprob)."""
+    from neo4j_graph_algorithms_spark.pipeline.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 uncentered principal-component projection of the embedding
+    table (pipeline/similarity.py:pca_project)."""
+    from neo4j_graph_algorithms_spark.pipeline.similarity import pca_project
+
+    return pca_project(_embs(spark, sf_dir), k=8)
+
+
 def _q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer-scaled d×d Gram matrix of the embedding table — the
     distributed-PCA building block (pipeline/similarity.py:gram_matrix)."""
@@ -1344,7 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_harmonic": _q_hyperball_harmonic,  # new r4 gate (VERDICT item 8)
         "pagerank_articlerank": _q_article_rank,  # stays in-window r4: build join refactored (denominator folded, VERDICT/ADVICE)
         "bipartite_copurchase": _q_bipartite_copurchase,
-        "graph_fastrp_embeddings": _q_fastrp,
+        "doc_bigram_logprob": _q_bigram_logprob,  # new r4 gate: order-2 MLE LM quality filter, exact integer-scaled term sums (graph_fastrp_embeddings rotates to tail: r3 green, operators/fastrp.py unchanged since, and graph_fastrp_csr — the Tier B twin over the SAME fastrp_sql oracle — stays in window)
         "graph_fastrp_csr": _q_fastrp_csr,  # new r4 Tier B kernel (VERDICT item 6)
         "lpa_weighted_3iter": _q_lpa_weighted,
         "community_conductance": _q_conductance,
@@ -1373,6 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_csr_from_0": _q_sssp_csr,  # r3 green; csr/paths.py unchanged; 4 other Tier B kernels in window
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
         "graph_walk_skipgrams": _q_walk_skipgrams,  # r3 green; the r4 walk-loop change is driver-covered in window by graph_node2vec_walks
+        "graph_fastrp_embeddings": _q_fastrp,  # r3 green; operators/fastrp.py unchanged since; graph_fastrp_csr (same fastrp_sql oracle) in window
+        "emb_pca_project": _q_pca_project,  # rows-only BY DESIGN: the d×d eigendecomposition is float-iterative (no SQL twin); value contract pinned by test_pipeline_similarity.py planted-low-rank recovery; the exact part (the Gram pass) is hash-gated via emb_gram_matrix in window
         "doc_decontaminate": _q_decontaminate,  # r3 green; unchanged since; doc_repetition_ratio keeps the n-gram quality path in window
         "doc_pii_scrub": _q_pii_scrub,  # r3 green; regex single-scan path unchanged since
         # r4: rotated out of the window for the 3 never-driver-run gates —
@@ -1593,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk_overlap": pipeline_oracles.chunk_sql(chunk_chars=120, overlap=30),
         "doc_top_ngrams": pipeline_oracles.top_ngrams_sql(n=2, k=50),
         "emb_gram_matrix": pipeline_oracles.gram_matrix_sql(scale=1000),
+        "doc_bigram_logprob": pipeline_oracles.bigram_logprob_sql(),
         "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(
             window_minutes=60
         ),

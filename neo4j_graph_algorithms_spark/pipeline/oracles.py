@@ -1219,3 +1219,30 @@ SELECT a.dim AS i, b.dim AS j,
        round(CAST(SUM(a.q * b.q) AS BIGINT) / {denom}.0, 6) AS gram
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY 1, 2"""
+
+
+def bigram_logprob_sql() -> str:
+    """Mean MLE bigram log-prob per document — twin of
+    text.py:bigram_logprob (ln terms rounded to 6dp FIRST, integer-scaled
+    exact sum; head counts CAST from HUGEINT)."""
+    return f"""WITH {DOCS_CTE},
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                     THEN [array_to_string(toks[i + 1 : i + 2], ' ')
+                           FOR i IN range(len(toks) - 1)]
+                     ELSE [] END) AS gram
+  FROM docs),
+bi AS (SELECT gram, count(*) AS c2 FROM g GROUP BY gram),
+heads AS (
+  SELECT string_split(gram, ' ')[1] AS head,
+         CAST(sum(c2) AS BIGINT) AS c1
+  FROM bi GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         CAST(round(round(ln(c2 * 1.0 / c1), 6) * 1000000) AS BIGINT) AS lp6
+  FROM g JOIN bi USING (gram)
+  JOIN heads ON string_split(g.gram, ' ')[1] = heads.head)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(SUM(lp6) AS BIGINT) / (count(*) * 1000000.0), 6) AS avg_logp
+FROM scored GROUP BY doc_id"""

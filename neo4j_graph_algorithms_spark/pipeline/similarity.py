@@ -408,3 +408,69 @@ def gram_matrix(
             F.round(F.col("_g") / F.lit(denom), 6).alias("gram"),
         )
     )
+
+
+def pca_project(
+    embs: DataFrame,
+    k: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[id, component, value] — project each embedding onto the corpus's
+    top-k principal directions (uncentered PCA / latent-semantic axes), the
+    dimensionality-reduction step before clustering or coarse ANN.
+
+    Two-phase, each distributed-friendly: (1) one `gram_matrix` pass — the
+    only corpus-wide aggregation, d²-bounded traffic; (2) a driver-side
+    d×d `numpy.linalg.eigh` (d is model-sized: 64–4096 — microseconds) and
+    a broadcast of the k×d component matrix back into a pure column-
+    expression projection (zip_with dot products, whole-stage codegen; no
+    second shuffle).
+
+    Eigendecomposition is inherently float-iterative, so unlike
+    `gram_matrix` this op pins its value contract by pytest (planted
+    low-rank recovery + sign canonicalization), not a DuckDB twin.
+    Component sign is canonicalized (largest-|coeff| coordinate positive,
+    ties to the lower index) so results are reproducible across BLAS
+    builds up to float noise.
+    """
+    import numpy as np
+
+    gm = gram_matrix(embs, scale=scale, vec_col=vec_col).collect()
+    d = max(r.j for r in gm) + 1
+    G = np.zeros((d, d))
+    for r in gm:
+        G[r.i, r.j] = r.gram
+        G[r.j, r.i] = r.gram
+    vals, vecs = np.linalg.eigh(G)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k × d
+    for c in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[c])))
+        if comps[c, j] < 0:
+            comps[c] = -comps[c]
+
+    out = embs.select(F.col(id_col), F.col(vec_col))
+    rows = []
+    for c in range(comps.shape[0]):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in comps[c]]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        rows.append(
+            out.select(
+                F.col(id_col),
+                F.lit(c).alias("component"),
+                F.round(proj, 6).alias("value"),
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res

@@ -576,3 +576,51 @@ def top_ngrams(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "ngram", "n_count", "rank"
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_bigrams, avg_logp] — mean bigram log-probability of each
+    document under the corpus's own MLE bigram model: the order-2 upgrade
+    of `unigram_logprob` (the CCNet/LLaMA perplexity-filter stand-in that
+    also catches scrambled-word-order gibberish unigrams cannot).
+
+    p(w₂|w₁) = count(w₁w₂) / count(w₁ as a bigram head) — MLE without
+    smoothing is total because every scored bigram is, by construction, in
+    the model.  Documents with < 2 tokens are dropped (nothing to score).
+
+    Exactness contract (stronger than unigram_logprob's avg-then-round):
+    each ln term is rounded to the 1e-6 grid FIRST, scaled to long, summed
+    exactly, then divided — so the per-doc mean is shard-order and
+    partitioning independent (the sessionize/FastRP integer-sum rule).
+
+    Plan shape at 10^12 rows: one gram explode + one (gram) count for the
+    model and one (head) count for the denominators — both Zipf-bounded
+    and BROADCAST back (like tf_idf's df) — then one (id) aggregation.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(_all_grams(text_col, 2)).alias("gram")
+    )
+    bi = grams.groupBy("gram").agg(F.count("*").alias("_c2"))
+    heads = bi.groupBy(
+        F.split(F.col("gram"), " ", 2).getItem(0).alias("_head")
+    ).agg(F.sum("_c2").alias("_c1"))
+    logp6 = F.round(
+        F.log(F.col("_c2").cast("double") / F.col("_c1").cast("double")), 6
+    )
+    scaled = F.round(logp6 * F.lit(1e6)).cast("long")
+    return (
+        grams.join(F.broadcast(bi), on="gram")
+        .join(
+            F.broadcast(heads),
+            F.split(F.col("gram"), " ", 2).getItem(0) == F.col("_head"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(scaled) / (F.count("*") * F.lit(1e6)), 6
+            ).alias("avg_logp"),
+        )
+    )

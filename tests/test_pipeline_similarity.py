@@ -157,3 +157,48 @@ def test_gram_matrix_matches_numpy_and_partitioning(spark):
         for (i, j), v in got.items():
             assert i <= j
             assert v == round(expected[i, j], 6)
+
+
+def test_pca_project_recovers_planted_axes(spark):
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.similarity import pca_project
+
+    # planted rank-2 data: strong axis e0 (var ~4), weak axis e3 (var ~1),
+    # tiny noise elsewhere
+    rng = np.random.RandomState(11)
+    n, d = 200, 8
+    mat = np.zeros((n, d), dtype=np.float64)
+    mat[:, 0] = rng.normal(0, 2.0, n)
+    mat[:, 3] = rng.normal(0, 1.0, n)
+    mat += rng.normal(0, 0.01, (n, d))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = pca_project(embs, k=2).collect()
+    proj = {0: {}, 1: {}}
+    for r in out:
+        proj[r.component][r.vec_id] = r.value
+    p0 = np.array([proj[0][i] for i in range(n)])
+    p1 = np.array([proj[1][i] for i in range(n)])
+    # component 0 ≈ ±axis-0 values, component 1 ≈ ±axis-3 values
+    assert abs(np.corrcoef(p0, mat[:, 0])[0, 1]) > 0.999
+    assert abs(np.corrcoef(p1, mat[:, 3])[0, 1]) > 0.999
+    # captured variance ordering: component 0 carries more energy
+    assert (p0 ** 2).sum() > (p1 ** 2).sum()
+
+
+def test_pca_project_deterministic_across_partitionings(spark):
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.similarity import pca_project
+
+    rng = np.random.RandomState(3)
+    mat = rng.uniform(-0.5, 0.5, (50, 6)).astype(np.float32)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(50)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(pca_project(embs.repartition(1), k=3).collect())
+    b = sorted(pca_project(embs.repartition(8), k=3).collect())
+    # the Gram pass is integer-exact, eigh runs once on the driver, and the
+    # projection is a fixed-order sequential dot → bit-identical
+    assert a == b

@@ -333,3 +333,44 @@ def test_top_ngrams_counts_and_ties(spark):
         ("b a", 1, 2),   # count-1 ties broken lexicographically
         ("b c", 1, 3),
     ]
+
+
+def test_bigram_logprob_hand_values(spark):
+    import math
+
+    from neo4j_graph_algorithms_spark.pipeline.text import bigram_logprob
+
+    # corpus bigrams: "a b" ×2, "b a" ×1, "b c" ×1 → heads: a→2, b→2
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b c"), (3, "z")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    # doc 1: ln(p(b|a)) + ln(p(a|b)) = ln(2/2) + ln(1/2), each term rounded
+    # to 6dp first, then exact-summed and averaged.  Expected value computed
+    # with HALF-UP rounding (the Spark/DuckDB rule — Python round() is
+    # half-even and flips the exact -0.3465735 boundary here).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    t_ab = round(math.log(2 / 2), 6)  # 0.0 — no boundary
+    t_ba = round(math.log(1 / 2), 6)  # -0.693147
+    expected = r6((round(t_ab * 1e6) + round(t_ba * 1e6)) / (2 * 1e6))
+    assert expected == -0.346574  # the half-up side of the .5 boundary
+    assert got[1].n_bigrams == 2 and got[1].avg_logp == expected
+    assert got[2].n_bigrams == 2 and got[2].avg_logp == expected  # same terms
+    assert 3 not in got  # single-token doc has no bigrams
+
+
+def test_bigram_logprob_partition_invariant(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z w x " * (i % 3 + 1)) for i in range(24)],
+        "doc_id long, text string",
+    )
+    a = sorted(bigram_logprob(docs.repartition(1)).collect())
+    b = sorted(bigram_logprob(docs.repartition(16)).collect())
+    assert a == b
