@@ -152,6 +152,21 @@ def main() -> None:
             docs, num_merges=6).count())
         timed_ext("dedup_keep_best", lambda: keep_best_in_groups(
             docs, hash_mode="xxhash").count())
+
+        from neo4j_graph_algorithms_spark.pipeline.events import funnel
+        from neo4j_graph_algorithms_spark.pipeline.similarity import gram_matrix
+        from neo4j_graph_algorithms_spark.pipeline.text import (
+            bigram_logprob,
+            top_ngrams,
+        )
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        timed_ext("gram_matrix_d64", lambda: gram_matrix(embs).count())
+        timed_ext("events_funnel_3step", lambda: funnel(
+            ev, ["view", "click", "purchase"]).count())
+        timed_ext("bigram_logprob", lambda: bigram_logprob(docs).count())
+        timed_ext("top_bigrams_k50", lambda: top_ngrams(docs, n=2, k=50).count())
         extras["extended"] = ext
 
     co.unpersist()

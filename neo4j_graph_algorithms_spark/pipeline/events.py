@@ -159,8 +159,14 @@ def funnel(
         nxt = ev.filter(F.col("_t") == step).select(
             "_u", F.col("_ep").alias("_nep"), F.col("_eid").alias("_neid")
         )
+        # shuffle_hash on a PROJECTION of the (shrinking) survivor side —
+        # both sides are corpus-sized at scale, so Catalyst must never pick
+        # a broadcast build here (repo convention, CLAUDE.md / BENCH notes;
+        # hinting the localCheckpoint'ed frame itself is what trips the
+        # Spark 4.1 Catalyst NoSuchElementException, a projection is safe)
+        cur_p = cur.select("_u", "_ep", "_eid", "_ep0").hint("shuffle_hash")
         cur = (
-            cur.join(nxt, on="_u")
+            cur_p.join(nxt, on="_u")
             .filter(
                 (
                     (F.col("_nep") > F.col("_ep"))
@@ -210,8 +216,11 @@ def retention_cohorts(
     base = events.select(F.col(user_col).alias("_u"), pstart.alias("_p"))
     first = base.groupBy("_u").agg(F.min("_p").alias("cohort_start"))
     active = base.distinct()
+    # user→cohort is |users|-sized (vertex-state analog): pin a shuffle
+    # join so Catalyst never broadcasts it at scale; both aggregations
+    # already share the _u key, so the join is co-partitioned
     return (
-        active.join(first, on="_u")
+        active.join(first.select("_u", "cohort_start").hint("shuffle_hash"), on="_u")
         .select(
             "cohort_start",
             ((F.col("_p") - F.col("cohort_start")) / period_s)

@@ -132,3 +132,70 @@ def test_keep_best_join_never_broadcasts_corpus(spark):
         .toString()
     )
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_funnel_step_join_never_broadcasts_survivors(spark):
+    """funnel's per-step join pairs the survivor frame with a corpus-sized
+    event slice — the shuffle_hash hint on the survivor PROJECTION must
+    hold so neither side becomes a driver-built broadcast at scale.
+    funnel returns counts (not a lazy DF), so the plan is inspected on a
+    reconstruction of one step's join exactly as events.py builds it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i % 5,
+         ["view", "click"][i % 2], 0.0)
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).select(
+        F.col("user_id").alias("_u"),
+        F.unix_timestamp("ts").alias("_ep"),
+        F.col("event_id").alias("_eid"),
+        F.col("event_type").alias("_t"),
+    )
+    cur = (
+        ev.filter(F.col("_t") == "view")
+        .groupBy("_u")
+        .agg(F.min(F.struct("_ep", "_eid")).alias("_a"))
+        .select("_u", F.col("_a._ep").alias("_ep"), F.col("_a._eid").alias("_eid"),
+                F.col("_a._ep").alias("_ep0"))
+        .localCheckpoint(eager=True)
+    )
+    nxt = ev.filter(F.col("_t") == "click").select(
+        "_u", F.col("_ep").alias("_nep"), F.col("_eid").alias("_neid")
+    )
+    step = (
+        cur.select("_u", "_ep", "_eid", "_ep0").hint("shuffle_hash")
+        .join(nxt, on="_u")
+        .groupBy("_u", "_ep0")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_retention_join_never_broadcasts_user_cohorts(spark):
+    """retention_cohorts joins |users|-sized first-period frame back to the
+    activity frame — must stay a shuffle join."""
+    import datetime as dt
+
+    from neo4j_graph_algorithms_spark.pipeline.events import retention_cohorts
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), i % 7, "x", 0.0)
+        for i in range(50)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    plan = (
+        retention_cohorts(ev, period_days=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan, plan
