@@ -1253,6 +1253,22 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(spark, lineseq_edges(spark, sf_dir), k=30).state
 
 
+def _q_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language uniform sample without replacement
+    (pipeline/sample.py:stratified_take) — the reproducible eval-draw."""
+    from neo4j_graph_algorithms_spark.pipeline.sample import stratified_take
+
+    return stratified_take(_docs(spark, sf_dir), k=20)
+
+
+def _q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM/engagement feature block
+    (pipeline/events.py:user_activity_features)."""
+    from neo4j_graph_algorithms_spark.pipeline.events import user_activity_features
+
+    return user_activity_features(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-step view→click→purchase conversion funnel, 24 h window from the
     first view (pipeline/events.py:funnel)."""
@@ -1362,10 +1378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_copurchase": _q_bipartite_copurchase,
         "doc_bigram_logprob": _q_bigram_logprob,  # new r4 gate: order-2 MLE LM quality filter, exact integer-scaled term sums (graph_fastrp_embeddings rotates to tail: r3 green, operators/fastrp.py unchanged since, and graph_fastrp_csr — the Tier B twin over the SAME fastrp_sql oracle — stays in window)
         "graph_fastrp_csr": _q_fastrp_csr,  # new r4 Tier B kernel (VERDICT item 6)
-        "lpa_weighted_3iter": _q_lpa_weighted,
+        "events_user_features": _q_user_activity,  # new r4 gate: per-user RFM feature block with the exact-sum contract (lpa_weighted_3iter rotates to tail: r3 green, operators/lpa.py unchanged since; lpa_csr_3iter keeps label propagation in window)
         "community_conductance": _q_conductance,
         "community_sllpa_overlap": _q_sllpa,
-        "doc_pack_sequences": _q_pack_sequences,
+        "doc_sample_stratified": _q_stratified_take,  # new r4 gate: deterministic per-stratum eval draw (doc_pack_sequences rotates to tail: r3 green, pack.py + functions/rank.py unchanged since; the distributed prefix-sum path they share stays pytest-pinned)
         "doc_bpe_subwords": _q_bpe_subwords,  # new r4 gate: learned-table segmentation counts (doc_unigram_logprob rotates to tail; doc_tfidf_topk covers the broadcast-token-model aggregation shape in window)
         "doc_length_stats": _q_length_stats,  # new r4 gate: token-length histogram percentiles, the packing-budget audit (graph_khop_sample rotates to tail; random/node2vec/skipgram walks keep the hash-deterministic sampling path covered in window)
         "triangle_total_csr": _q_triangle_total_csr,
@@ -1390,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
         "graph_walk_skipgrams": _q_walk_skipgrams,  # r3 green; the r4 walk-loop change is driver-covered in window by graph_node2vec_walks
         "graph_fastrp_embeddings": _q_fastrp,  # r3 green; operators/fastrp.py unchanged since; graph_fastrp_csr (same fastrp_sql oracle) in window
+        "doc_pack_sequences": _q_pack_sequences,  # r3 green; pack.py + functions/rank.py unchanged since; prefix-sum path pytest-pinned
+        "lpa_weighted_3iter": _q_lpa_weighted,  # r3 green; operators/lpa.py unchanged since; lpa_csr_3iter in window
         "emb_pca_project": _q_pca_project,  # rows-only BY DESIGN: the d×d eigendecomposition is float-iterative (no SQL twin); value contract pinned by test_pipeline_similarity.py planted-low-rank recovery; the exact part (the Gram pass) is hash-gated via emb_gram_matrix in window
         "doc_decontaminate": _q_decontaminate,  # r3 green; unchanged since; doc_repetition_ratio keeps the n-gram quality path in window
         "doc_pii_scrub": _q_pii_scrub,  # r3 green; regex single-scan path unchanged since
@@ -1612,6 +1630,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_ngrams": pipeline_oracles.top_ngrams_sql(n=2, k=50),
         "emb_gram_matrix": pipeline_oracles.gram_matrix_sql(scale=1000),
         "doc_bigram_logprob": pipeline_oracles.bigram_logprob_sql(),
+        "doc_sample_stratified": pipeline_oracles.stratified_take_sql(k=20),
+        "events_user_features": pipeline_oracles.user_activity_sql(),
         "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(
             window_minutes=60
         ),

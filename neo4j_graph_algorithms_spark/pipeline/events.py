@@ -295,3 +295,31 @@ def windowed_event_aggregate(
             F.round(F.max(value_col), 6).alias("max_value"),
         )
     )
+
+
+def user_activity_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """[user_id, n_events, n_types, n_active_days, first_ep, last_ep,
+    total_value] — the classic per-user RFM/engagement feature block
+    (recency = last_ep, frequency = n_events / n_active_days, monetary =
+    total_value) that behavioral models train on.
+
+    One user-keyed aggregation, map-side combined; total_value uses the
+    repo's exact integer-scaled 1e-6-grid sum (order/engine-independent);
+    day counts are epoch // 86400 integers.
+    """
+    ep = F.unix_timestamp(F.col(ts_col))
+    scaled = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+    return events.groupBy(user_col).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(type_col).alias("n_types"),
+        F.countDistinct(F.floor(ep / 86400)).alias("n_active_days"),
+        F.min(ep).alias("first_ep"),
+        F.max(ep).alias("last_ep"),
+        (F.sum(scaled) / F.lit(1e6)).alias("total_value"),
+    )

@@ -1246,3 +1246,34 @@ scored AS (
 SELECT doc_id, count(*) AS n_bigrams,
        round(CAST(SUM(lp6) AS BIGINT) / (count(*) * 1000000.0), 6) AS avg_logp
 FROM scored GROUP BY doc_id"""
+
+
+def stratified_take_sql(k: int, seed: int = 13) -> str:
+    """Deterministic per-stratum fixed-size sample — twin of
+    sample.py:stratified_take (same universal hash, hash-then-id order)."""
+    a, b = hash_params(seed)
+    return f"""WITH h AS (
+  SELECT *, ((doc_id % {HASH_P}) * {a} + {b}) % {HASH_P} AS hh
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+  FROM h)
+SELECT doc_id, text, lang, source, n_chars, CAST(rn AS INTEGER) AS sample_rank
+FROM r WHERE rn <= {k}"""
+
+
+def user_activity_sql() -> str:
+    """Per-user RFM feature block — twin of
+    events.py:user_activity_features (exact integer-scaled value sum,
+    epoch-integer day grid)."""
+    return """WITH e AS (
+  SELECT user_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       count(DISTINCT ep // 86400) AS n_active_days,
+       min(ep) AS first_ep, max(ep) AS last_ep,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
+         AS total_value
+FROM e GROUP BY user_id"""

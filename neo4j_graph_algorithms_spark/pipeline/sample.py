@@ -141,3 +141,34 @@ def split_bounds(fractions: dict[str, float] | None) -> list[tuple[str, int]]:
         bounds.append((name, int(round(cum * HASH_P))))
     bounds[-1] = (bounds[-1][0], HASH_P)  # remainder -> last split
     return bounds
+
+
+def stratified_take(
+    docs: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Input columns + `sample_rank` — a deterministic fixed-size uniform
+    sample WITHOUT replacement per stratum: the k rows whose universal hash
+    (same (a·x+b) mod P family, single source of truth) sorts first within
+    their stratum, ties broken by id.  The eval-set / human-review draw
+    every curation pipeline needs — reproducible across reruns, resumes,
+    and re-shards, unlike any RNG-state sample.
+
+    Scale shape: one per-stratum window over the hash order.  Strata are
+    mixture-sized (tens), so each window partition is a full stratum — at
+    10^12 rows swap the row_number for a two-phase top-k (per-partition
+    heap + merge, the top_ngrams TakeOrdered pattern) if a single stratum
+    exceeds an executor; the hash-order contract is identical either way.
+    """
+    from pyspark.sql import Window
+
+    a, b = hash_params(seed)
+    h = F.pmod(F.pmod(F.col(id_col), F.lit(HASH_P)) * a + b, F.lit(HASH_P))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

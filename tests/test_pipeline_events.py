@@ -228,3 +228,21 @@ def test_event_transitions_hand_values(spark):
     got = {(r.from_type, r.to_type): r.n_pairs
            for r in event_transitions(ev).collect()}
     assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_user_activity_features_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.events import user_activity_features
+
+    day = 24 * 60.0
+    ev = _events(spark, [
+        (0, 0.0, 1, "view", 1.5),
+        (1, 10.0, 1, "click", 2.25),
+        (2, day + 5.0, 1, "view", 0.25),
+        (3, 0.0, 2, "view", 4.0),
+    ])
+    got = {r.user_id: r for r in user_activity_features(ev).collect()}
+    u1 = got[1]
+    assert u1.n_events == 3 and u1.n_types == 2 and u1.n_active_days == 2
+    assert u1.last_ep - u1.first_ep == int((day + 5.0) * 60)
+    assert u1.total_value == 4.0
+    assert got[2].n_events == 1 and got[2].n_active_days == 1
