@@ -987,6 +987,31 @@ def _q_streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming sessionization gate: stage the events table as
+    4 parquet files, drain with availableNow (maxFilesPerTrigger=1 → 4
+    micro-batches merging shared session_window state, arrival order
+    decoupled from event time) and return the final session table — which
+    must equal BATCH pipeline/events.py:sessionize row-for-row (same
+    sessionize_sql oracle; exact integer-scaled sums + integer epochs make
+    the result batch-boundary-independent)."""
+    import shutil
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.streaming.sessions import (
+        run_sessionize_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="linkgraph-stream-sessions-")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.repartition(4).write.parquet(f"{base}/in")
+        out = run_sessionize_stream(spark, f"{base}/in", gap_minutes=30.0)
+        return out.localCheckpoint(eager=True)  # materialize before tmp dies
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window per-type event aggregate — batch twin of the
     watermarked streaming window."""
@@ -1396,7 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- distinct core paths --------------------------------------------
         "pagerank_warm_restart": _q_pagerank_warm,
         "lpa_csr_3iter": _q_lpa_csr,
-        "graph_random_walks": _q_random_walks,
+        "streaming_sessions": _q_streaming_sessions,  # new r4 gate: session_window streaming drain == batch sessionize, same sessionize_sql oracle (graph_random_walks rotates to tail: r3 green; graph_node2vec_walks keeps the r4 walk-loop change driver-covered in window)
         "louvain_fixed2_planted": _q_louvain_fixed,
         # --- tail starts here (position 50+) ---------------------------------
         # r4: rotated out of the window for new r4 gates — each r3-green on a
@@ -1405,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_csr_from_0": _q_sssp_csr,  # r3 green; csr/paths.py unchanged; 4 other Tier B kernels in window
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
         "graph_walk_skipgrams": _q_walk_skipgrams,  # r3 green; the r4 walk-loop change is driver-covered in window by graph_node2vec_walks
+        "graph_random_walks": _q_random_walks,  # r3 green; rotated out for streaming_sessions — graph_node2vec_walks keeps walks.py driver-covered in window
         "graph_fastrp_embeddings": _q_fastrp,  # r3 green; operators/fastrp.py unchanged since; graph_fastrp_csr (same fastrp_sql oracle) in window
         "doc_pack_sequences": _q_pack_sequences,  # r3 green; pack.py + functions/rank.py unchanged since; prefix-sum path pytest-pinned
         "lpa_weighted_3iter": _q_lpa_weighted,  # r3 green; operators/lpa.py unchanged since; lpa_csr_3iter in window
@@ -1621,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_khop_sample": oracles.khop_fanout_sql(fanouts=(3, 2), seed=42),
         "degree_centrality": oracles.degree_centrality_sql(),
         "events_sessionize": pipeline_oracles.sessionize_sql(gap_minutes=30.0),
+        "streaming_sessions": pipeline_oracles.sessionize_sql(gap_minutes=30.0),
         "events_funnel": pipeline_oracles.funnel_sql(
             ["view", "click", "purchase"], window_minutes=24 * 60.0
         ),
