@@ -441,6 +441,20 @@ def _q_shortest_path_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_path(spark, e, source=0, target=int(target))
 
 
+def _q_shortest_path_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALT goal-directed point-to-point path (operators/astar.py) — same
+    source/target selection and canonical path as shortest_path_nodes, so
+    the pruned search shares its oracle verbatim (exactness argument in the
+    astar.py module docstring)."""
+    from neo4j_graph_algorithms_spark.operators.astar import astar_path
+    from neo4j_graph_algorithms_spark.operators.paths import sssp
+
+    e = lineseq_edges(spark, sf_dir)
+    d = sssp(spark, e, source=0)
+    target = d.orderBy(F.desc("dist"), F.asc("vid")).limit(1).collect()[0]["vid"]
+    return astar_path(spark, e, source=0, target=int(target), landmarks=1)
+
+
 def _q_metapath_between_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, labels = typed_graph(spark, sf_dir)
     return compute_all_metapaths(
@@ -1422,7 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_restart": _q_pagerank_warm,
         "lpa_csr_3iter": _q_lpa_csr,
         "streaming_sessions": _q_streaming_sessions,  # new r4 gate: session_window streaming drain == batch sessionize, same sessionize_sql oracle (graph_random_walks rotates to tail: r3 green; graph_node2vec_walks keeps the r4 walk-loop change driver-covered in window)
-        "louvain_fixed2_planted": _q_louvain_fixed,
+        "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
@@ -1431,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
         "graph_walk_skipgrams": _q_walk_skipgrams,  # r3 green; the r4 walk-loop change is driver-covered in window by graph_node2vec_walks
         "graph_random_walks": _q_random_walks,  # r3 green; rotated out for streaming_sessions — graph_node2vec_walks keeps walks.py driver-covered in window
+        "louvain_fixed2_planted": _q_louvain_fixed,  # r3 green (value-level planted-partition gate); rotated out for shortest_path_astar — conductance + sllpa keep community in window
         "graph_fastrp_embeddings": _q_fastrp,  # r3 green; operators/fastrp.py unchanged since; graph_fastrp_csr (same fastrp_sql oracle) in window
         "doc_pack_sequences": _q_pack_sequences,  # r3 green; pack.py + functions/rank.py unchanged since; prefix-sum path pytest-pinned
         "lpa_weighted_3iter": _q_lpa_weighted,  # r3 green; operators/lpa.py unchanged since; lpa_csr_3iter in window
@@ -1566,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "apsp_weighted_8src": oracles.apsp_weighted_sql(max_src=8, rounds=32),
         "shortest_path_nodes": oracles.shortest_path_nodes_sql(source=0, rounds=10),
+        "shortest_path_astar": oracles.shortest_path_nodes_sql(source=0, rounds=10),
         "metapath_between_types": oracles.metapath_variant_sql(
             length=3, start_labels=[0], end_labels=[1]
         ),

@@ -1,0 +1,232 @@
+"""A* / ALT goal-directed shortest path (landmark lower bounds).
+
+The reference's point-to-point query (algo.shortestPath, impl/
+ShortestPathDijkstra.java:47-89) settles vertices in distance order and
+stops at the target — a goal-directed economy a frontier-relaxation SSSP
+loses (it settles the whole reachable ball).  The Spark-native equivalent
+of that economy is ALT (A* with Landmarks and Triangle inequality,
+Goldberg & Harrelson, SODA'05): precompute exact distances from a few
+landmarks, derive an admissible per-vertex lower bound h(v) ≥ 0 on the
+remaining distance to the target, and PRUNE every relaxation whose
+optimistic total g(v) + h(v) exceeds a proven upper bound U on d(s,t).
+
+Exactness (why the gate can share shortest_path's oracle verbatim):
+  * h is admissible: each landmark L gives d(v,t) ≥ d(L,t) − d(L,v)
+    (forward dists from L) and d(v,t) ≥ d(v,L) − d(t,L) (reverse dists
+    into L); max of those terms (clamped at 0) never overestimates.
+  * U is a valid upper bound: min over L of d(s,L) + d(L,t) (a real s→t
+    route), tightened to g(t) as soon as the target is reached.
+  * pruning g + h(v) > U (STRICT) is safe: such an update's best possible
+    completion g + d(v,t) ≥ g + h(v) > U ≥ d(s,t) cannot be optimal, while
+    every vertex v on an optimal path keeps g*(v) + h(v) ≤ d(s,t) ≤ U and
+    survives.  Hence converged g equals the true distance on every
+    optimal-path vertex, every tight predecessor of an optimal-path vertex
+    is itself on an optimal path (s→u→v→t is optimal when u is tight into
+    on-path v), and `paths.path_from_dists` reconstructs the identical
+    canonical chain a full SSSP yields.
+
+Scale shape: landmark tables are |V|-sized — NEVER broadcast (repo
+convention): h is assembled once, repartitioned on vid, persisted, and the
+per-superstep candidate⋈h join hashes the frontier-sized side into it.
+Landmark precomputation is 2 SSSP runs per landmark, amortized across all
+point-to-point queries on the same graph (pass `heuristic=` to reuse).
+The per-superstep g(t) probe reads one row of the just-materialized state
+(the runner localCheckpoints each step) — a scalar lookup, not a recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, WEIGHT, EdgeFrame
+from neo4j_graph_algorithms_spark.operators.paths import (
+    DIST,
+    path_from_dists,
+    sssp,
+)
+from neo4j_graph_algorithms_spark.plans.runtime import SuperstepRunner
+
+_INF = float("inf")
+
+
+def pick_landmarks(e: DataFrame, n: int) -> list[int]:
+    """Top-n vertices by total degree (ties by vid asc) — deterministic,
+    and high-degree hubs sit on many shortest paths, which is what makes
+    a landmark's triangle bounds tight."""
+    deg = (
+        e.select(F.col(SRC).alias(VID))
+        .unionAll(e.select(F.col(DST).alias(VID)))
+        .groupBy(VID)
+        .agg(F.count("*").alias("_d"))
+        .orderBy(F.desc("_d"), F.asc(VID))
+        .limit(n)
+    )
+    return [int(r[VID]) for r in deg.collect()]
+
+
+def landmark_heuristic(
+    spark: SparkSession,
+    e: DataFrame,
+    source: int,
+    target: int,
+    landmarks: list[int],
+    max_iterations: int = 200,
+) -> tuple[DataFrame, float]:
+    """Returns (h, U): `h` = [vid, h] admissible lower bounds on
+    d(v, target); `U` = min over L of d(s,L) + d(L,t) (a real s→t route, or
+    +inf when no landmark links them).  Two SSSP runs per landmark (fwd and
+    reverse), each table read three ways — the h terms and the scalar
+    d(L,t) / d(t,L) / d(s,L) probes — so nothing is computed twice.
+    `e` must be normalized [src, dst, weight] (cheapest parallel edge)."""
+    rev = e.select(
+        F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col(WEIGHT)
+    )
+    terms: list[DataFrame] = []
+    upper = _INF
+    for lm in landmarks:
+        fwd = sssp(spark, e, lm, "OUTGOING", max_iterations)  # d(L, v)
+        bwd = sssp(spark, rev, lm, "OUTGOING", max_iterations)  # d(v, L)
+        probes = {
+            r[VID]: float(r[DIST])
+            for r in fwd.filter(
+                F.col(VID) == int(target)
+            ).collect()
+        }
+        d_lt = probes.get(int(target), _INF)  # d(L, t)
+        bw = {
+            r[VID]: float(r[DIST])
+            for r in bwd.filter(
+                F.col(VID).isin([int(target), int(source)])
+            ).collect()
+        }
+        d_tl = bw.get(int(target), _INF)  # d(t, L)
+        d_sl = bw.get(int(source), _INF)  # d(s, L)
+        upper = min(upper, d_sl + d_lt)
+        if d_lt != _INF:
+            # d(v,t) >= d(L,t) - d(L,v); rows with unknown d(L,v) give no bound
+            terms.append(
+                fwd.select(VID, (F.lit(d_lt) - F.col(DIST)).alias("_h"))
+            )
+        if d_tl != _INF:
+            # d(v,t) >= d(v,L) - d(t,L)
+            terms.append(
+                bwd.select(VID, (F.col(DIST) - F.lit(d_tl)).alias("_h"))
+            )
+    if not terms:
+        return spark.createDataFrame([], f"{VID} long, h double"), upper
+    allb = terms[0]
+    for t in terms[1:]:
+        allb = allb.unionByName(t)
+    h = (
+        allb.groupBy(VID)
+        .agg(F.greatest(F.max("_h"), F.lit(0.0)).alias("h"))
+        .repartition(VID)
+    )
+    return h, upper
+
+
+def astar_path(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    source: int,
+    target: int,
+    direction: str = "OUTGOING",
+    landmarks: list[int] | int = 2,
+    heuristic: DataFrame | None = None,
+    upper_bound: float | None = None,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """[step, vid, dist] — the shortest source→target node sequence,
+    row-identical to `paths.shortest_path` (same canonical min-pred ties),
+    computed with ALT-pruned relaxation instead of a full SSSP.
+
+    `landmarks`: explicit vertex ids, or an int n to pick the n highest-
+    degree vertices.  `heuristic`/`upper_bound`: pass a precomputed [vid,h]
+    frame + U to amortize landmark SSSPs across queries (h must be
+    admissible for THIS target; U must be a real s→t path length or None).
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    e = ef.with_direction(direction).df.select(SRC, DST, WEIGHT)
+    e = e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT)).repartition(SRC)
+    e.persist()
+    e.count()
+
+    if heuristic is None:
+        lms = (
+            pick_landmarks(e, landmarks)
+            if isinstance(landmarks, int)
+            else list(landmarks)
+        )
+        h, u_lm = landmark_heuristic(
+            spark, e, source, target, lms, max_iterations
+        )
+        if upper_bound is None:
+            upper_bound = u_lm
+    else:
+        h = heuristic
+        if upper_bound is None:
+            upper_bound = _INF
+    h = h.repartition(VID)
+    h.persist()
+    h.count()
+
+    state0 = spark.createDataFrame(
+        [(int(source), 0.0, True)], f"{VID} long, {DIST} double, improved boolean"
+    )
+    bound = {"u": float(upper_bound)}
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # tighten U with the best g(t) seen so far (state is materialized
+        # by the runner each superstep — this is a one-row scalar probe)
+        t_row = state.filter(F.col(VID) == int(target)).collect()
+        if t_row:
+            bound["u"] = min(bound["u"], float(t_row[0][DIST]))
+        frontier = state.filter(F.col("improved")).select(VID, DIST)
+        relaxed = (
+            e.join(
+                frontier.withColumnRenamed(VID, SRC).hint("shuffle_hash"), on=SRC
+            )
+            .select(F.col(DST).alias(VID), (F.col(DIST) + F.col(WEIGHT)).alias(DIST))
+            .groupBy(VID)
+            .agg(F.min(DIST).alias("_cand"))
+        )
+        if bound["u"] != _INF:
+            # ALT prune: g + h(v) > U can never complete below U (strict >)
+            relaxed = (
+                relaxed.hint("shuffle_hash")
+                .join(h, on=VID, how="left")
+                .filter(
+                    F.col("_cand") + F.coalesce(F.col("h"), F.lit(0.0))
+                    <= F.lit(bound["u"])
+                )
+                .select(VID, "_cand")
+            )
+        return (
+            state.select(VID, DIST)
+            .join(relaxed, on=VID, how="full_outer")
+            .select(
+                VID,
+                F.least(F.col(DIST), F.col("_cand")).alias(DIST),
+                (
+                    F.col(DIST).isNull()
+                    | (F.col("_cand").isNotNull() & (F.col("_cand") < F.col(DIST)))
+                ).alias("improved"),
+            )
+        )
+
+    def metric(new: DataFrame, old: DataFrame, i: int) -> float:
+        return float(new.filter(F.col("improved")).count())
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        metric=metric,
+        converged=lambda n_improved: n_improved == 0,
+        job_group="linkgraph-astar",
+    )
+    result = runner.run(state0, step)
+    dist = result.state.select(VID, DIST)
+    out = path_from_dists(spark, e, dist, source, target)
+    h.unpersist()
+    e.unpersist()
+    return out

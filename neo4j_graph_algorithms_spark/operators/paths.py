@@ -259,7 +259,25 @@ def shortest_path(
     e = ef.with_direction(direction).df.select(SRC, DST, WEIGHT)
     e = e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT))
     dist = sssp(spark, e, source, "OUTGOING", max_iterations)
+    return path_from_dists(spark, e, dist, source, target)
 
+
+def path_from_dists(
+    spark: SparkSession,
+    e: DataFrame,
+    dist: DataFrame,
+    source: int,
+    target: int,
+) -> DataFrame:
+    """[step, vid, dist] — canonical node sequence source→target derived
+    from converged distances `dist` ([vid, dist]) over normalized edges `e`
+    ([src, dst, weight], cheapest parallel edge only).  Shared by
+    `shortest_path` (full SSSP) and `astar.astar_path` (goal-pruned dists —
+    sound because every tight predecessor of an optimal-path vertex is
+    itself on an optimal path, hence never pruned; see astar.py).
+
+    Pred-chain extraction via pointer doubling — O(log path) rounds; the
+    final ordering window touches only the path's own rows."""
     # canonical predecessor of every settled vertex (except the source)
     pred = (
         e.join(dist.withColumnRenamed(VID, SRC).withColumnRenamed(DIST, "_ds"), on=SRC)
