@@ -834,6 +834,17 @@ def _q_sssp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_csr(spark, lineseq_edges(spark, sf_dir), source=0)
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set with deterministic universal-hash
+    priorities (operators/mis.py) — every vertex with its membership flag
+    and decision round."""
+    from neo4j_graph_algorithms_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    return maximal_independent_set(spark, lineseq_edges(spark, sf_dir))
+
+
 def _q_triangle_total_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tier B twin of triangle_total: adjacency-array intersection kernel
     (csr/triangles.py) against the same DuckDB wedge oracle."""
@@ -1423,7 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": _q_stratified_take,  # new r4 gate: deterministic per-stratum eval draw (doc_pack_sequences rotates to tail: r3 green, pack.py + functions/rank.py unchanged since; the distributed prefix-sum path they share stays pytest-pinned)
         "doc_bpe_subwords": _q_bpe_subwords,  # new r4 gate: learned-table segmentation counts (doc_unigram_logprob rotates to tail; doc_tfidf_topk covers the broadcast-token-model aggregation shape in window)
         "doc_length_stats": _q_length_stats,  # new r4 gate: token-length histogram percentiles, the packing-budget audit (graph_khop_sample rotates to tail; random/node2vec/skipgram walks keep the hash-deterministic sampling path covered in window)
-        "triangle_total_csr": _q_triangle_total_csr,
+        "graph_mis": _q_mis,  # new r4 gate: Luby maximal independent set, hash-priority superstep rounds == unrolled SQL (triangle_total_csr rotates to tail: r3 driver-green, csr/triangles.py unchanged since; lpa_csr_3iter + graph_fastrp_csr keep Tier B kernels in window)
         "events_sessionize": _q_sessionize,
         "events_windowed_agg": _q_windowed_events,
         "events_funnel": _q_funnel,  # new r4 gate: ordered conversion funnel (streaming_cocommit_edges rotates to tail: r3 green, streaming/ingest.py unchanged since; streaming_windowed_events keeps a Structured-Streaming drain gate in window)
@@ -1446,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walk_skipgrams": _q_walk_skipgrams,  # r3 green; the r4 walk-loop change is driver-covered in window by graph_node2vec_walks
         "graph_random_walks": _q_random_walks,  # r3 green; rotated out for streaming_sessions — graph_node2vec_walks keeps walks.py driver-covered in window
         "louvain_fixed2_planted": _q_louvain_fixed,  # r3 green (value-level planted-partition gate); rotated out for shortest_path_astar — conductance + sllpa keep community in window
+        "triangle_total_csr": _q_triangle_total_csr,  # r3 driver-green; csr/triangles.py unchanged since; rotated out for graph_mis — lpa_csr_3iter + graph_fastrp_csr keep Tier B in window
         "graph_fastrp_embeddings": _q_fastrp,  # r3 green; operators/fastrp.py unchanged since; graph_fastrp_csr (same fastrp_sql oracle) in window
         "doc_pack_sequences": _q_pack_sequences,  # r3 green; pack.py + functions/rank.py unchanged since; prefix-sum path pytest-pinned
         "lpa_weighted_3iter": _q_lpa_weighted,  # r3 green; operators/lpa.py unchanged since; lpa_csr_3iter in window
@@ -1564,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
         "closeness_csr_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
         "triangle_total_csr": oracles.triangle_total_sql(),
+        "graph_mis": oracles.mis_sql(seed=17, rounds=12),
         "harmonic_sampled": oracles.harmonic_sql(n_sources=32, max_depth=8),
         "corpus_cocommit_edges": oracles.corpus_cocommit_sql(),
         "corpus_cocommit_pagerank": oracles.corpus_pagerank_sql(iterations=10),

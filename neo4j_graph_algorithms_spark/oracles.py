@@ -1996,3 +1996,64 @@ SELECT CAST(min(r) AS INT) AS effective_diameter,
        (SELECT tq FROM lv WHERE r = {max_radius}) AS ball_sum_q
 FROM lv WHERE tq * {den} >= {num} * (SELECT tq FROM lv WHERE r = {max_radius})"""
     )
+
+
+# ---- maximal independent set (Luby, deterministic hash priorities) ----------
+
+
+def mis_sql(seed: int = 17, rounds: int = 12) -> str:
+    """Luby MIS on the undirected simple line-seq graph — twin of
+    operators/mis.py:maximal_independent_set.  Priority order: Spark
+    compares struct(h(vid), vid); here the composite h·2³² + vid — the
+    identical lexicographic order for the test data's < 2³² ids.  `rounds`
+    must be >= the Spark fixpoint round count (extra rounds are no-ops on
+    an empty undecided set; sf0.01 converges in 5)."""
+    from neo4j_graph_algorithms_spark.pipeline.text import HASH_P, hash_params
+
+    a, b = hash_params(seed)
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        """und AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM lineseq UNION SELECT dst AS src, src AS dst FROM lineseq)
+  WHERE src <> dst)""",
+        f"""u0 AS MATERIALIZED (
+  SELECT vid, ((vid % {HASH_P}) * {a} + {b}) % {HASH_P} * 4294967296 + vid AS ck
+  FROM verts)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""mn{k} AS MATERIALIZED (
+  SELECT e.src AS vid, min(n.ck) AS mn
+  FROM und e JOIN u{p} s ON s.vid = e.src JOIN u{p} n ON n.vid = e.dst
+  GROUP BY e.src)"""
+        )
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT u.vid FROM u{p} u LEFT JOIN mn{k} m ON m.vid = u.vid
+  WHERE m.mn IS NULL OR u.ck < m.mn)"""
+        )
+        parts.append(
+            f"""o{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS vid
+  FROM und e JOIN w{k} w ON w.vid = e.src JOIN u{p} s ON s.vid = e.dst)"""
+        )
+        parts.append(
+            f"""u{k} AS MATERIALIZED (
+  SELECT u.vid, u.ck FROM u{p} u
+  WHERE u.vid NOT IN (SELECT vid FROM w{k})
+    AND u.vid NOT IN (SELECT vid FROM o{k}))"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT vid, TRUE AS in_mis, {k} AS r FROM w{k}\n"
+        f"UNION ALL\nSELECT vid, FALSE AS in_mis, {k} AS r FROM o{k}"
+        for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vid, in_mis, CAST(r AS INT) AS round FROM ({unions})"""
+    )
