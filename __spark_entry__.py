@@ -834,6 +834,16 @@ def _q_sssp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_csr(spark, lineseq_edges(spark, sf_dir), source=0)
 
 
+def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal matching with deterministic universal-hash edge
+    priorities (operators/matching.py) — matched pairs + decision round."""
+    from neo4j_graph_algorithms_spark.operators.matching import (
+        maximal_matching,
+    )
+
+    return maximal_matching(spark, lineseq_edges(spark, sf_dir))
+
+
 def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby maximal independent set with deterministic universal-hash
     priorities (operators/mis.py) — every vertex with its membership flag
@@ -1406,7 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_centrality": _q_degree_centrality,
         "doc_subword_count": _q_subword_count,
         "hits_10iter": _q_hits,
-        "dedup_embedding_cosine": _q_embedding_near_dedup,
+        "graph_matching": _q_matching,  # new r4 gate: greedy maximal matching, hash-priority rounds == unrolled SQL (dedup_embedding_cosine rotates to tail: r3 driver-green, SRP-LSH chain unchanged since; dedup_keep_best + dedup_minhash_groups keep dedup.py in window)
         "dedup_minhash_groups": _q_minhash_groups,
         "doc_tfidf_topk": _q_tf_idf,
         "dedup_keep_best": _q_keep_best,  # new r4 gate: keep-one-per-cluster canonical selection (doc_bm25 rotates to tail; doc_tfidf_topk covers the doc_tokens+idf path)
@@ -1458,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": _q_random_walks,  # r3 green; rotated out for streaming_sessions — graph_node2vec_walks keeps walks.py driver-covered in window
         "louvain_fixed2_planted": _q_louvain_fixed,  # r3 green (value-level planted-partition gate); rotated out for shortest_path_astar — conductance + sllpa keep community in window
         "triangle_total_csr": _q_triangle_total_csr,  # r3 driver-green; csr/triangles.py unchanged since; rotated out for graph_mis — lpa_csr_3iter + graph_fastrp_csr keep Tier B in window
+        "dedup_embedding_cosine": _q_embedding_near_dedup,  # r3 driver-green; SRP-LSH chain unchanged since; rotated out for graph_matching — dedup_keep_best + dedup_minhash_groups keep dedup.py in window
         "graph_fastrp_embeddings": _q_fastrp,  # r3 green; operators/fastrp.py unchanged since; graph_fastrp_csr (same fastrp_sql oracle) in window
         "doc_pack_sequences": _q_pack_sequences,  # r3 green; pack.py + functions/rank.py unchanged since; prefix-sum path pytest-pinned
         "lpa_weighted_3iter": _q_lpa_weighted,  # r3 green; operators/lpa.py unchanged since; lpa_csr_3iter in window
@@ -1577,6 +1588,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_csr_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
         "triangle_total_csr": oracles.triangle_total_sql(),
         "graph_mis": oracles.mis_sql(seed=17, rounds=12),
+        "graph_matching": oracles.matching_sql(seed=29, rounds=16),
         "harmonic_sampled": oracles.harmonic_sql(n_sources=32, max_depth=8),
         "corpus_cocommit_edges": oracles.corpus_cocommit_sql(),
         "corpus_cocommit_pagerank": oracles.corpus_pagerank_sql(iterations=10),

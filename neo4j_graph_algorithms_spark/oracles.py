@@ -2057,3 +2057,59 @@ def mis_sql(seed: int = 17, rounds: int = 12) -> str:
         + f"""
 SELECT vid, in_mis, CAST(r AS INT) AS round FROM ({unions})"""
     )
+
+
+def matching_sql(seed: int = 29, rounds: int = 16) -> str:
+    """Greedy maximal matching on the undirected simple line-seq graph —
+    twin of operators/matching.py:maximal_matching.  Priority order: Spark
+    compares struct(k, src, dst); here the composite k·2⁴² + src·2²¹ + dst —
+    the identical lexicographic order while test ids stay < 2²¹ (lineseq
+    partkeys are ≤ 2·10⁵ at sf1).  `rounds` must be >= the Spark drain
+    round count (extra rounds are no-ops on an empty remaining set)."""
+    from neo4j_graph_algorithms_spark.pipeline.text import HASH_P, hash_params
+
+    a, b = hash_params(seed)
+    parts = [
+        LINESEQ_CTES,
+        f"""r0 AS MATERIALIZED (
+  SELECT src, dst,
+         ((src % {HASH_P}) * {a} + {b}) % {HASH_P} AS hs,
+         ((dst % {HASH_P}) * {a} + {b}) % {HASH_P} AS hd
+  FROM (
+    SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+    FROM lineseq WHERE src <> dst
+    GROUP BY 1, 2))""",
+        f"""e0 AS MATERIALIZED (
+  SELECT src, dst,
+         ((hs + hd) % {HASH_P}) * 4398046511104 + src * 2097152 + dst AS ck
+  FROM r0)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""vmin{k} AS MATERIALIZED (
+  SELECT vid, min(ck) AS mn FROM (
+    SELECT src AS vid, ck FROM e{p}
+    UNION ALL SELECT dst AS vid, ck FROM e{p}) GROUP BY vid)"""
+        )
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{p} e
+  JOIN vmin{k} s ON s.vid = e.src AND s.mn = e.ck
+  JOIN vmin{k} d ON d.vid = e.dst AND d.mn = e.ck)"""
+        )
+        parts.append(
+            f"""e{k} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.ck FROM e{p} e
+  WHERE e.src NOT IN (SELECT src FROM w{k} UNION ALL SELECT dst FROM w{k})
+    AND e.dst NOT IN (SELECT src FROM w{k} UNION ALL SELECT dst FROM w{k}))"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT src, dst, {k} AS r FROM w{k}" for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT src, dst, CAST(r AS INT) AS round FROM ({unions})"""
+    )
