@@ -844,6 +844,26 @@ def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(spark, lineseq_edges(spark, sf_dir))
 
 
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring with deterministic universal-hash
+    priorities (operators/coloring.py) — every vertex with its color and
+    decision round.  The gate runs on a hash-THINNED lineseq graph: the
+    full lineseq graph's constant avg degree ~45 drives JP's round count
+    (longest priority-decreasing path) to ~100 at every sf, which is the
+    wrong gate shape for an unrolled SQL twin; keeping each edge iff
+    hash(src,dst) % 100 < 10 bounds max degree ~16 and the fixpoint at
+    ≤16 rounds across sf0.001–0.1 (measured; oracle unrolls 24)."""
+    from neo4j_graph_algorithms_spark.operators.coloring import (
+        greedy_coloring,
+    )
+    from neo4j_graph_algorithms_spark.pipeline.text import HASH_P
+
+    edges = lineseq_edges(spark, sf_dir).filter(
+        ((F.col("src") % HASH_P) * 31 + (F.col("dst") % HASH_P)) % 100 < 10
+    )
+    return greedy_coloring(spark, edges)
+
+
 def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby maximal independent set with deterministic universal-hash
     priorities (operators/mis.py) — every vertex with its membership flag
@@ -1417,7 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_subword_count": _q_subword_count,
         "hits_10iter": _q_hits,
         "graph_matching": _q_matching,  # new r4 gate: greedy maximal matching, hash-priority rounds == unrolled SQL (dedup_embedding_cosine rotates to tail: r3 driver-green, SRP-LSH chain unchanged since; dedup_keep_best + dedup_minhash_groups keep dedup.py in window)
-        "dedup_minhash_groups": _q_minhash_groups,
+        "graph_coloring": _q_coloring,  # new r4 gate: Jones-Plassmann greedy coloring, the conflict-free-scheduling primitive completing the mis/matching symmetry-breaking trio (dedup_minhash_groups rotates to tail: r3 driver-green, minhash chain unchanged since; dedup_keep_best keeps dedup.py in window)
         "doc_tfidf_topk": _q_tf_idf,
         "dedup_keep_best": _q_keep_best,  # new r4 gate: keep-one-per-cluster canonical selection (doc_bm25 rotates to tail; doc_tfidf_topk covers the doc_tokens+idf path)
         "emb_gram_matrix": _q_gram_matrix,  # new r4 gate: exact integer-scaled Gram matrix, the distributed-PCA pass (graph_walk_skipgrams rotates to tail: r3 green, and the r4 walk-loop change stays driver-covered in window by graph_node2vec_walks)
@@ -1461,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail starts here (position 50+) ---------------------------------
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
+        "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
         "streaming_cocommit_edges": _q_streaming_cocommit,  # r3 green; ingest.py unchanged; streaming_windowed_events keeps a streaming drain gate in window
         "sssp_csr_from_0": _q_sssp_csr,  # r3 green; csr/paths.py unchanged; 4 other Tier B kernels in window
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
@@ -1588,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_csr_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
         "triangle_total_csr": oracles.triangle_total_sql(),
         "graph_mis": oracles.mis_sql(seed=17, rounds=12),
+        "graph_coloring": oracles.coloring_sql(seed=17, rounds=24),
         "graph_matching": oracles.matching_sql(seed=29, rounds=16),
         "harmonic_sampled": oracles.harmonic_sql(n_sources=32, max_depth=8),
         "corpus_cocommit_edges": oracles.corpus_cocommit_sql(),

@@ -25,6 +25,14 @@ Exactness (why the gate can share shortest_path's oracle verbatim):
     on-path v), and `paths.path_from_dists` reconstructs the identical
     canonical chain a full SSSP yields.
 
+When to use (measured, BENCH/BASELINE.md round-4 A/B): ALT pays on
+point-to-point queries over graphs with real distance spread, with the
+landmark cost amortized across many queries (`heuristic=`/`upper_bound=`
+reuse).  A small-world link graph is its own few-hop ball — nothing to
+prune (warm A* ≈ shortest_path + the h-join there).  Heavy weight-spread
+inputs blow up frontier-relaxation ROUND counts for any Bellman-Ford-style
+loop — use `delta_stepping` for those.
+
 Scale shape: landmark tables are |V|-sized — NEVER broadcast (repo
 convention): h is assembled once, repartitioned on vid, persisted, and the
 per-superstep candidate⋈h join hashes the frontier-sized side into it.

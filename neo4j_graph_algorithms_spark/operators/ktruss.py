@@ -44,7 +44,12 @@ def ktruss(
     """
     if k < 3:
         raise ValueError("k-truss requires k >= 3")
-    cur = _simple_undirected(edges).localCheckpoint(eager=True)
+    # .persist() + count resets the checkpoint leaf's inherited sizeInBytes
+    # ESTIMATE to the real cached size: the triangle closure references cur
+    # three times, so estimates otherwise compound ×~3 per peel round and
+    # Catalyst's join-selection BigInt arithmetic explodes geometrically
+    # (see plans/runtime.py for the measured failure mode).
+    cur = _simple_undirected(edges).localCheckpoint(eager=True).persist()
     n_prev = cur.count()
     for _round in range(max_rounds):
         if n_prev == 0:
@@ -67,13 +72,16 @@ def ktruss(
             .agg(F.count("*").alias("_supp"))
         )
         # inner join: an edge with no triangles has support 0 < k-2, drop
+        prev = cur
         cur = (
             cur.join(supp.hint("shuffle_hash"), on=[SRC, DST])
             .filter(F.col("_supp") >= k - 2)
             .select(SRC, DST)
             .localCheckpoint(eager=True)
+            .persist()
         )
         n = cur.count()
+        prev.unpersist()
         if n == n_prev:
             return cur
         n_prev = n

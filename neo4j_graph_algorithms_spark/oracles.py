@@ -2059,6 +2059,89 @@ SELECT vid, in_mis, CAST(r AS INT) AS round FROM ({unions})"""
     )
 
 
+def coloring_sql(seed: int = 17, rounds: int = 24) -> str:
+    """Jones-Plassmann greedy coloring on the undirected simple line-seq
+    graph — twin of operators/coloring.py:greedy_coloring.  Priority order:
+    Spark compares struct(h(vid), vid); here the composite h·2³² + vid
+    (HASH_P ≈ 10⁶ keeps it well inside BIGINT) — the identical
+    lexicographic order for test ids < 2³².  Smallest-missing-color is
+    list_min(list_filter(range(0, len+1), not-in-used)) — the same pure
+    integer set rule as Spark's array_except/array_min, so every color and
+    round is engine-invariant.  `rounds` must be >= the Spark fixpoint
+    round count (extra rounds are no-ops on an empty uncolored set).
+
+    Gate shape: the graph is the hash-THINNED lineseq graph (edge kept iff
+    (src%P·31 + dst%P) % 100 < 10, same filter as the Spark gate wrapper) —
+    the full lineseq graph's ~45 avg degree pushes the JP fixpoint to ~100
+    rounds at every sf; thinning bounds it at ≤16 measured (sf0.001–0.1),
+    so 24 unrolled rounds carry comfortable headroom."""
+    from neo4j_graph_algorithms_spark.pipeline.text import HASH_P, hash_params
+
+    a, b = hash_params(seed)
+    parts = [
+        LINESEQ_CTES,
+        f"""thin AS MATERIALIZED (
+  SELECT src, dst FROM lineseq
+  WHERE ((src % {HASH_P}) * 31 + (dst % {HASH_P})) % 100 < 10)""",
+        """verts AS (
+  SELECT src AS vid FROM thin UNION SELECT dst AS vid FROM thin)""",
+        """und AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM thin UNION SELECT dst AS src, src AS dst FROM thin)
+  WHERE src <> dst)""",
+        f"""u0 AS MATERIALIZED (
+  SELECT vid, ((vid % {HASH_P}) * {a} + {b}) % {HASH_P} * 4294967296 + vid AS ck
+  FROM verts)""",
+        """c0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS INT) AS color, 0 AS r
+  WHERE FALSE)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""mn{k} AS MATERIALIZED (
+  SELECT e.src AS vid, min(n.ck) AS mn
+  FROM und e JOIN u{p} s ON s.vid = e.src JOIN u{p} n ON n.vid = e.dst
+  GROUP BY e.src)"""
+        )
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT u.vid FROM u{p} u LEFT JOIN mn{k} m ON m.vid = u.vid
+  WHERE m.mn IS NULL OR u.ck < m.mn)"""
+        )
+        parts.append(
+            f"""used{k} AS MATERIALIZED (
+  SELECT e.src AS vid, list(DISTINCT n.color) AS used
+  FROM und e JOIN w{k} w ON w.vid = e.src JOIN c{p} n ON n.vid = e.dst
+  GROUP BY e.src)"""
+        )
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT w.vid,
+         CAST(CASE WHEN u.used IS NULL THEN 0
+              ELSE list_min(list_filter(range(0, len(u.used) + 1),
+                                        x -> NOT list_contains(u.used, CAST(x AS INT))))
+              END AS INT) AS color
+  FROM w{k} w LEFT JOIN used{k} u ON u.vid = w.vid)"""
+        )
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT vid, color, r FROM c{p}
+  UNION ALL SELECT vid, color, {k} AS r FROM p{k})"""
+        )
+        parts.append(
+            f"""u{k} AS MATERIALIZED (
+  SELECT u.vid, u.ck FROM u{p} u
+  WHERE u.vid NOT IN (SELECT vid FROM w{k}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vid, color, CAST(r AS INT) AS round FROM c{rounds}"""
+    )
+
+
 def matching_sql(seed: int = 29, rounds: int = 16) -> str:
     """Greedy maximal matching on the undirected simple line-seq graph —
     twin of operators/matching.py:maximal_matching.  Priority order: Spark

@@ -132,7 +132,16 @@ class SuperstepRunner:
                 start_iter = latest
         # Materialize + truncate lineage of the incoming state once so the
         # first step doesn't recompute the whole upstream plan per action.
-        state = state.localCheckpoint(eager=True)
+        # The .persist() on top is load-bearing for STATS, not storage:
+        # localCheckpoint's LogicalRDD inherits the child plan's sizeInBytes
+        # ESTIMATE (Spark preserves originStats), so a step that references
+        # state k times compounds the estimate ^k per superstep — by ~iter 9
+        # Catalyst's join-selection arithmetic runs on multi-megabit BigInts
+        # and planning time explodes geometrically (measured: 0.8s → 86s/iter
+        # on a 30-vertex graph).  A materialized InMemoryRelation reports the
+        # REAL cached byte size instead, resetting the compounding each
+        # superstep and keeping stats honest at any scale.
+        state = state.localCheckpoint(eager=True).persist()
 
         metrics: list[dict] = []
         converged = False
@@ -145,7 +154,9 @@ class SuperstepRunner:
             if first_plan is None:
                 first_plan = new_state._jdf.queryExecution().toString()
             # Lineage truncation: REQUIRED for iterative DataFrame plans.
-            new_state = new_state.localCheckpoint(eager=True)
+            # persist() resets the inherited sizeInBytes estimate once
+            # materialized (see the initial-state note above).
+            new_state = new_state.localCheckpoint(eager=True).persist()
             run_metric = self.metric is not None and (
                 (i + 1) % self.metric_every == 0 or i + 1 == self.max_iterations
             )
@@ -154,6 +165,12 @@ class SuperstepRunner:
             state = new_state
             i += 1
             metrics.append({"iteration": i, "metric": metric, "sec": time.time() - t0})
+            if os.environ.get("LINKGRAPH_SUPERSTEP_DEBUG"):
+                print(
+                    f"[superstep {self.job_group}] iter={i} metric={metric} "
+                    f"sec={metrics[-1]['sec']:.2f}",
+                    flush=True,
+                )
             if self.checkpoint_dir and (
                 i % self.checkpoint_interval == 0 or i == self.max_iterations
             ):
