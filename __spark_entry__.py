@@ -864,6 +864,17 @@ def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coloring(spark, edges)
 
 
+def _q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matching-contraction coarsening (operators/coarsen.py) — the coarse
+    graph after one multilevel contract step over the greedy maximal
+    matching's drain; integer weights count collapsed base edges."""
+    from neo4j_graph_algorithms_spark.operators.coarsen import (
+        coarsen_by_matching,
+    )
+
+    return coarsen_by_matching(spark, lineseq_edges(spark, sf_dir))
+
+
 def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby maximal independent set with deterministic universal-hash
     priorities (operators/mis.py) — every vertex with its membership flag
@@ -1438,7 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_10iter": _q_hits,
         "graph_matching": _q_matching,  # new r4 gate: greedy maximal matching, hash-priority rounds == unrolled SQL (dedup_embedding_cosine rotates to tail: r3 driver-green, SRP-LSH chain unchanged since; dedup_keep_best + dedup_minhash_groups keep dedup.py in window)
         "graph_coloring": _q_coloring,  # new r4 gate: Jones-Plassmann greedy coloring, the conflict-free-scheduling primitive completing the mis/matching symmetry-breaking trio (dedup_minhash_groups rotates to tail: r3 driver-green, minhash chain unchanged since; dedup_keep_best keeps dedup.py in window)
-        "doc_tfidf_topk": _q_tf_idf,
+        "graph_coarsen": _q_coarsen,  # new r4 gate: matching-contraction coarsening, the multilevel contract step consuming graph_matching's drain (doc_tfidf_topk rotates to tail: r3 driver-green, tfidf path unchanged since; doc_top_ngrams/doc_repetition_ratio/doc_bigram_logprob keep text.py in window)
         "dedup_keep_best": _q_keep_best,  # new r4 gate: keep-one-per-cluster canonical selection (doc_bm25 rotates to tail; doc_tfidf_topk covers the doc_tokens+idf path)
         "emb_gram_matrix": _q_gram_matrix,  # new r4 gate: exact integer-scaled Gram matrix, the distributed-PCA pass (graph_walk_skipgrams rotates to tail: r3 green, and the r4 walk-loop change stays driver-covered in window by graph_node2vec_walks)
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
@@ -1482,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
+        "doc_tfidf_topk": _q_tf_idf,  # r3 driver-green; tfidf path unchanged since; rotated out for graph_coarsen — doc_top_ngrams/doc_repetition_ratio/doc_bigram_logprob keep text.py in window
         "streaming_cocommit_edges": _q_streaming_cocommit,  # r3 green; ingest.py unchanged; streaming_windowed_events keeps a streaming drain gate in window
         "sssp_csr_from_0": _q_sssp_csr,  # r3 green; csr/paths.py unchanged; 4 other Tier B kernels in window
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
@@ -1611,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mis": oracles.mis_sql(seed=17, rounds=12),
         "graph_coloring": oracles.coloring_sql(seed=17, rounds=24),
         "graph_matching": oracles.matching_sql(seed=29, rounds=16),
+        "graph_coarsen": oracles.coarsen_sql(seed=29, rounds=16),
         "harmonic_sampled": oracles.harmonic_sql(n_sources=32, max_depth=8),
         "corpus_cocommit_edges": oracles.corpus_cocommit_sql(),
         "corpus_cocommit_pagerank": oracles.corpus_pagerank_sql(iterations=10),

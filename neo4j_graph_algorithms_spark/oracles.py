@@ -2142,13 +2142,10 @@ SELECT vid, color, CAST(r AS INT) AS round FROM c{rounds}"""
     )
 
 
-def matching_sql(seed: int = 29, rounds: int = 16) -> str:
-    """Greedy maximal matching on the undirected simple line-seq graph —
-    twin of operators/matching.py:maximal_matching.  Priority order: Spark
-    compares struct(k, src, dst); here the composite k·2⁴² + src·2²¹ + dst —
-    the identical lexicographic order while test ids stay < 2²¹ (lineseq
-    partkeys are ≤ 2·10⁵ at sf1).  `rounds` must be >= the Spark drain
-    round count (extra rounds are no-ops on an empty remaining set)."""
+def _matching_parts(seed: int, rounds: int) -> tuple[list[str], str]:
+    """Shared unrolled greedy-matching CTE chain over the line-seq graph —
+    (parts, matched-pairs UNION sql).  Used by matching_sql and
+    coarsen_sql so both gates replay the identical drain."""
     from neo4j_graph_algorithms_spark.pipeline.text import HASH_P, hash_params
 
     a, b = hash_params(seed)
@@ -2190,9 +2187,53 @@ def matching_sql(seed: int = 29, rounds: int = 16) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT src, dst, {k} AS r FROM w{k}" for k in range(1, rounds + 1)
     )
+    return parts, unions
+
+
+def matching_sql(seed: int = 29, rounds: int = 16) -> str:
+    """Greedy maximal matching on the undirected simple line-seq graph —
+    twin of operators/matching.py:maximal_matching.  Priority order: Spark
+    compares struct(k, src, dst); here the composite k·2⁴² + src·2²¹ + dst —
+    the identical lexicographic order while test ids stay < 2²¹ (lineseq
+    partkeys are ≤ 2·10⁵ at sf1).  `rounds` must be >= the Spark drain
+    round count (extra rounds are no-ops on an empty remaining set)."""
+    parts, unions = _matching_parts(seed, rounds)
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
 SELECT src, dst, CAST(r AS INT) AS round FROM ({unions})"""
+    )
+
+
+def coarsen_sql(seed: int = 29, rounds: int = 16) -> str:
+    """Matching-contraction coarsening on the undirected simple line-seq
+    graph — twin of operators/coarsen.py:coarsen_by_matching.  Replays the
+    identical greedy-matching drain (shared _matching_parts chain), maps
+    each matched endpoint to the pair's min vid (canonical src), rewrites
+    the base edge set through the map, re-canonicalizes, drops intra-pair
+    self-loops, and counts collapsed base edges as the integer weight."""
+    parts, unions = _matching_parts(seed, rounds)
+    parts.append(
+        f"""mpairs AS MATERIALIZED (
+  SELECT src, dst FROM ({unions}))"""
+    )
+    parts.append(
+        """repmap AS MATERIALIZED (
+  SELECT src AS v, src AS rep FROM mpairs
+  UNION ALL SELECT dst AS v, src AS rep FROM mpairs)"""
+    )
+    parts.append(
+        """contracted AS (
+  SELECT coalesce(ms.rep, b.src) AS s, coalesce(md.rep, b.dst) AS d
+  FROM r0 b
+  LEFT JOIN repmap ms ON ms.v = b.src
+  LEFT JOIN repmap md ON md.v = b.dst)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT least(s, d) AS src, greatest(s, d) AS dst, count(*) AS weight
+FROM contracted WHERE s <> d GROUP BY 1, 2"""
     )
