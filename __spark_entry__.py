@@ -731,6 +731,27 @@ def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(embs, cents, assign, queries_df, k=5, n_probes=2, quantize=6)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IVF recall@5 against the exact cosine top-5
+    (pipeline/similarity.py:ann_recall) — identical IVF/query parameters
+    to the ann_ivf_search gate; recall_q6 is pure BIGINT floor division."""
+    from neo4j_graph_algorithms_spark.pipeline.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(embs, queries_df, k=5)
+    cents, assign = ivf_build(embs, n_centroids=4, iterations=2, quantize=6)
+    approx = ivf_search(
+        embs, cents, assign, queries_df, k=5, n_probes=2, quantize=6
+    )
+    return ann_recall(exact, approx)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.multimodal import (
         extract_features,
@@ -1440,7 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_stage_counts": _q_curate,
         "video_features": _q_video_features,  # new r4 gate: real AVI/MJPG container + sampled-frame JPEG decode (multimodal_features rotates to tail: the fake-codec plumbing twin of the real png/jpeg/audio gates in window)
         "audio_features": _q_audio_features,
-        "image_png_features": _q_image_png_features,
+        "ann_ivf_recall": _q_ann_recall,  # new r4 gate: recall@5 eval of the IVF probe vs the exact top-k — the ANN deployment's quality harness (image_png_features rotates to tail: r3 driver-green, png.py unchanged since; jpeg/video/audio codec gates keep the modality paths in window)
         # r4 rotation: the last 3 never-driver-run gates (green in the
         # committed local sweeps since r2/r3) take the slots of 3 r3-green
         # gates whose code path has an in-window sibling (VERDICT r3 item 3)
@@ -1494,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code path unchanged since, with an in-window sibling where one exists
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
         "doc_tfidf_topk": _q_tf_idf,  # r3 driver-green; tfidf path unchanged since; rotated out for graph_coarsen — doc_top_ngrams/doc_repetition_ratio/doc_bigram_logprob keep text.py in window
+        "image_png_features": _q_image_png_features,  # r3 driver-green; png.py unchanged since; rotated out for ann_ivf_recall — jpeg/video/audio codec gates keep the modality paths in window
         "streaming_cocommit_edges": _q_streaming_cocommit,  # r3 green; ingest.py unchanged; streaming_windowed_events keeps a streaming drain gate in window
         "sssp_csr_from_0": _q_sssp_csr,  # r3 green; csr/paths.py unchanged; 4 other Tier B kernels in window
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
@@ -1680,6 +1702,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_token_dictionary": pipeline_oracles.token_dictionary_sql(),
         "ann_ivf_search": pipeline_oracles.ivf_search_sql(
+            n_centroids=4, iterations=2, dim=64, k=5, n_probes=2, max_query_id=8
+        ),
+        "ann_ivf_recall": pipeline_oracles.ann_recall_sql(
             n_centroids=4, iterations=2, dim=64, k=5, n_probes=2, max_query_id=8
         ),
         "curate_stage_counts": pipeline_oracles.curate_sql(

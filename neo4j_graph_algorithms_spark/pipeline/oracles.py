@@ -1277,3 +1277,47 @@ SELECT user_id, count(*) AS n_events,
        CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
          AS total_value
 FROM e GROUP BY user_id"""
+
+
+def ann_recall_sql(
+    n_centroids: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    k: int = 5,
+    n_probes: int = 2,
+    max_query_id: int = 8,
+    quantize: int = 6,
+) -> str:
+    """Twin of pipeline/similarity.py:ann_recall evaluated over the exact
+    cosine top-k (cosine_topk_sql) vs the IVF probe result (ivf_search_sql)
+    with identical parameters — the two existing oracle chains nested as
+    CTE bodies, joined on (query_id, neighbor_id), recall as BIGINT floor
+    division (DuckDB `//` == Spark `div` for positive integers)."""
+    exact = cosine_topk_sql(k=k, max_query_id=max_query_id)
+    approx = ivf_search_sql(
+        n_centroids=n_centroids,
+        iterations=iterations,
+        dim=dim,
+        k=k,
+        n_probes=n_probes,
+        max_query_id=max_query_id,
+        quantize=quantize,
+    )
+    return f"""WITH exact AS MATERIALIZED (
+{exact}
+), approx AS MATERIALIZED (
+{approx}
+),
+ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+na AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY query_id),
+hits AS (
+  SELECT e.query_id, count(*) AS hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id)
+SELECT ne.query_id, ne.n_exact,
+       coalesce(na.n_approx, 0) AS n_approx,
+       coalesce(h.hits, 0) AS hits,
+       coalesce(h.hits, 0) * 1000000 // ne.n_exact AS recall_q6
+FROM ne LEFT JOIN na ON na.query_id = ne.query_id
+LEFT JOIN hits h ON h.query_id = ne.query_id"""

@@ -474,3 +474,35 @@ def pca_project(
     for r in rows[1:]:
         res = res.unionByName(r)
     return res
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """[query_id, n_exact, n_approx, hits, recall_q6] — per-query recall of
+    an ANN result against the exact top-k: hits counts (query_id,
+    neighbor_id) pairs present in BOTH frames, recall_q6 =
+    floor(10⁶·hits/n_exact) in pure BIGINT arithmetic (hits ≤ k, so no
+    overflow and no float anywhere — engine- and re-shard-invariant).
+
+    This is the eval harness a 100 TB ANN deployment runs on a SAMPLED
+    query set: the exact side (cosine_topk) is the expensive leg and is
+    priced by the sample size, never the corpus; the joins hash on
+    (query_id, neighbor_id) with per-query group sizes bounded by k.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    ne = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    na = a.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    hits = (
+        e.join(a, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        ne.join(na, on="query_id", how="left")
+        .join(hits, on="query_id", how="left")
+        .withColumn("n_approx", F.coalesce("n_approx", F.lit(0)))
+        .withColumn("hits", F.coalesce("hits", F.lit(0)))
+        # integer floor division: both operands positive BIGINTs
+        .withColumn("recall_q6", F.expr("hits * 1000000 div n_exact"))
+        .select("query_id", "n_exact", "n_approx", "hits", "recall_q6")
+    )

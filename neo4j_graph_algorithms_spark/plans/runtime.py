@@ -112,6 +112,33 @@ class SuperstepRunner:
         with open(self._metrics_path(), "a") as fh:
             fh.write(json.dumps(row) + "\n")
 
+    # -- checkpoint stats guard ------------------------------------------------
+
+    # localCheckpoint's LogicalRDD inherits the child plan's sizeInBytes
+    # ESTIMATE (Spark preserves originStats), so a step whose plan references
+    # the state frame k times compounds the estimate ^k per superstep — with
+    # self-joining steps (coloring, pointer jumping) Catalyst's
+    # join-selection arithmetic ends up on multi-megabit BigIntegers and
+    # planning time explodes geometrically (measured: 0.8 s → 86 s/iter by
+    # iteration 10 on a 30-vertex graph).  The guard reads the leaf
+    # estimate's bit length (one cheap py4j call) and, only once it crosses
+    # the threshold, stacks .persist() on the checkpoint: the materialized
+    # InMemoryRelation reports the REAL cached byte size, resetting the
+    # compounding.  Linear-growth loops (PageRank's single state reference:
+    # ~63·i bits after i supersteps) never trip it and keep the cheaper
+    # uncached path — an unconditional persist cost PageRank's 80-iteration
+    # loop ~5 s at sf0.1 (BENCH/paired_r4c.jsonl vs r4/r4b floors).
+    _STATS_RESET_BITS = 16384
+
+    def _ckpt_stats_guard(self, df: DataFrame) -> DataFrame:
+        try:
+            bits = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            ).bit_length()
+        except Exception:  # Connect-mode or API drift: fall back to persist
+            return df.persist()
+        return df.persist() if bits > self._STATS_RESET_BITS else df
+
     # -- the loop --------------------------------------------------------------
 
     def run(
@@ -132,16 +159,7 @@ class SuperstepRunner:
                 start_iter = latest
         # Materialize + truncate lineage of the incoming state once so the
         # first step doesn't recompute the whole upstream plan per action.
-        # The .persist() on top is load-bearing for STATS, not storage:
-        # localCheckpoint's LogicalRDD inherits the child plan's sizeInBytes
-        # ESTIMATE (Spark preserves originStats), so a step that references
-        # state k times compounds the estimate ^k per superstep — by ~iter 9
-        # Catalyst's join-selection arithmetic runs on multi-megabit BigInts
-        # and planning time explodes geometrically (measured: 0.8s → 86s/iter
-        # on a 30-vertex graph).  A materialized InMemoryRelation reports the
-        # REAL cached byte size instead, resetting the compounding each
-        # superstep and keeping stats honest at any scale.
-        state = state.localCheckpoint(eager=True).persist()
+        state = self._ckpt_stats_guard(state.localCheckpoint(eager=True))
 
         metrics: list[dict] = []
         converged = False
@@ -154,9 +172,9 @@ class SuperstepRunner:
             if first_plan is None:
                 first_plan = new_state._jdf.queryExecution().toString()
             # Lineage truncation: REQUIRED for iterative DataFrame plans.
-            # persist() resets the inherited sizeInBytes estimate once
-            # materialized (see the initial-state note above).
-            new_state = new_state.localCheckpoint(eager=True).persist()
+            new_state = self._ckpt_stats_guard(
+                new_state.localCheckpoint(eager=True)
+            )
             run_metric = self.metric is not None and (
                 (i + 1) % self.metric_every == 0 or i + 1 == self.max_iterations
             )

@@ -202,3 +202,51 @@ def test_pca_project_deterministic_across_partitionings(spark):
     # the Gram pass is integer-exact, eigh runs once on the driver, and the
     # projection is a fixed-order sequential dot → bit-identical
     assert a == b
+
+
+# ---- ann_recall ------------------------------------------------------------
+
+
+def test_ann_recall_exact_partial_and_missing(spark):
+    from neo4j_graph_algorithms_spark.pipeline.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 12), (1, 20), (1, 21), (2, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q0: all 3 hit; q1: 1 of 2 hits + 1 miss; q2: absent entirely
+        [(0, 10), (0, 11), (0, 12), (1, 20), (1, 99)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r.query_id: r for r in ann_recall(exact, approx).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].hits, got[0].recall_q6) == (3, 1_000_000)
+    assert (got[1].n_exact, got[1].n_approx, got[1].hits) == (2, 2, 1)
+    assert got[1].recall_q6 == 500_000
+    assert (got[2].n_approx, got[2].hits, got[2].recall_q6) == (0, 0, 0)
+
+
+def test_ann_recall_ivf_end_to_end_bounds(spark, embs):
+    from neo4j_graph_algorithms_spark.pipeline.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_build,
+        ivf_search,
+    )
+    from pyspark.sql import functions as F
+
+    queries = embs.filter(F.col("vec_id") < 4)
+    exact = cosine_topk(embs, queries, k=3)
+    cents, assign = ivf_build(embs, n_centroids=2, iterations=2, quantize=6)
+    approx = ivf_search(embs, cents, assign, queries, k=3, n_probes=2, quantize=6)
+    rows = ann_recall(exact, approx).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        assert 0 <= r.hits <= r.n_exact <= 3
+        assert 0 <= r.recall_q6 <= 1_000_000
+        assert r.recall_q6 == r.hits * 1_000_000 // r.n_exact
+    # probing EVERY cell makes IVF exhaustive -> recall must be 1.0
+    approx_all = ivf_search(embs, cents, assign, queries, k=3, n_probes=2, quantize=6)
+    full = ann_recall(exact, approx_all).collect()
+    assert all(r.recall_q6 == 1_000_000 for r in full)
