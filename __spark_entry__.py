@@ -1423,6 +1423,15 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-head-token top-3 collocations by integer association lift
+    (pipeline/text.py:collocations) — exp-PMI under bigram-position
+    marginals, floor-division exact."""
+    from neo4j_graph_algorithms_spark.pipeline.text import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, per_head_k=3)
+
+
 def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean bigram log-probability per document under the corpus's own MLE
     bigram model (pipeline/text.py:bigram_logprob)."""
@@ -1484,7 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_ngrams": _q_top_ngrams,  # new r4 gate: corpus top-k n-grams via TakeOrderedAndProject (doc_pii_scrub rotates to tail: r3 green, regex path unchanged since)
         "image_jpeg_features": _q_image_jpeg_features,  # new r4 gate: real baseline-JPEG codec (VERDICT item 5)
         "ktruss_4": _q_ktruss,
-        "dag_topo_levels": _q_dag_levels,
+        "doc_collocations": _q_collocations,  # new r4 gate: per-head top-k collocations by exact integer lift — the phrase-discovery audit (dag_topo_levels rotates to tail: r3 driver-green hash row, dag.py unchanged since; many SuperstepRunner siblings in window)
         "hyperball_harmonic": _q_hyperball_harmonic,  # new r4 gate (VERDICT item 8)
         "pagerank_articlerank": _q_article_rank,  # stays in-window r4: build join refactored (denominator folded, VERDICT/ADVICE)
         "bipartite_copurchase": _q_bipartite_copurchase,
@@ -1516,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
         "doc_tfidf_topk": _q_tf_idf,  # r3 driver-green; tfidf path unchanged since; rotated out for graph_coarsen — doc_top_ngrams/doc_repetition_ratio/doc_bigram_logprob keep text.py in window
         "image_png_features": _q_image_png_features,  # r3 driver-green; png.py unchanged since; rotated out for ann_ivf_recall — jpeg/video/audio codec gates keep the modality paths in window
+        "dag_topo_levels": _q_dag_levels,  # r3 driver-green; dag.py unchanged since; rotated out for doc_collocations — SuperstepRunner siblings cover the runtime in window
         "streaming_cocommit_edges": _q_streaming_cocommit,  # r3 green; ingest.py unchanged; streaming_windowed_events keeps a streaming drain gate in window
         "sssp_csr_from_0": _q_sssp_csr,  # r3 green; csr/paths.py unchanged; 4 other Tier B kernels in window
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
@@ -1779,6 +1789,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ktruss_4": oracles.ktruss_sql(k=4, rounds=8),
         "dag_topo_levels": oracles.dag_levels_sql(mod=8, rounds=16),
+        "doc_collocations": pipeline_oracles.collocations_sql(
+            min_count=5, per_head_k=3
+        ),
         "dedup_semantic": pipeline_oracles.semantic_dedup_sql(
             threshold=0.8, n_centroids=4, iterations=2, quantize=6, inject_below=50
         ),

@@ -1321,3 +1321,31 @@ SELECT ne.query_id, ne.n_exact,
        coalesce(h.hits, 0) * 1000000 // ne.n_exact AS recall_q6
 FROM ne LEFT JOIN na ON na.query_id = ne.query_id
 LEFT JOIN hits h ON h.query_id = ne.query_id"""
+
+
+def collocations_sql(min_count: int = 5, per_head_k: int = 3) -> str:
+    """Twin of text.py:collocations — identical adjacent-pair extraction
+    (bigram_logprob_sql's list comprehension), bigram-position marginals,
+    and floor-division lift in HUGEINT (DuckDB `//` == Spark decimal
+    `div` for positive operands)."""
+    return f"""WITH {DOCS_CTE},
+g AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+                     THEN [struct_pack(x := toks[i + 1], y := toks[i + 2])
+                           FOR i IN range(len(toks) - 1)]
+                     ELSE [] END) AS p
+  FROM docs),
+cxy AS (SELECT p.x AS x, p.y AS y, count(*) AS c_xy FROM g GROUP BY 1, 2),
+heads AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY x),
+tails AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cxy GROUP BY y),
+n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS _n FROM cxy),
+scored AS (
+  SELECT c.x, c.y, c.c_xy, h.c_x, t.c_y,
+         CAST(CAST(c.c_xy AS HUGEINT) * n._n * 1000000
+              // (CAST(h.c_x AS HUGEINT) * t.c_y) AS BIGINT) AS lift_q6
+  FROM cxy c JOIN heads h USING (x) JOIN tails t USING (y) CROSS JOIN n
+  WHERE c.c_xy >= {min_count})
+SELECT x, y, c_xy, c_x, c_y, lift_q6, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY x ORDER BY lift_q6 DESC, y) AS rank
+  FROM scored) z WHERE rank <= {per_head_k}"""

@@ -624,3 +624,69 @@ def bigram_logprob(
             ).alias("avg_logp"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    per_head_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """[x, y, c_xy, c_x, c_y, lift_q6, rank] — the corpus's collocations:
+    for each head token x, the `per_head_k` adjacent-pair partners y with
+    the highest association lift c_xy·N / (c_x·c_y) (the exp of PMI under
+    bigram-position marginals), among pairs seen ≥ `min_count` times.
+    The boilerplate/entity-phrase discovery pass a corpus audit runs
+    before tuning dedup and quality thresholds.
+
+    Exactness contract: lift_q6 = floor(10⁶·c_xy·N / (c_x·c_y)) in
+    DECIMAL(38,0) arithmetic with integral division (Spark `div` ==
+    DuckDB `//` for positive operands — twin: oracles.collocations_sql),
+    so every score and rank is engine- and re-shard-invariant.  Marginals
+    are bigram-POSITION counts (c_x = Σ_y c_xy, c_y = Σ_x c_xy), so the
+    three aggregates share one bigram-count frame.
+
+    Scale shape: one pair explode + one (x,y) count with map-side
+    combine; the marginals re-aggregate the Zipf-bounded bigram-count
+    frame (not the corpus); N is a 1-row broadcast.  The rank window
+    partitions by head token — bounded per-group work, never a global
+    sort.  min_count prunes the long tail BEFORE the marginal joins.
+    """
+    toks = tokens_col(text_col)
+    # adjacent pairs via slice-zip: sequence(1, 0) DESCENDS on short docs
+    # (repo trap list), so guard to an empty array explicitly
+    from pyspark.sql import Window
+
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    g = docs.select(F.explode(pairs).alias("p")).select("p.x", "p.y")
+    cxy = g.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    cxy = cxy.localCheckpoint(eager=True)  # reused by 3 aggregates + join
+    heads = cxy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    tails = cxy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n = cxy.agg(F.sum("c_xy").alias("_n"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= min_count)
+        .join(heads.hint("shuffle_hash"), on="x")
+        .join(tails.hint("shuffle_hash"), on="y")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift_q6",
+            F.expr(
+                "CAST(CAST(c_xy AS DECIMAL(38,0)) * _n * 1000000"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("x").orderBy(F.desc("lift_q6"), F.asc("y"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_head_k)
+        .select("x", "y", "c_xy", "c_x", "c_y", "lift_q6", "rank")
+    )

@@ -374,3 +374,75 @@ def test_bigram_logprob_partition_invariant(spark):
     a = sorted(bigram_logprob(docs.repartition(1)).collect())
     b = sorted(bigram_logprob(docs.repartition(16)).collect())
     assert a == b
+
+
+# ---- collocations ----------------------------------------------------------
+
+
+def _expected_collocations(texts, min_count, per_head_k):
+    """Engine-free lift computation."""
+    from collections import Counter
+
+    cxy = Counter()
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        for a, b in zip(toks, toks[1:]):
+            cxy[(a, b)] += 1
+    cx, cy = Counter(), Counter()
+    for (a, b), c in cxy.items():
+        cx[a] += c
+        cy[b] += c
+    n = sum(cxy.values())
+    scored = [
+        (a, b, c, cx[a], cy[b], c * n * 1_000_000 // (cx[a] * cy[b]))
+        for (a, b), c in cxy.items()
+        if c >= min_count
+    ]
+    out = {}
+    by_head = {}
+    for row in sorted(scored, key=lambda r: (r[0], -r[5], r[1])):
+        by_head.setdefault(row[0], []).append(row)
+    for head, rows in by_head.items():
+        for rank, r in enumerate(rows[:per_head_k], start=1):
+            out[(r[0], r[1])] = r[2:] + (rank,)
+    return out
+
+
+def test_collocations_exact_vs_python(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import collocations
+
+    texts = (
+        ["new york city hall", "new york is big", "new york new jersey"] * 3
+        + ["the city hall of new york", "big city lights", "one"]
+        + ["york new haven line"] * 2
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.x, r.y): (r.c_xy, r.c_x, r.c_y, r.lift_q6, r.rank)
+        for r in collocations(docs, min_count=2, per_head_k=2).collect()
+    }
+    assert got == _expected_collocations(texts, 2, 2)
+    assert got  # non-trivial: at least one surviving pair
+
+
+def test_collocations_short_docs_and_reshard(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import collocations
+
+    texts = ["one", "", "  ", "a b a b a b", "a b"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.x, r.y): (r.c_xy, r.c_x, r.c_y, r.lift_q6, r.rank)
+        for r in collocations(docs, min_count=1, per_head_k=3).collect()
+    }
+    assert got == _expected_collocations(texts, 1, 3)
+    got13 = {
+        (r.x, r.y): (r.c_xy, r.c_x, r.c_y, r.lift_q6, r.rank)
+        for r in collocations(
+            docs.repartition(13), min_count=1, per_head_k=3
+        ).collect()
+    }
+    assert got13 == got
