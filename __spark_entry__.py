@@ -1074,6 +1074,31 @@ def _q_streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming exact-dedup gate: stage the documents table as
+    4 parquet files, drain with availableNow (maxFilesPerTrigger=1 → 4
+    micro-batches updating shared per-hash state) through the
+    canonical-dedup aggregation, and return the final canonical table —
+    min-id + count per content hash is commutative/associative, so the
+    result is batch-boundary- and arrival-order-independent and equals
+    the batch grouping row-for-row (streaming/dedup.py)."""
+    import shutil
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_canonical_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix="linkgraph-stream-dedup-")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.repartition(4).write.parquet(f"{base}/in")
+        out = run_canonical_dedup(spark, f"{base}/in")
+        return out.localCheckpoint(eager=True)  # materialize before tmp dies
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming sessionization gate: stage the events table as
     4 parquet files, drain with availableNow (maxFilesPerTrigger=1 → 4
@@ -1496,7 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocations": _q_collocations,  # new r4 gate: per-head top-k collocations by exact integer lift — the phrase-discovery audit (dag_topo_levels rotates to tail: r3 driver-green hash row, dag.py unchanged since; many SuperstepRunner siblings in window)
         "hyperball_harmonic": _q_hyperball_harmonic,  # new r4 gate (VERDICT item 8)
         "pagerank_articlerank": _q_article_rank,  # stays in-window r4: build join refactored (denominator folded, VERDICT/ADVICE)
-        "bipartite_copurchase": _q_bipartite_copurchase,
+        "streaming_dedup_canonical": _q_streaming_dedup,  # new r4 gate: streaming canonical-dedup drain == batch grouping — the dedup index a continuous ingest maintains (bipartite_copurchase rotates to tail: r3 driver-green hash row, graph.py bipartite path unchanged since)
         "doc_bigram_logprob": _q_bigram_logprob,  # new r4 gate: order-2 MLE LM quality filter, exact integer-scaled term sums (graph_fastrp_embeddings rotates to tail: r3 green, operators/fastrp.py unchanged since, and graph_fastrp_csr — the Tier B twin over the SAME fastrp_sql oracle — stays in window)
         "graph_fastrp_csr": _q_fastrp_csr,  # new r4 Tier B kernel (VERDICT item 6)
         "events_user_features": _q_user_activity,  # new r4 gate: per-user RFM feature block with the exact-sum contract (lpa_weighted_3iter rotates to tail: r3 green, operators/lpa.py unchanged since; lpa_csr_3iter keeps label propagation in window)
@@ -1526,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topk": _q_tf_idf,  # r3 driver-green; tfidf path unchanged since; rotated out for graph_coarsen — doc_top_ngrams/doc_repetition_ratio/doc_bigram_logprob keep text.py in window
         "image_png_features": _q_image_png_features,  # r3 driver-green; png.py unchanged since; rotated out for ann_ivf_recall — jpeg/video/audio codec gates keep the modality paths in window
         "dag_topo_levels": _q_dag_levels,  # r3 driver-green; dag.py unchanged since; rotated out for doc_collocations — SuperstepRunner siblings cover the runtime in window
+        "bipartite_copurchase": _q_bipartite_copurchase,  # r3 driver-green; graph.py bipartite path unchanged since; rotated out for streaming_dedup_canonical
         "streaming_cocommit_edges": _q_streaming_cocommit,  # r3 green; ingest.py unchanged; streaming_windowed_events keeps a streaming drain gate in window
         "sssp_csr_from_0": _q_sssp_csr,  # r3 green; csr/paths.py unchanged; 4 other Tier B kernels in window
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
@@ -1700,6 +1726,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_score": pipeline_oracles.quality_score_sql(),
         "doc_fingerprint": pipeline_oracles.fingerprint_sql(),
         "dedup_exact": pipeline_oracles.exact_dedup_sql(),
+        "streaming_dedup_canonical": (
+            "WITH h AS (SELECT sha256(text) AS content_hash, doc_id FROM documents)\n"
+            "SELECT content_hash, min(doc_id) AS canonical_id,"
+            " count(*) AS n_copies FROM h GROUP BY content_hash"
+        ),
         "dedup_ngram_jaccard": pipeline_oracles.ngram_jaccard_sql(n=3, threshold=0.8),
         "dedup_minhash_lsh": pipeline_oracles.minhash_lsh_sql(
             num_hashes=8, bands=4, n=3, threshold=0.8
