@@ -885,6 +885,15 @@ def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coloring(spark, edges)
 
 
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club curve (operators/degrees.py:rich_club) — per observed
+    degree k, the >k-degree club's size, edge count, and exact integer
+    density phi_q6."""
+    from neo4j_graph_algorithms_spark.operators.degrees import rich_club
+
+    return rich_club(spark, lineseq_edges(spark, sf_dir))
+
+
 def _q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matching-contraction coarsening (operators/coarsen.py) — the coarse
     graph after one multilevel contract step over the greedy maximal
@@ -1511,7 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_similarity_topk": _q_node_similarity,
         "link_adamic_adar": _q_adamic_adar,
         "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
-        "doc_repetition_ratio": _q_repetition_ratio,
+        "graph_rich_club": _q_rich_club,  # new r4 gate: rich-club density curve via histogram suffix sums — the hub-interconnection audit behind the repo's hub caps (doc_repetition_ratio rotates to tail: r3 driver-green, rep-ratio column exprs unchanged since; six doc_* gates stay in window)
         "doc_chunk_overlap": _q_chunk_overlap,  # new r4 gate: sliding-window chunking, the RAG shard step (doc_decontaminate rotates to tail: r3 green, unchanged since, and doc_repetition_ratio keeps the n-gram quality path in window)
         "doc_hash_split": _q_hash_split,  # new r4 gate: deterministic train/val/test assignment (eigenvector_20iter rotates to tail; hits_10iter covers the normalized power-iteration superstep in window)
         "graph_effective_diameter": _q_effective_diameter,  # new r4 gate: HyperANF effective diameter (pagerank_personalized rotates to tail; weighted/warm/articlerank cover the pagerank superstep in window)
@@ -1552,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_png_features": _q_image_png_features,  # r3 driver-green; png.py unchanged since; rotated out for ann_ivf_recall — jpeg/video/audio codec gates keep the modality paths in window
         "dag_topo_levels": _q_dag_levels,  # r3 driver-green; dag.py unchanged since; rotated out for doc_collocations — SuperstepRunner siblings cover the runtime in window
         "bipartite_copurchase": _q_bipartite_copurchase,  # r3 driver-green; graph.py bipartite path unchanged since; rotated out for streaming_dedup_canonical
+        "doc_repetition_ratio": _q_repetition_ratio,  # r3 driver-green; rep-ratio column exprs unchanged since; rotated out for graph_rich_club — six doc_* gates stay in window
         "streaming_cocommit_edges": _q_streaming_cocommit,  # r3 green; ingest.py unchanged; streaming_windowed_events keeps a streaming drain gate in window
         "sssp_csr_from_0": _q_sssp_csr,  # r3 green; csr/paths.py unchanged; 4 other Tier B kernels in window
         "closeness_csr_sampled": _q_closeness_csr,  # r3 green; csr/msbfs.py unchanged; lpa/triangle/fastrp CSR kernels in window
@@ -1679,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_csr_sampled": oracles.closeness_sql(n_sources=32, max_depth=8),
         "triangle_total_csr": oracles.triangle_total_sql(),
         "graph_mis": oracles.mis_sql(seed=17, rounds=12),
+        "graph_rich_club": oracles.rich_club_sql(),
         "graph_coloring": oracles.coloring_sql(seed=17, rounds=24),
         "graph_matching": oracles.matching_sql(seed=29, rounds=16),
         "graph_coarsen": oracles.coarsen_sql(seed=29, rounds=16),

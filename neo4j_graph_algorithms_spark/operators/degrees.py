@@ -151,3 +151,89 @@ def degree_distribution(
         F.col("sum_deg").cast("long").alias("sum_deg"),
         *[F.col(f"p{q}_deg").cast("long").alias(f"p{q}_deg") for q in percentiles],
     )
+
+
+def rich_club(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+) -> DataFrame:
+    """[k, n_nodes, n_edges, phi_q6] — the rich-club curve of the
+    undirected simple graph: for every observed degree value k, the
+    subgraph induced by nodes with deg > k has n_nodes vertices and
+    n_edges edges, and phi = 2·E_k / (N_k·(N_k−1)) is its density
+    (Colizza et al., Nature Physics 2006).  Rows with N_k < 2 are dropped
+    (phi undefined).  The hub-interconnection audit: a rising phi(k) means
+    hubs preferentially link to each other — exactly the regime where the
+    repo's wedge/triangle hub caps and salting matter.
+
+    Exactness: phi_q6 = floor(10⁶·2·E_k / (N_k·(N_k−1))) in DECIMAL(38,0)
+    floor division — engine-invariant, no floats (twin:
+    oracles.rich_club_sql).
+
+    Scale shape: ONE pass over the canonical edge set — degree histogram
+    + edge-min-degree histogram, then suffix sums via a RANGE window
+    (d+1 … ∞) over the UNION of the two histograms, whose size is
+    |distinct degrees| + |distinct edge-min degrees| (a few thousand at
+    web scale — the degree_distribution single-partition-window
+    convention, deliberate and bounded, never |V|- or |E|-sized).  No
+    inequality join, no per-k rescans.
+    """
+    from pyspark.sql import Window
+
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    und = (
+        ef.with_direction("BOTH")
+        .df.select(F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST))
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=True)  # reused: degrees + edge mins
+    deg = (
+        und.select(F.col(SRC).alias(VID))
+        .unionByName(und.select(F.col(DST).alias(VID)))
+        .groupBy(VID)
+        .agg(F.count("*").alias("deg"))
+    )
+    deg = deg.localCheckpoint(eager=True)  # reused: histogram + edge join
+    dhist = deg.groupBy(F.col("deg").alias("d")).agg(F.count("*").alias("n"))
+    emin = (
+        und.join(
+            deg.select(F.col(VID).alias(SRC), F.col("deg").alias("_ds")).hint(
+                "shuffle_hash"
+            ),
+            on=SRC,
+        )
+        .join(
+            deg.select(F.col(VID).alias(DST), F.col("deg").alias("_dd")).hint(
+                "shuffle_hash"
+            ),
+            on=DST,
+        )
+        .select(F.least("_ds", "_dd").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("e"))
+    )
+    uni = dhist.select("d", "n", F.lit(0).cast("long").alias("e")).unionByName(
+        emin.select("d", F.lit(0).cast("long").alias("n"), "e")
+    )
+    w = Window.orderBy("d").rangeBetween(1, Window.unboundedFollowing)
+    curves = uni.select(
+        "d",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("n_nodes"),
+        F.coalesce(F.sum("e").over(w), F.lit(0)).alias("n_edges"),
+        # grid = observed degree values only (edge-min-only rows excluded)
+        F.col("n").alias("_isdeg"),
+    )
+    return (
+        curves.filter((F.col("_isdeg") > 0) & (F.col("n_nodes") >= 2))
+        .select(
+            F.col("d").alias("k"),
+            "n_nodes",
+            "n_edges",
+            F.expr(
+                "CAST(CAST(n_edges AS DECIMAL(38,0)) * 2000000"
+                " div (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1)) AS BIGINT)"
+            ).alias("phi_q6"),
+        )
+        .distinct()
+    )

@@ -2237,3 +2237,39 @@ def coarsen_sql(seed: int = 29, rounds: int = 16) -> str:
 SELECT least(s, d) AS src, greatest(s, d) AS dst, count(*) AS weight
 FROM contracted WHERE s <> d GROUP BY 1, 2"""
     )
+
+
+def rich_club_sql() -> str:
+    """Rich-club curve on the undirected simple line-seq graph — twin of
+    operators/degrees.py:rich_club.  Same union-of-histograms suffix-sum
+    construction via a RANGE window (DuckDB RANGE frames over integers ==
+    Spark rangeBetween), HUGEINT floor division for phi_q6."""
+    return f"""WITH {LINESEQ_CTES},
+und AS (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM lineseq WHERE src <> dst GROUP BY 1, 2),
+deg AS (
+  SELECT vid, count(*) AS deg FROM (
+    SELECT src AS vid FROM und UNION ALL SELECT dst AS vid FROM und)
+  GROUP BY vid),
+dhist AS (SELECT deg AS d, count(*) AS n FROM deg GROUP BY deg),
+emin AS (
+  SELECT least(ds.deg, dd.deg) AS d, count(*) AS e
+  FROM und e JOIN deg ds ON ds.vid = e.src JOIN deg dd ON dd.vid = e.dst
+  GROUP BY 1),
+uni AS (
+  SELECT d, n, CAST(0 AS BIGINT) AS e FROM dhist
+  UNION ALL SELECT d, CAST(0 AS BIGINT) AS n, e FROM emin),
+curves AS (
+  SELECT d,
+         coalesce(sum(n) OVER (ORDER BY d
+             RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_nodes,
+         coalesce(sum(e) OVER (ORDER BY d
+             RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_edges,
+         n AS _isdeg
+  FROM uni)
+SELECT DISTINCT d AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(CAST(n_edges AS HUGEINT) * 2000000
+            // (CAST(n_nodes AS HUGEINT) * (n_nodes - 1)) AS BIGINT) AS phi_q6
+FROM curves WHERE _isdeg > 0 AND n_nodes >= 2"""

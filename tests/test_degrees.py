@@ -81,3 +81,65 @@ def test_degree_distribution_empty_graph_one_null_row(spark):
     # one all-NULL row — the same shape as the SQL twin's aggregate
     assert len(rows) == 1
     assert all(v is None for v in rows[0].asDict().values())
+
+
+# ---- rich_club --------------------------------------------------------------
+
+
+def _expected_rich_club(edges):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for k in sorted(set(deg.values())):
+        club = {v for v, d in deg.items() if d > k}
+        if len(club) < 2:
+            continue
+        e = sum(1 for a, b in und if a in club and b in club)
+        out[k] = (
+            len(club),
+            e,
+            e * 2_000_000 // (len(club) * (len(club) - 1)),
+        )
+    return out
+
+
+def test_rich_club_star_plus_clique(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import rich_club
+    from tests.conftest import edge_df
+
+    # K4 core {0,1,2,3} + pendant leaves on 0 — hubs interlink maximally
+    edges = [(i, j) for i in range(4) for j in range(i + 1, 4)] + [
+        (0, 10),
+        (0, 11),
+        (0, 12),
+    ]
+    got = {
+        r.k: (r.n_nodes, r.n_edges, r.phi_q6)
+        for r in rich_club(spark, edge_df(spark, edges)).collect()
+    }
+    assert got == _expected_rich_club(edges)
+    assert got[1] == (4, 6, 1_000_000)  # the >1 club is exactly K4: phi = 1
+
+
+def test_rich_club_random_and_reshard(spark):
+    import random
+
+    from neo4j_graph_algorithms_spark.operators.degrees import rich_club
+    from tests.conftest import edge_df
+
+    rng = random.Random(31)
+    edges = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(50)})
+    df = edge_df(spark, edges)
+    got = {
+        r.k: (r.n_nodes, r.n_edges, r.phi_q6)
+        for r in rich_club(spark, df).collect()
+    }
+    assert got == _expected_rich_club(edges)
+    got2 = {
+        r.k: (r.n_nodes, r.n_edges, r.phi_q6)
+        for r in rich_club(spark, df.repartition(7)).collect()
+    }
+    assert got2 == got
