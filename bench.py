@@ -167,6 +167,27 @@ def main() -> None:
             ev, ["view", "click", "purchase"]).count())
         timed_ext("bigram_logprob", lambda: bigram_logprob(docs).count())
         timed_ext("top_bigrams_k50", lambda: top_ngrams(docs, n=2, k=50).count())
+
+        # r4 continuation operators
+        from neo4j_graph_algorithms_spark.operators.coarsen import (
+            coarsen_by_matching,
+        )
+        from neo4j_graph_algorithms_spark.operators.coloring import greedy_coloring
+        from neo4j_graph_algorithms_spark.operators.degrees import rich_club
+        from neo4j_graph_algorithms_spark.pipeline.text import collocations
+
+        from pyspark.sql import functions as _F
+        from neo4j_graph_algorithms_spark.pipeline.text import HASH_P as _P
+
+        thin = seq.filter(
+            ((_F.col("src") % _P) * 31 + (_F.col("dst") % _P)) % 100 < 10
+        )
+        timed_ext("coloring_thinned", lambda: greedy_coloring(spark, thin).count())
+        timed_ext("coarsen_by_matching", lambda: coarsen_by_matching(
+            spark, seq).count())
+        timed_ext("rich_club", lambda: rich_club(spark, seq).count())
+        timed_ext("collocations_k3", lambda: collocations(
+            docs, min_count=5, per_head_k=3).count())
         extras["extended"] = ext
 
     co.unpersist()
