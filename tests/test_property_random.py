@@ -325,3 +325,50 @@ def test_degree_distribution_matches_python(spark, pairs):
     assert (row["p50_deg"], row["p90_deg"], row["p99_deg"]) == (
         pct(50), pct(90), pct(99),
     )
+
+
+# ---- symmetry-breaking trio + contraction (r4 continuation) ------------------
+
+
+def _und(pairs):
+    return {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+
+
+@given(EDGES)
+@SETTINGS
+def test_coloring_proper_complete_bounded(spark, pairs):
+    from neo4j_graph_algorithms_spark.operators.coloring import greedy_coloring
+
+    und = _und(pairs)
+    verts = {v for e in pairs for v in e}
+    out = greedy_coloring(spark, edge_df(spark, pairs)).collect()
+    col = {r.vid: r.color for r in out}
+    assert set(col) == verts
+    assert all(col[a] != col[b] for a, b in und)
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert all(0 <= c <= max(deg.values(), default=0) for c in col.values())
+
+
+@given(EDGES)
+@SETTINGS
+def test_matching_then_coarsen_invariants(spark, pairs):
+    from neo4j_graph_algorithms_spark.operators.coarsen import coarsen_by_matching
+    from neo4j_graph_algorithms_spark.operators.matching import maximal_matching
+
+    und = _und(pairs)
+    df = edge_df(spark, pairs)
+    m = [(r.src, r.dst) for r in maximal_matching(spark, df).collect()]
+    # matching: disjoint endpoints, edges of the graph, maximal
+    touched = [v for e in m for v in e]
+    assert len(touched) == len(set(touched))
+    assert all((a, b) in und for a, b in m)
+    matched = set(touched)
+    assert all(a in matched or b in matched for a, b in und)  # maximality
+    # contraction: conserves base edges minus intra-pair ones, no self-loops
+    coarse = {(r.src, r.dst): r.weight for r in coarsen_by_matching(spark, df).collect()}
+    intra = sum(1 for a, b in und if (a, b) in {tuple(sorted(p)) for p in m})
+    assert sum(coarse.values()) == len(und) - intra
+    assert all(s < d for s, d in coarse)
