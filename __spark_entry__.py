@@ -306,9 +306,16 @@ def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase-1 in the r5 DETERMINISTIC GATE MODE: integer weights
+    (co-order counts) + gains scaled through by 2m² so every move decision
+    is exact integer arithmetic — the greedy trajectory is then engine-
+    invariant and oracles.louvain_int_sql can assert VALUES (was rows-only
+    through r4).  max_iterations must equal the oracle's unroll depth."""
     from neo4j_graph_algorithms_spark.operators.louvain import louvain
 
-    return louvain(spark, coorder_edges(spark, sf_dir), max_iterations=6)
+    return louvain(
+        spark, coorder_edges(spark, sf_dir), max_iterations=4, integer_gains=True
+    )
 
 
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,11 +1482,19 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 uncentered principal-component projection of the embedding
-    table (pipeline/similarity.py:pca_project)."""
+    """Top-8 uncentered principal-component projection over the
+    planted-spectrum table (pipeline/similarity.py:pca_project over
+    sources/synth.py:planted_spectrum_embeddings) — exact 3-4-5 rotation
+    blocks give the eigendecomposition in closed form, so the full PCA path
+    (Gram pass → eigh → eigenvalue ordering → sign canonicalization →
+    projection) is VALUE-gated; the real-corpus Gram pass stays hash-gated
+    via emb_gram_matrix."""
     from neo4j_graph_algorithms_spark.pipeline.similarity import pca_project
+    from neo4j_graph_algorithms_spark.sources.synth import (
+        planted_spectrum_embeddings,
+    )
 
-    return pca_project(_embs(spark, sf_dir), k=8)
+    return pca_project(planted_spectrum_embeddings(spark), k=8)
 
 
 def _q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,7 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fastrp_embeddings": _q_fastrp,  # r3 green; operators/fastrp.py unchanged since; graph_fastrp_csr (same fastrp_sql oracle) in window
         "doc_pack_sequences": _q_pack_sequences,  # r3 green; pack.py + functions/rank.py unchanged since; prefix-sum path pytest-pinned
         "lpa_weighted_3iter": _q_lpa_weighted,  # r3 green; operators/lpa.py unchanged since; lpa_csr_3iter in window
-        "emb_pca_project": _q_pca_project,  # rows-only BY DESIGN: the d×d eigendecomposition is float-iterative (no SQL twin); value contract pinned by test_pipeline_similarity.py planted-low-rank recovery; the exact part (the Gram pass) is hash-gated via emb_gram_matrix in window
+        "emb_pca_project": _q_pca_project,  # r5 upgrade: rows-only → VALUE-gated via the planted-spectrum table (closed-form eigendecomposition; oracle = pca_planted_sql literal ground truth); real-corpus Gram pass stays hash-gated via emb_gram_matrix
         "doc_decontaminate": _q_decontaminate,  # r3 green; unchanged since; doc_repetition_ratio keeps the n-gram quality path in window
         "doc_pii_scrub": _q_pii_scrub,  # r3 green; regex single-scan path unchanged since
         # r4: rotated out of the window for the 3 never-driver-run gates —
@@ -1625,7 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
         "pagerank_csr_20iter": _q_pagerank_csr,  # Tier B runtime: 4 sibling CSR kernels (lpa/sssp/closeness/triangle) in window; r2 green
         "closeness_sampled": _q_closeness,  # Tier A MS-BFS: closeness_csr (Tier B twin, same semantics+oracle) in window; r2 green
-        "louvain_communities": _q_louvain,  # no_oracle by design (heuristic loop): rows-only row adds little over fixed2_planted + q_invariant in window
+        "louvain_communities": _q_louvain,  # r5 upgrade: rows-only → VALUE-gated via integer_gains mode (exact 2m²-scaled gains; oracle = louvain_int_sql unrolled 4 sub-steps)
         "metapath_filtered": _q_metapath_filter,  # metapath family in window; r2 green
         "clustering_coefficient": _q_clustering_coefficient,  # triangles.py path: triangle_total in window; r2 green
         "label_dictionary": _q_label_dictionary,  # reducer.py path: graph_reducer_edges in window; r2 green
@@ -1679,9 +1694,10 @@ def oracle_sql() -> dict[str, str]:
         "wcc_mscoloring": oracles.mscoloring_sql(rounds=12),
         "triangle_stream": oracles.triangle_stream_sql(),
         "modularity_vid_mod7": oracles.modularity_sql(mod=7),
-        # louvain_communities: heuristic local-move loop — not SQL-expressible;
-        # driver records the weaker rows-only check (pytest covers semantics,
-        # and louvain_q_invariant gates the modularity-dominance invariant)
+        # r5: louvain_communities gained a value oracle — integer_gains mode
+        # makes the greedy trajectory exact integer arithmetic, unrolled in
+        # DuckDB (HUGEINT) to the same 4-sub-step depth as the Spark run
+        "louvain_communities": oracles.louvain_int_sql(iterations=4),
         "scc_components": oracles.scc_sql(max_vid=400),
         "sssp_from_0": oracles.sssp_sql(source=0, rounds=10),
         "sssp_csr_from_0": oracles.sssp_sql(source=0, rounds=10),
@@ -1809,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk_overlap": pipeline_oracles.chunk_sql(chunk_chars=120, overlap=30),
         "doc_top_ngrams": pipeline_oracles.top_ngrams_sql(n=2, k=50),
         "emb_gram_matrix": pipeline_oracles.gram_matrix_sql(scale=1000),
+        "emb_pca_project": pipeline_oracles.pca_planted_sql(),
         "doc_bigram_logprob": pipeline_oracles.bigram_logprob_sql(),
         "doc_sample_stratified": pipeline_oracles.stratified_take_sql(k=20),
         "events_user_features": pipeline_oracles.user_activity_sql(),

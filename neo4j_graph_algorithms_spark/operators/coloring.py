@@ -108,7 +108,7 @@ def greedy_coloring(
             )
         )
         cand = (
-            unc.join(min_unc_nb, on=VID, how="left")
+            unc.join(min_unc_nb.hint("shuffle_hash"), on=VID, how="left")
             .filter(F.col("_mn").isNull() | (pr < F.col("_mn")))
             .select(VID)
         )
@@ -118,16 +118,20 @@ def greedy_coloring(
                 cand.select(F.col(VID).alias(SRC)).hint("shuffle_hash"), on=SRC
             )
             .join(
-                state.filter(F.col("color").isNotNull()).select(
-                    F.col(VID).alias(DST), F.col("color").alias("_nc")
-                ),
+                # shuffle_hash on the projection: the colored set grows to
+                # |V| — without the hint, once the stats guard persists and
+                # Catalyst sees real sizes it may broadcast a graph-scaled
+                # frame (repo convention: never broadcast vertex state).
+                state.filter(F.col("color").isNotNull())
+                .select(F.col(VID).alias(DST), F.col("color").alias("_nc"))
+                .hint("shuffle_hash"),
                 on=DST,
             )
             .groupBy(F.col(SRC).alias(VID))
             .agg(F.collect_set("_nc").alias("_used"))
         )
         picked = (
-            cand.join(nb_colors, on=VID, how="left")
+            cand.join(nb_colors.hint("shuffle_hash"), on=VID, how="left")
             .select(
                 VID,
                 # NULL guard is load-bearing: size(NULL) = -1 and
@@ -144,8 +148,11 @@ def greedy_coloring(
                 .alias("_c"),
             )
         )
+        # min_unc_nb / nb_colors / picked are all vertex-state-scaled agg
+        # outputs — hint each (they are fresh plans, not checkpointed
+        # frames, so hinting them directly is safe per the repo convention)
         return (
-            state.join(picked, on=VID, how="left")
+            state.join(picked.hint("shuffle_hash"), on=VID, how="left")
             .select(
                 VID,
                 "_k",
@@ -169,12 +176,16 @@ def greedy_coloring(
         converged=lambda uncolored: uncolored == 0,
         job_group="linkgraph-coloring",
     )
-    result = runner.run(state0, step)
-    leftover = result.state.filter(F.col("color").isNull())
-    if not leftover.isEmpty():
-        raise RuntimeError(
-            f"greedy_coloring did not color every vertex within "
-            f"{max_iterations} rounds — raise max_iterations"
-        )
-    und.unpersist()
+    try:
+        result = runner.run(state0, step)
+        leftover = result.state.filter(F.col("color").isNull())
+        if not leftover.isEmpty():
+            raise RuntimeError(
+                f"greedy_coloring did not color every vertex within "
+                f"{max_iterations} rounds — raise max_iterations"
+            )
+    finally:
+        # unpersist on every exit path — the incomplete-coloring raise used
+        # to leak the cached edge frame for the session lifetime
+        und.unpersist()
     return result.state.select(VID, "color", "round")

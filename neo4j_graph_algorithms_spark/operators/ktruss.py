@@ -49,11 +49,19 @@ def ktruss(
     # three times, so estimates otherwise compound ×~3 per peel round and
     # Catalyst's join-selection BigInt arithmetic explodes geometrically
     # (see plans/runtime.py for the measured failure mode).
+    # NB: every frame below is localCheckpoint'ed BENEATH its persist, so
+    # _release() can drop the cache before returning without losing the
+    # materialization — callers get an unpersisted, checkpoint-backed frame
+    # and repeated ktruss calls do not accumulate cached copies.
+    def _release(df: DataFrame) -> DataFrame:
+        df.unpersist()
+        return df
+
     cur = _simple_undirected(edges).localCheckpoint(eager=True).persist()
     n_prev = cur.count()
     for _round in range(max_rounds):
         if n_prev == 0:
-            return cur
+            return _release(cur)
         tris = triangle_stream(spark, cur)
         # 3 canonical edges per triangle -> per-edge support (map-side
         # combine applies; the edge key is (src, dst), never skewed worse
@@ -83,14 +91,14 @@ def ktruss(
         n = cur.count()
         prev.unpersist()
         if n == n_prev:
-            return cur
+            return _release(cur)
         n_prev = n
     warnings.warn(
         f"ktruss: hit max_rounds={max_rounds} before the peel reached a "
         "fixpoint; returning the current (possibly non-maximal) edge set",
         RuntimeWarning,
     )
-    return cur
+    return _release(cur)
 
 
 def truss_stats(spark: SparkSession, truss_edges: DataFrame) -> DataFrame:

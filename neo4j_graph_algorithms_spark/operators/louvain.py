@@ -76,6 +76,7 @@ def louvain(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    integer_gains: bool = False,
 ) -> DataFrame:
     """[vid, community] after the phase-1 local-move loop (communities
     canonicalized to min member id).
@@ -84,6 +85,22 @@ def louvain(
     sub-step (each is a |V|⋈|V| join job); skipped sub-steps assume
     non-convergence, so worst case k-1 extra sub-steps run.
 
+    `integer_gains=True` — the DETERMINISTIC GATE MODE: requires
+    integer-valued edge weights (cast to long; true of every engine-derived
+    graph — co-order/co-commit counts).  Both sides of every gain
+    comparison are multiplied by the positive constant 2m² so the decision
+    becomes pure integer arithmetic in decimal(38,0):
+
+        move iff  W2·kin(best) − ki·σ_adj  >  W2·kin(own) − ki·(σ_own − ki)
+
+    with W2 = 2m = Σ both-direction weights.  The greedy trajectory —
+    every move, every tie-break (smaller community id), the alternating
+    even/odd halves, and the round count — is then engine- and
+    re-shard-invariant, which is what lets `louvain_communities` assert
+    VALUES against the unrolled DuckDB twin (oracles.louvain_int_sql)
+    instead of the rows-only check.  The float path keeps its 1e-15 strict
+    margin and is unchanged.
+
     Runs on SuperstepRunner: durable per-sub-step vertex-state checkpoints
     + mid-algorithm resume + metrics like the other iterative operators
     (north rule).  The even/odd movable half alternates on the GLOBAL
@@ -91,16 +108,20 @@ def louvain(
     """
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     und = _und_simple(ef)
+    if integer_gains:
+        und = und.withColumn(WEIGHT, F.col(WEIGHT).cast("long"))
     # both directions for gathering, cached pre-partitioned on the gather
     # join key so each sub-step exchanges only the state side (the wcc/lpa
     # superstep-cache convention)
     both = und.unionByName(
         und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
     ).repartition(DST).persist()
-    m = both.agg(F.sum(WEIGHT)).collect()[0][0]
-    if not m:
+    w2 = both.agg(F.sum(WEIGHT)).collect()[0][0]
+    if not w2:
         return spark.createDataFrame([], f"{VID} long, {COMM} long")
-    m = float(m) / 2.0  # each edge counted twice in `both`
+    m = float(w2) / 2.0  # each edge counted twice in `both`
+    DEC = "decimal(38,0)"
+    w2_lit = F.lit(int(w2)).cast(DEC) if integer_gains else None
 
     deg = both.groupBy(F.col(SRC).alias(VID)).agg(F.sum(WEIGHT).alias("ki")).persist()
     state0 = deg.select(VID, F.col(VID).alias(COMM), "ki")
@@ -137,7 +158,12 @@ def louvain(
             )
             .withColumn(
                 "gain",
-                F.col("kin") / F.lit(m)
+                (
+                    w2_lit * F.col("kin").cast(DEC)
+                    - F.col("ki").cast(DEC) * F.col("sigma_adj").cast(DEC)
+                )
+                if integer_gains
+                else F.col("kin") / F.lit(m)
                 - F.col("ki") * F.col("sigma_adj") / F.lit(2.0 * m * m),
             )
         )
@@ -157,29 +183,37 @@ def louvain(
         kin_own = cand.filter(F.col("c_nbr") == F.col(COMM)).select(
             VID, F.col("kin").alias("_kin_own")
         )
+        if integer_gains:
+            stay_expr = w2_lit * F.coalesce(
+                F.col("_kin_own"), F.lit(0)
+            ).cast(DEC) - F.col("ki").cast(DEC) * (
+                F.col("sigma") - F.col("ki")
+            ).cast(DEC)
+        else:
+            stay_expr = (
+                F.coalesce(F.col("_kin_own"), F.lit(0.0)) / F.lit(m)
+                - F.col("ki") * (F.col("sigma") - F.col("ki")) / F.lit(2.0 * m * m)
+            )
         stay = (
             state.join(sigma.select(COMM, "sigma"), on=COMM)
             .join(kin_own, on=VID, how="left")
-            .select(
-                VID,
-                (
-                    F.coalesce(F.col("_kin_own"), F.lit(0.0)) / F.lit(m)
-                    - F.col("ki") * (F.col("sigma") - F.col("ki")) / F.lit(2.0 * m * m)
-                ).alias("_sg"),
-            )
+            .select(VID, stay_expr.alias("_sg"))
         )
         # alternate halves to avoid synchronous oscillation
         movable = (F.col(VID) % 2 == it % 2)
         ctx["span"] += 1
+        if integer_gains:
+            # pure integer comparison: strict > IS the tie rule (no epsilon)
+            move_ok = F.col("_bg") > F.col("_sg")
+        else:
+            move_ok = F.col("_bg") > F.coalesce(F.col("_sg"), F.lit(-1e18)) + 1e-15
         return (
             state.join(best, on=VID, how="left")
             .join(stay, on=VID, how="left")
             .select(
                 VID,
                 F.when(
-                    movable
-                    & F.col("_best").isNotNull()
-                    & (F.col("_bg") > F.coalesce(F.col("_sg"), F.lit(-1e18)) + 1e-15),
+                    movable & F.col("_best").isNotNull() & move_ok,
                     F.col("_best"),
                 )
                 .otherwise(F.col(COMM))

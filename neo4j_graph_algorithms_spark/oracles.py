@@ -788,6 +788,66 @@ def louvain_invariant_sql() -> str:
     return "SELECT CAST(TRUE AS BOOLEAN) AS louvain_beats_strawman"
 
 
+def louvain_int_sql(iterations: int = 4) -> str:
+    """Value twin of operators/louvain.py:louvain(integer_gains=True) over
+    the co-order graph — the r5 deterministic gate mode.  Every gain
+    comparison is multiplied through by the positive constant 2m², so the
+    whole greedy trajectory (moves, smaller-community tie-breaks,
+    alternating even/odd halves) is pure integer arithmetic: HUGEINT here,
+    decimal(38,0) on the Spark side — bit-identical by construction.
+    Unrolls `iterations` sub-steps; the Spark side may stop early at a
+    two-half quiescent fixpoint, after which further unrolled sub-steps
+    are provably no-ops (the step is a deterministic function of state)."""
+    parts = [
+        COORDER_CTES,
+        "und AS (SELECT src, dst, CAST(weight AS BIGINT) AS w FROM coorder)",
+        "bothe AS (SELECT src, dst, w FROM und UNION ALL SELECT dst, src, w FROM und)",
+        "w2 AS (SELECT CAST(SUM(w) AS HUGEINT) AS w2 FROM bothe)",
+        "deg AS (SELECT src AS vid, CAST(SUM(w) AS BIGINT) AS ki FROM bothe GROUP BY src)",
+        "l0 AS MATERIALIZED (SELECT vid, vid AS community, ki FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""sig{i} AS MATERIALIZED (
+  SELECT community, CAST(SUM(ki) AS BIGINT) AS sigma FROM l{i - 1} GROUP BY 1),
+kin{i} AS MATERIALIZED (
+  SELECT e.src AS vid, l.community AS c_nbr, CAST(SUM(e.w) AS BIGINT) AS kin
+  FROM bothe e JOIN l{i - 1} l ON e.dst = l.vid GROUP BY 1, 2),
+cand{i} AS MATERIALIZED (
+  SELECT k.vid, k.c_nbr, k.kin, s.community, s.ki,
+         CASE WHEN k.c_nbr = s.community THEN g.sigma - s.ki ELSE g.sigma END AS sigma_adj
+  FROM kin{i} k JOIN l{i - 1} s ON s.vid = k.vid JOIN sig{i} g ON g.community = k.c_nbr),
+best{i} AS MATERIALIZED (
+  SELECT vid, c_nbr AS best, ig FROM (
+    SELECT vid, c_nbr, ig,
+           row_number() OVER (PARTITION BY vid ORDER BY ig DESC, c_nbr ASC) AS rn
+    FROM (SELECT c.vid, c.c_nbr,
+                 w2.w2 * c.kin - CAST(c.ki AS HUGEINT) * c.sigma_adj AS ig
+          FROM cand{i} c CROSS JOIN w2) y) x WHERE rn = 1),
+stay{i} AS MATERIALIZED (
+  SELECT s.vid,
+         w2.w2 * coalesce(o.kin, 0) - CAST(s.ki AS HUGEINT) * (g.sigma - s.ki) AS ig_stay
+  FROM l{i - 1} s JOIN sig{i} g ON g.community = s.community
+  LEFT JOIN (SELECT vid, kin FROM cand{i} WHERE c_nbr = community) o ON o.vid = s.vid
+  CROSS JOIN w2),
+l{i} AS MATERIALIZED (
+  SELECT s.vid,
+         CASE WHEN s.vid % 2 = {(i - 1) % 2} AND b.best IS NOT NULL AND b.ig > st.ig_stay
+              THEN b.best ELSE s.community END AS community,
+         s.ki
+  FROM l{i - 1} s LEFT JOIN best{i} b ON b.vid = s.vid
+  LEFT JOIN stay{i} st ON st.vid = s.vid)"""
+        )
+    parts.append(
+        f"canon AS (SELECT community, MIN(vid) AS c FROM l{iterations} GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT l.vid, c.c AS community FROM l{iterations} l JOIN canon c USING (community)"
+    )
+
+
 def louvain_fixed_sql(groups: int = 4, group_size: int = 6) -> str:
     """Value-level louvain twin: EXACT transcription of the phase-1
     local-move rule (operators/louvain.py step: sigma/kin/gain, strict

@@ -1349,3 +1349,28 @@ SELECT x, y, c_xy, c_x, c_y, lift_q6, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (
       PARTITION BY x ORDER BY lift_q6 DESC, y) AS rank
   FROM scored) z WHERE rank <= {per_head_k}"""
+
+
+def pca_planted_sql() -> str:
+    """Value twin of similarity.py:pca_project over the planted-spectrum
+    table (sources/synth.py:planted_spectrum_embeddings): the 3-4-5
+    rotation design has a CLOSED-FORM eigendecomposition (eigenvectors
+    ±block columns, eigenvalues the planted Σc²), so the expected
+    projection of every (row, component) pair is a literal — row (j, c)
+    projects to ±c on the component ranked by λ_j and exactly 0 elsewhere,
+    and every literal is a multiple of 0.05 (≥8 decimal digits away from
+    any 1e-6 rounding boundary, so eigh float noise cannot move a value)."""
+    from neo4j_graph_algorithms_spark.sources.synth import (
+        planted_spectrum_expected,
+    )
+
+    values = ",\n".join(
+        f"  ({vid}, {comp}, {value!r})"
+        for vid, comp, value in planted_spectrum_expected()
+    )
+    return f"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(component AS INTEGER) AS component,
+       CAST(value AS DOUBLE) AS value
+FROM (VALUES
+{values}
+) AS t(vec_id, component, value)"""

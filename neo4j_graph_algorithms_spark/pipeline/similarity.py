@@ -467,7 +467,10 @@ def pca_project(
             out.select(
                 F.col(id_col),
                 F.lit(c).alias("component"),
-                F.round(proj, 6).alias("value"),
+                # + 0.0 canonicalizes IEEE -0.0 (a projection onto an
+                # orthogonal component computes as ~-1e-16 and rounds to
+                # -0.0, which value-hashes differently from the oracle's 0.0)
+                (F.round(proj, 6) + F.lit(0.0)).alias("value"),
             )
         )
     res = rows[0]

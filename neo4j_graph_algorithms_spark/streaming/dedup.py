@@ -86,4 +86,9 @@ def run_canonical_dedup(
             f"availableNow drain did not finish within {timeout_s}s — "
             "refusing to return a partial canonical table"
         )
-    return spark.table(name)
+    # copy the memory-sink table out and drop the uuid-named temp view —
+    # otherwise every call (gate + bench + tests) retains its full canonical
+    # table in driver memory for the session lifetime
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out

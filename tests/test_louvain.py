@@ -155,3 +155,102 @@ def test_conductance_isolated_community_is_zero(spark):
            for r in conductance_df(spark, edge_df(spark, pairs), assign).collect()}
     assert out[0] == 0.0  # no cut edges
     assert out[5] == 0.0  # isolated community, vol 0
+
+
+# --- r5: integer_gains deterministic gate mode ------------------------------
+
+
+def _python_louvain_int(pairs, weights, rounds):
+    """Pure-Python EXACT twin of louvain(integer_gains=True): same
+    2m²-scaled integer gain rule, smaller-community tie-break, alternating
+    even/odd halves, min-member canonicalization.  Independent of both
+    engines — the pytest-side ground truth for the louvain_communities
+    value gate (the DuckDB twin is oracles.louvain_int_sql)."""
+    from collections import defaultdict
+
+    acc = defaultdict(int)
+    for (s, d), w in zip(pairs, weights):
+        if s == d:
+            continue
+        acc[(min(s, d), max(s, d))] += int(w)
+    adj = defaultdict(list)
+    for (s, d), w in acc.items():
+        adj[s].append((d, w))
+        adj[d].append((s, w))
+    ki = {v: sum(w for _, w in nbrs) for v, nbrs in adj.items()}
+    w2 = sum(ki.values())
+    comm = {v: v for v in adj}
+    for it in range(rounds):
+        sigma = defaultdict(int)
+        for v in adj:
+            sigma[comm[v]] += ki[v]
+        new = {}
+        for v in adj:
+            kin = defaultdict(int)
+            for u, w in adj[v]:
+                kin[comm[u]] += w
+            best, bg = None, None
+            for c in sorted(kin):
+                sadj = sigma[c] - (ki[v] if c == comm[v] else 0)
+                g = w2 * kin[c] - ki[v] * sadj
+                if bg is None or g > bg:
+                    best, bg = c, g
+            sg = w2 * kin.get(comm[v], 0) - ki[v] * (sigma[comm[v]] - ki[v])
+            movable = v % 2 == it % 2
+            new[v] = best if (movable and best is not None and bg > sg) else comm[v]
+        comm = new
+    canon = {}
+    for v, c in comm.items():
+        canon[c] = min(canon.get(c, v), v)
+    return {v: canon[c] for v, c in comm.items()}
+
+
+def test_louvain_integer_gains_matches_python_twin(spark):
+    """integer_gains trajectory == the pure-Python exact twin at every
+    cut-off depth, on an integer-weighted non-trivial fixture."""
+    import itertools
+
+    pairs = (
+        list(itertools.combinations(range(4), 2))
+        + list(itertools.combinations(range(4, 8), 2))
+        + [(3, 4), (0, 5), (2, 7)]
+    )
+    weights = [((s + d) % 3) + 1 for s, d in pairs]
+    edges = edge_df(spark, pairs, weights)
+    for rounds in (1, 2, 4):
+        got = {
+            r.vid: r.community
+            for r in louvain(
+                spark, edges, max_iterations=rounds, integer_gains=True
+            ).collect()
+        }
+        want = _python_louvain_int(pairs, weights, rounds)
+        assert got == want, f"rounds={rounds}"
+
+
+def test_louvain_integer_gains_finds_planted_cliques(spark):
+    edges = _two_cliques(spark)
+    got = {
+        r.vid: r.community
+        for r in louvain(spark, edges, integer_gains=True).collect()
+    }
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[4] == got[5] == got[6] == got[7] == 4
+
+
+def test_louvain_integer_gains_matches_float_path(spark):
+    """On integer weights with well-separated gains the exact-integer and
+    float decision rules agree (the float epsilon 1e-15 is far below any
+    gain gap here)."""
+    edges = _two_cliques(spark)
+    a = {
+        r.vid: r.community
+        for r in louvain(spark, edges, max_iterations=4).collect()
+    }
+    b = {
+        r.vid: r.community
+        for r in louvain(
+            spark, edges, max_iterations=4, integer_gains=True
+        ).collect()
+    }
+    assert a == b

@@ -250,3 +250,26 @@ def test_ann_recall_ivf_end_to_end_bounds(spark, embs):
     approx_all = ivf_search(embs, cents, assign, queries, k=3, n_probes=2, quantize=6)
     full = ann_recall(exact, approx_all).collect()
     assert all(r.recall_q6 == 1_000_000 for r in full)
+
+
+def test_pca_project_planted_spectrum_exact(spark):
+    """The emb_pca_project value gate's pytest twin: over the 3-4-5
+    planted-spectrum table the eigendecomposition is closed-form, so every
+    (row, component) projection equals a literal multiple of 0.05 — the
+    same ground truth pca_planted_sql serves to the driver."""
+    from neo4j_graph_algorithms_spark.pipeline.similarity import pca_project
+    from neo4j_graph_algorithms_spark.sources.synth import (
+        planted_spectrum_embeddings,
+        planted_spectrum_expected,
+    )
+
+    got = {
+        (r.vec_id, r.component): r.value
+        for r in pca_project(planted_spectrum_embeddings(spark), k=8).collect()
+    }
+    want = {(v, c): x for v, c, x in planted_spectrum_expected()}
+    assert got == want
+    # no -0.0 leaks past the canonicalization (value-hash parity)
+    import math
+
+    assert all(math.copysign(1.0, v) > 0 for v in got.values() if v == 0.0)

@@ -115,6 +115,34 @@ def test_topo_levels_superstep_never_broadcasts_state(spark):
     _assert_no_state_broadcast(res.first_plan)
 
 
+def test_coloring_superstep_never_broadcasts_state(spark, monkeypatch):
+    """greedy_coloring's nb_colors join hashes the COLORED-state projection,
+    which grows to |V| — the shuffle_hash hint must hold in a round where
+    the colored set is non-empty (round 1's is empty, so first_plan alone
+    can't pin this join; capture every round's plan instead)."""
+    from neo4j_graph_algorithms_spark.operators.coloring import greedy_coloring
+    from neo4j_graph_algorithms_spark.plans import runtime
+
+    plans: list[str] = []
+    orig = runtime.SuperstepRunner.run
+
+    # wrap step via run so each round's plan is recorded
+    def run_with_wrap(self, initial_state, step, resume=False):
+        def wrapped(state, i):
+            new = step(state, i)
+            plans.append(new._jdf.queryExecution().toString())
+            return new
+
+        return orig(self, initial_state, wrapped, resume=resume)
+
+    monkeypatch.setattr(runtime.SuperstepRunner, "run", run_with_wrap)
+    greedy_coloring(spark, edge_df(spark, _PAIRS), max_iterations=30)
+    assert len(plans) >= 2, "graph colored in one round; grow the fixture"
+    for plan in plans[1:]:  # rounds with a non-empty colored set
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_keep_best_join_never_broadcasts_corpus(spark):
     """keep_best_in_groups joins two |corpus|-sized projections (groups ×
     quality) — the shuffle_hash hint must hold so neither side is ever a
