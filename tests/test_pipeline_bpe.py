@@ -105,3 +105,85 @@ def test_bpe_validation(spark):
     with pytest.raises(ValueError, match=">= 1"):
         bpe_train(docs, num_merges=0)
     assert SEP == "\x1f"
+
+
+# --- r5: batched merge rounds (identical output, ~k× fewer Spark jobs) ------
+
+
+def test_bpe_batched_matches_sequential_fixture(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    seq = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(docs, num_merges=6, batch_k=1).collect()
+    ]
+    for k in (2, 4, 8):
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(docs, num_merges=6, batch_k=k).collect()
+        ]
+        assert got == seq == py_bpe(_wc(), 6), f"batch_k={k}"
+
+
+def test_bpe_batched_matches_sequential_overlap_fixture(spark):
+    """The 'aaaa' fixture: every candidate shares symbol a, so the batch
+    degenerates to size 1 per round — and must STILL match."""
+    docs = spark.createDataFrame([(0, "aaaa aaaa b ab ab")], "doc_id long, text string")
+    seq = [(r.left, r.right, r.pair_count)
+           for r in bpe_train(docs, num_merges=3, batch_k=1).collect()]
+    got = [(r.left, r.right, r.pair_count)
+           for r in bpe_train(docs, num_merges=3, batch_k=8).collect()]
+    assert got == seq
+
+
+def test_bpe_batched_matches_python_on_random_corpora(spark):
+    """Randomized small-alphabet corpora drive deep merge chains where
+    multi-char symbols collide and interact — the adversarial regime for
+    the batching rule.  12 merges × 3 seeds, batch_k=8 vs the pure-Python
+    sequential reference."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            for _ in range(40)
+        ]
+        text = " ".join(words)
+        wc: dict[str, int] = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + 1
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(docs, num_merges=12, batch_k=8).collect()
+        ]
+        assert got == py_bpe(wc, 12), f"seed={seed}"
+
+
+def test_select_batch_rules():
+    """Unit probes of the three batching rules on synthetic count tables."""
+    from neo4j_graph_algorithms_spark.pipeline.bpe import _select_batch
+
+    # rule 1: shared symbol stops the prefix
+    cands = [("a", "b", 10), ("b", "c", 9), ("x", "y", 8)]
+    stats = {("a", "l"): 10, ("b", "r"): 10, ("b", "l"): 9, ("c", "r"): 9,
+             ("x", "l"): 8, ("y", "r"): 8}
+    assert _select_batch(cands, stats) == [("a", "b", 10)]
+
+    # rule 3: a created pair could outrank the next candidate (nb >= c)
+    cands = [("a", "b", 10), ("x", "y", 9)]
+    stats = {("a", "l"): 10, ("b", "r"): 10, ("x", "l"): 9, ("y", "r"): 9,
+             ("a", "r"): 9}  # some (q, a) pair has count 9 -> (q, ab) may reach 9
+    assert _select_batch(cands, stats) == [("a", "b", 10)]
+
+    # rule 3 pass: bounds strictly below the next count
+    cands = [("a", "b", 10), ("x", "y", 9)]
+    stats = {("a", "l"): 10, ("b", "r"): 10, ("x", "l"): 9, ("y", "r"): 9,
+             ("a", "r"): 8, ("b", "l"): 8}
+    assert _select_batch(cands, stats) == [("a", "b", 10), ("x", "y", 9)]
+
+    # rule 2: concat collision accepts the merge but stops the batch
+    cands = [("a", "b", 10), ("x", "y", 5)]
+    stats = {("a", "l"): 10, ("b", "r"): 10, ("x", "l"): 5, ("y", "r"): 5,
+             ("ab", "l"): 3}  # symbol "ab" already participates in pairs
+    assert _select_batch(cands, stats) == [("a", "b", 10)]
