@@ -38,8 +38,9 @@ convention): h is assembled once, repartitioned on vid, persisted, and the
 per-superstep candidate⋈h join hashes the frontier-sized side into it.
 Landmark precomputation is 2 SSSP runs per landmark, amortized across all
 point-to-point queries on the same graph (pass `heuristic=` to reuse).
-The per-superstep g(t) probe reads one row of the just-materialized state
-(the runner localCheckpoints each step) — a scalar lookup, not a recompute.
+The g(t) probe that tightens U is FOLDED into the runner's metric
+aggregation (one scalar job per superstep total, r5): the metric returns
+(improved count, g(t)) from a single agg over the just-materialized state.
 """
 
 from __future__ import annotations
@@ -58,9 +59,12 @@ _INF = float("inf")
 
 
 def pick_landmarks(e: DataFrame, n: int) -> list[int]:
-    """Top-n vertices by total degree (ties by vid asc) — deterministic,
-    and high-degree hubs sit on many shortest paths, which is what makes
-    a landmark's triangle bounds tight."""
+    """Top-n vertices by total degree (ties by vid asc) — deterministic
+    and cheap (one aggregation), but provably WEAK on hub graphs: a hub is
+    close to everything, so both triangle terms d(L,t) − d(L,v) and
+    d(v,L) − d(t,L) collapse toward 0.  Kept as the seed picker and for
+    callers that want the no-extra-SSSP option; `astar_path` defaults to
+    `pick_landmarks_farthest` (r5)."""
     deg = (
         e.select(F.col(SRC).alias(VID))
         .unionAll(e.select(F.col(DST).alias(VID)))
@@ -70,6 +74,57 @@ def pick_landmarks(e: DataFrame, n: int) -> list[int]:
         .limit(n)
     )
     return [int(r[VID]) for r in deg.collect()]
+
+
+def pick_landmarks_farthest(
+    spark: SparkSession, e: DataFrame, n: int, max_iterations: int = 200
+) -> list[int]:
+    """Farthest-point landmark selection (the standard ALT choice,
+    Goldberg & Harrelson SODA'05 §3): seed with the highest-degree vertex,
+    then greedily add the vertex maximizing its minimum UNDIRECTED
+    distance to the chosen set — landmarks spread to the periphery, where
+    the triangle bounds are widest.  Deterministic (max distance, ties by
+    vid asc).  Costs n−1 undirected SSSPs, amortized across every
+    point-to-point query on the graph like the rest of the landmark
+    precompute.  Vertices unreachable from every chosen landmark never
+    appear in the running min-distance table and so are never picked —
+    correct: a landmark in a foreign component prunes nothing here."""
+    seed = pick_landmarks(e, 1)
+    if not seed or n <= 1:
+        return seed[:n]
+    und = (
+        e.unionByName(
+            e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col(WEIGHT))
+        )
+        .groupBy(SRC, DST)
+        .agg(F.min(WEIGHT).alias(WEIGHT))
+    )
+    lms = list(seed)
+    mind: DataFrame | None = None
+    for _ in range(n - 1):
+        d = sssp(spark, und, lms[-1], "OUTGOING", max_iterations).select(
+            VID, F.col(DIST).alias("_dn")
+        )
+        if mind is None:
+            mind = d.withColumnRenamed("_dn", "_d")
+        else:
+            mind = mind.join(d, on=VID, how="full_outer").select(
+                VID,
+                F.least(
+                    F.coalesce(F.col("_d"), F.lit(_INF)),
+                    F.coalesce(F.col("_dn"), F.lit(_INF)),
+                ).alias("_d"),
+            )
+        far = (
+            mind.filter(~F.col(VID).isin([int(x) for x in lms]))
+            .orderBy(F.desc("_d"), F.asc(VID))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break  # every reachable vertex is already a landmark
+        lms.append(int(far[0][VID]))
+    return lms
 
 
 def landmark_heuristic(
@@ -161,7 +216,7 @@ def astar_path(
 
     if heuristic is None:
         lms = (
-            pick_landmarks(e, landmarks)
+            pick_landmarks_farthest(spark, e, landmarks, max_iterations)
             if isinstance(landmarks, int)
             else list(landmarks)
         )
@@ -184,11 +239,10 @@ def astar_path(
     bound = {"u": float(upper_bound)}
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        # tighten U with the best g(t) seen so far (state is materialized
-        # by the runner each superstep — this is a one-row scalar probe)
-        t_row = state.filter(F.col(VID) == int(target)).collect()
-        if t_row:
-            bound["u"] = min(bound["u"], float(t_row[0][DIST]))
+        # bound["u"] was tightened by the PREVIOUS superstep's metric agg
+        # (same information the old per-step g(t) probe read, one fewer
+        # driver-blocking job per superstep); any U >= d(s,t) prunes safely,
+        # so the folded timing never changes the output
         frontier = state.filter(F.col("improved")).select(VID, DIST)
         relaxed = (
             e.join(
@@ -223,7 +277,17 @@ def astar_path(
         )
 
     def metric(new: DataFrame, old: DataFrame, i: int) -> float:
-        return float(new.filter(F.col("improved")).count())
+        # ONE scalar job per superstep: improved count (convergence) AND
+        # g(t) (the U tightener) from the same aggregation
+        row = new.agg(
+            F.coalesce(
+                F.sum(F.col("improved").cast("long")), F.lit(0)
+            ).alias("n"),
+            F.min(F.when(F.col(VID) == int(target), F.col(DIST))).alias("gt"),
+        ).collect()[0]
+        if row["gt"] is not None:
+            bound["u"] = min(bound["u"], float(row["gt"]))
+        return float(row["n"])
 
     runner = SuperstepRunner(
         spark,

@@ -26,6 +26,66 @@ class CurationResult:
     stats: dict
 
 
+@dataclass
+class EventCurationResult:
+    sessions: DataFrame
+    user_features: DataFrame
+    stats: dict
+
+
+#: Default bot cap for the COMPOSED event pipeline (`curate_events`).  The
+#: raw `events.sessionize` operator keeps `max_events_per_user=None`
+#: (truncation changes semantics, so it stays opt-in there), but the 100 TB
+#: preset path must never run an unbounded per-user window: 100k events is
+#: ~1 event/30 s for 3 years — beyond it a "user" is a bot or an ingest
+#: error, and sessionize warns with the affected user count when it trims.
+EVENTS_MAX_PER_USER = 100_000
+
+
+def curate_events(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    max_events_per_user: int | None = EVENTS_MAX_PER_USER,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    compute_stats: bool = True,
+) -> EventCurationResult:
+    """Event-stream curation preset: bot-capped sessionization + the
+    per-user engagement feature block, composed with a FINITE
+    `max_events_per_user` by default (`EVENTS_MAX_PER_USER`) so the
+    per-user lag/cumsum window inside `sessionize` is bounded on the
+    100 TB path without opt-in.  `user_activity_features` is pure
+    hash-aggregation (no per-user window), so it runs over the UNCAPPED
+    events — features describe the user's true history; only the
+    window-shaped session computation is trimmed."""
+    from neo4j_graph_algorithms_spark.pipeline.events import (
+        sessionize,
+        user_activity_features,
+    )
+
+    stats: dict = {}
+    if compute_stats:
+        stats["input"] = events.count()
+    sessions = sessionize(
+        events,
+        gap_minutes=gap_minutes,
+        user_col=user_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        max_events_per_user=max_events_per_user,
+    )
+    feats = user_activity_features(
+        events, user_col=user_col, ts_col=ts_col, type_col=type_col,
+        value_col=value_col,
+    )
+    if compute_stats:
+        stats["sessions"] = sessions.count()
+        stats["users"] = feats.count()
+    return EventCurationResult(sessions=sessions, user_features=feats, stats=stats)
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",

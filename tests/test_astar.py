@@ -106,3 +106,39 @@ def test_astar_reuses_precomputed_heuristic(spark):
         .collect()
     ]
     assert got == [ids[c] for c in "sghix"]
+
+
+def test_pick_landmarks_farthest_spreads_to_periphery(spark):
+    """On a path graph seeded at the high-degree middle, farthest-point
+    selection must pick an endpoint next (degree selection would pick
+    another interior hub)."""
+    from neo4j_graph_algorithms_spark.operators.astar import (
+        pick_landmarks_farthest,
+    )
+
+    # path 0-1-2-3-4-5-6 plus extra parallel-ish edges to make 3 the hub
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (3, 1), (3, 5)]
+    e = edge_df(spark, pairs).groupBy("src", "dst").agg(
+        F.min("weight").alias("weight")
+    )
+    lms = pick_landmarks_farthest(spark, e, 3)
+    assert lms[0] == 3  # degree seed
+    # the two farthest-from-{3} vertices are the endpoints 0 and 6 (dist 2
+    # via the shortcuts... 3-1-0 = 2 hops, 3-5-6 = 2 hops; ties -> vid asc)
+    assert set(lms[1:]) <= {0, 6}
+    assert len(lms) == 3 and len(set(lms)) == 3
+
+
+def test_pick_landmarks_farthest_deterministic_and_capped(spark):
+    from neo4j_graph_algorithms_spark.operators.astar import (
+        pick_landmarks_farthest,
+    )
+
+    e = edge_df(spark, [(0, 1), (1, 2)]).groupBy("src", "dst").agg(
+        F.min("weight").alias("weight")
+    )
+    a = pick_landmarks_farthest(spark, e, 2)
+    b = pick_landmarks_farthest(spark, e, 2)
+    assert a == b and len(a) == 2
+    # asking for more landmarks than reachable vertices stops early
+    assert len(pick_landmarks_farthest(spark, e, 10)) <= 3
