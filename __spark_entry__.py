@@ -992,6 +992,61 @@ def _q_streaming_cocommit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_streaming_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star loop end-to-end (r4 verdict #5): stream THREE commit
+    waves of the poly-mode corpus through the stateful co-commit ingest,
+    warm-restart PageRank after each wave via
+    streaming/incremental.py:refresh_pagerank_scores (8 fixed supersteps
+    per refresh, tolerance=None), and return the FINAL published scores —
+    which must value-match the unrolled 3-phase warm-restart oracle
+    (oracles.corpus_incremental_pagerank_sql).  Waves split BY COMMIT, so
+    each wave's merged edge table equals the batch co-commit derivation of
+    the corpus prefix."""
+    import shutil
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.sources.corpus import synthesize_corpus
+    from neo4j_graph_algorithms_spark.streaming.incremental import (
+        refresh_pagerank_scores,
+    )
+    from neo4j_graph_algorithms_spark.streaming.ingest import (
+        cocommit_increments,
+        merge_edge_increments,
+        stream_corpus,
+    )
+
+    base = tempfile.mkdtemp(prefix="linkgraph-incr-gate-")
+    try:
+        corpus = synthesize_corpus(spark, hash_mode="poly")
+        waves = [
+            corpus.filter(F.col("commit") < "c_0010"),
+            corpus.filter((F.col("commit") >= "c_0010") & (F.col("commit") < "c_0015")),
+            corpus.filter(F.col("commit") >= "c_0015"),
+        ]
+        for w, wdf in enumerate(waves):
+            wdf.coalesce(2).write.parquet(f"{base}/in/wave={w}")
+            stream = stream_corpus(spark, f"{base}/in")
+            inc = cocommit_increments(stream, id_mode="poly")
+            q = merge_edge_increments(
+                inc, f"{base}/edges", f"{base}/ck", trigger_available_now=True
+            )
+            q.awaitTermination(600)
+            refresh_pagerank_scores(
+                spark,
+                f"{base}/edges",
+                f"{base}/scores",
+                tolerance=None,
+                max_iterations=8,
+            )
+        return (
+            spark.read.parquet(f"{base}/scores")
+            .select("vid", F.round("rank", 6).alias("rank"))
+            .localCheckpoint(eager=True)  # materialize before the tmp dir dies
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.curate import curate
 
@@ -1565,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec_walks": _q_node2vec_walks,
         # --- distinct core paths --------------------------------------------
         "pagerank_warm_restart": _q_pagerank_warm,
+        "streaming_incremental_pagerank": _q_streaming_incremental_pagerank,  # new r5 gate: the north-star loop end-to-end — 3 streamed commit waves, warm-restart refresh after each, final published scores == unrolled 3-phase oracle (incremental.py's first driver row)
         "lpa_csr_3iter": _q_lpa_csr,
         "streaming_sessions": _q_streaming_sessions,  # new r4 gate: session_window streaming drain == batch sessionize, same sessionize_sql oracle (graph_random_walks rotates to tail: r3 green; graph_node2vec_walks keeps the r4 walk-loop change driver-covered in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
@@ -1675,6 +1731,9 @@ def oracle_sql() -> dict[str, str]:
         "lineseq_edges": oracles.lineseq_edges_sql(),
         "pagerank_20iter": oracles.pagerank_sql(iterations=20),
         "pagerank_warm_restart": oracles.pagerank_warm_sql(pre_iters=20, warm_iters=10),
+        "streaming_incremental_pagerank": oracles.corpus_incremental_pagerank_sql(
+            wave_commits=(10, 15, 20), iters_per_wave=8
+        ),
         "wcc_components": oracles.wcc_sql(rounds=12),
         "wcc_stats": oracles.wcc_stats_sql(rounds=12),
         "triangle_total": oracles.triangle_total_sql(),

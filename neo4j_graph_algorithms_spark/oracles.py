@@ -1032,6 +1032,91 @@ cr{i} AS MATERIALIZED (
     )
 
 
+def corpus_incremental_pagerank_sql(
+    wave_commits: tuple[int, ...] = (10, 15, 20),
+    iters_per_wave: int = 8,
+    damping: float = 0.85,
+) -> str:
+    """Twin of the streaming_incremental_pagerank gate — the north-star
+    loop end-to-end: the co-commit graph grows wave by wave (wave w = the
+    corpus restricted to commit ordinal < wave_commits[w]), and PageRank is
+    republished after each wave by warm-restarting from the previous
+    scores (streaming/incremental.py:refresh_pagerank_scores).  Each phase
+    unrolls `iters_per_wave` fixed delta-push rounds (tolerance=None on
+    the Spark side); phase 1 is the cold init (rank=delta=alpha), later
+    phases use the residual init  delta0 = alpha + d·M·r_old − r_old  over
+    the GROWN graph with prior-missing vertices at 0 — exactly
+    `pagerank(initial_ranks=...)`.  Wave splits are BY COMMIT, so the
+    cumulative streaming-merged edge table after wave w equals the batch
+    co-commit derivation of the wave-w corpus prefix."""
+    from neo4j_graph_algorithms_spark.sources.derive import poly_hash_sql
+
+    vid = poly_hash_sql("repo || '|' || path")
+    alpha = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [_corpus_ctes()]
+    prev_final: str | None = None
+    for w, kc in enumerate(wave_commits, start=1):
+        cut = f"c_{int(kc):04d}"
+        parts.append(
+            f"""t{w} AS (
+  SELECT DISTINCT repo, "commit", path, {vid} AS vid FROM corpus
+  WHERE "commit" < '{cut}')"""
+        )
+        # distinct canonical pairs: unweighted pagerank outdeg = edge ROWS
+        # of the merged table, one per pair
+        parts.append(
+            f"""e{w} AS (
+  SELECT a.vid AS src, b.vid AS dst
+  FROM t{w} a JOIN t{w} b
+    ON a.repo = b.repo AND a."commit" = b."commit" AND a.vid < b.vid
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"v{w} AS (SELECT src AS vid FROM e{w} UNION SELECT dst AS vid FROM e{w})"
+        )
+        parts.append(f"dg{w} AS (SELECT src, count(*) AS outdeg FROM e{w} GROUP BY src)")
+        parts.append(
+            f"ew{w} AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv FROM e{w} e JOIN dg{w} d USING (src))"
+        )
+        if prev_final is None:
+            parts.append(
+                f"r{w}_0 AS MATERIALIZED (SELECT vid, CAST({alpha} AS DOUBLE) AS rank, "
+                f"CAST({alpha} AS DOUBLE) AS delta FROM v{w})"
+            )
+        else:
+            parts.append(
+                f"""rold{w} AS MATERIALIZED (
+  SELECT v.vid, coalesce(p.rank, 0) AS r FROM v{w} v LEFT JOIN {prev_final} p ON v.vid = p.vid)"""
+            )
+            parts.append(
+                f"""m{w} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.r * e.inv) AS m
+  FROM rold{w} r JOIN ew{w} e ON r.vid = e.src GROUP BY e.dst)"""
+            )
+            parts.append(
+                f"""r{w}_0 AS MATERIALIZED (
+  SELECT v.vid, {alpha} + {d} * coalesce(m.m, 0) AS rank,
+         {alpha} + {d} * coalesce(m.m, 0) - v.r AS delta
+  FROM rold{w} v LEFT JOIN m{w} m ON v.vid = m.vid)"""
+            )
+        for i in range(1, iters_per_wave + 1):
+            parts.append(
+                f"""r{w}_{i}s AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.delta * e.inv) AS s
+  FROM r{w}_{i - 1} r JOIN ew{w} e ON r.vid = e.src WHERE r.delta <> 0 GROUP BY e.dst),
+r{w}_{i} AS MATERIALIZED (
+  SELECT v.vid, v.rank + {d} * coalesce(s.s, 0) AS rank, {d} * coalesce(s.s, 0) AS delta
+  FROM r{w}_{i - 1} v LEFT JOIN r{w}_{i}s s ON v.vid = s.vid)"""
+            )
+        prev_final = f"r{w}_{iters_per_wave}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vid, round(rank, 6) AS rank FROM {prev_final}"
+    )
+
+
 def metapath_filter_sql(length: int = 3, start_label: int = 0, end_label: int = 2) -> str:
     """filterMetaPaths twin: full metapath counts filtered by start+end label."""
     inner = metapath_variant_sql(length=length)
