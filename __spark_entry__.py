@@ -830,6 +830,24 @@ def _q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_jpeg_media(spark, n=64, width=16, height=16))
 
 
+def _q_image_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec COLOUR JPEG gate (r5): genuine 3-component YCbCr 4:2:0
+    baseline payloads — interleaved MCU scan, separate luma/chroma quant +
+    Huffman table ids — decoded by pipeline/jpeg.py's colour path
+    (per-component table selection, replicate chroma upsampling, the
+    documented fixed-point YCbCr→RGB transform) inside the Arrow-batched
+    kernel.  The fixture is MCU-constant so the lossy codec round-trips
+    exactly and the oracle regenerates the RGB grid as pure SQL."""
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        extract_features,
+        synthesize_jpeg_color_media,
+    )
+
+    return extract_features(
+        synthesize_jpeg_color_media(spark, n=64, width=32, height=32)
+    )
+
+
 def _q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec VIDEO gate: genuine AVI/MJPG payloads (RIFF container,
     every frame a real baseline JPEG) walked + sampled-frame-decoded by
@@ -1588,7 +1606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_gram_matrix": _q_gram_matrix,  # new r4 gate: exact integer-scaled Gram matrix, the distributed-PCA pass (graph_walk_skipgrams rotates to tail: r3 green, and the r4 walk-loop change stays driver-covered in window by graph_node2vec_walks)
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
         "node_similarity_topk": _q_node_similarity,
-        "link_adamic_adar": _q_adamic_adar,
         "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
         "graph_rich_club": _q_rich_club,  # new r4 gate: rich-club density curve via histogram suffix sums — the hub-interconnection audit behind the repo's hub caps (doc_repetition_ratio rotates to tail: r3 driver-green, rep-ratio column exprs unchanged since; six doc_* gates stay in window)
         "doc_chunk_overlap": _q_chunk_overlap,  # new r4 gate: sliding-window chunking, the RAG shard step (doc_decontaminate rotates to tail: r3 green, unchanged since, and doc_repetition_ratio keeps the n-gram quality path in window)
@@ -1596,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_effective_diameter": _q_effective_diameter,  # new r4 gate: HyperANF effective diameter (pagerank_personalized rotates to tail; weighted/warm/articlerank cover the pagerank superstep in window)
         "doc_top_ngrams": _q_top_ngrams,  # new r4 gate: corpus top-k n-grams via TakeOrderedAndProject (doc_pii_scrub rotates to tail: r3 green, regex path unchanged since)
         "image_jpeg_features": _q_image_jpeg_features,  # new r4 gate: real baseline-JPEG codec (VERDICT item 5)
+        "image_jpeg_color": _q_image_jpeg_color,  # new r5 gate: YCbCr 4:2:0 colour JPEG decode — interleaved MCUs, two-table luma/chroma selection, fixed-point RGB transform (VERDICT r4 item 4; link_adamic_adar rotates to tail: r4 driver-green, nodesim.py unchanged since, node_similarity_topk keeps the shared neighbor-intersection path in window)
         "ktruss_4": _q_ktruss,
         "doc_collocations": _q_collocations,  # new r4 gate: per-head top-k collocations by exact integer lift — the phrase-discovery audit (dag_topo_levels rotates to tail: r3 driver-green hash row, dag.py unchanged since; many SuperstepRunner siblings in window)
         "hyperball_harmonic": _q_hyperball_harmonic,  # new r4 gate (VERDICT item 8)
@@ -1625,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,  # new r4 gate: session_window streaming drain == batch sessionize, same sessionize_sql oracle (graph_random_walks rotates to tail: r3 green; graph_node2vec_walks keeps the r4 walk-loop change driver-covered in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "link_adamic_adar": _q_adamic_adar,  # r4 driver-green; nodesim.py unchanged since; rotated out r5 for image_jpeg_color — node_similarity_topk keeps the shared neighbor-intersection path in window
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
@@ -1846,6 +1865,9 @@ def oracle_sql() -> dict[str, str]:
         "image_png_features": pipeline_oracles.png_features_sql(n=64, width=8, height=8),
         "image_gif_features": pipeline_oracles.png_features_sql(n=64, width=8, height=8),
         "image_jpeg_features": pipeline_oracles.jpeg_features_sql(n=64, width=16, height=16),
+        "image_jpeg_color": pipeline_oracles.jpeg_color_features_sql(
+            n=64, width=32, height=32
+        ),
         "video_features": pipeline_oracles.video_features_sql(
             n=48, width=16, height=16, n_frames=6, every_n=2
         ),

@@ -223,6 +223,30 @@ def synthesize_jpeg_media(
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthesize_jpeg_color_media(
+    spark: SparkSession, n: int = 64, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Deterministic media table whose payloads are genuine 3-component
+    YCbCr 4:2:0 baseline JPEGs (media_type='image/jpeg', two quant/Huffman
+    table ids, interleaved MCU scan).  Planes are MCU-CONSTANT
+    (jpeg_color_planes) so the lossy codec + replicate chroma upsampling
+    round-trip EXACTLY, and the decoder's fixed-point YCbCr→RGB transform
+    is a pure integer formula a SQL oracle regenerates — see
+    pipeline/jpeg.py's module docstring."""
+    from .jpeg import encode_jpeg_color, jpeg_color_planes
+
+    rows = [
+        (
+            i,
+            encode_jpeg_color(*jpeg_color_planes(i, width, height), subsample=True),
+            "image/jpeg",
+            (width, height, 3, None, 1),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthesize_media(
     spark: SparkSession, n: int = 64, width: int = 8, height: int = 8
 ) -> DataFrame:

@@ -546,6 +546,42 @@ SELECT media_id,
 FROM px GROUP BY media_id"""
 
 
+def jpeg_color_features_sql(n: int = 64, width: int = 32, height: int = 32) -> str:
+    """Twin of multimodal.extract_features over synthesize_jpeg_color_media's
+    REAL YCbCr 4:2:0 baseline-JPEG payloads.  The fixture is MCU-CONSTANT —
+    one (Y, Cb, Cr) triple per 16×16 MCU (jpeg_color_planes) — so the lossy
+    DCT codec and the replicate chroma upsampling both round-trip exactly,
+    and the decoder's DOCUMENTED fixed-point YCbCr→RGB transform
+    (pipeline/jpeg.py module docstring; floor((256·Y + c·Δ + 128)/256),
+    division by 2^8 is IEEE-exact) is regenerated here as pure SQL while
+    Spark Huffman-decodes genuine interleaved two-table JPEG streams in the
+    Arrow-batched kernel.  Features aggregate over all 3 RGB channels."""
+    npx3 = width * height * 3
+    return f"""WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range({n}) t(i)),
+mcu AS (
+  SELECT media_id,
+         (17 * (x // 16) + 29 * (y // 16) + 31 * media_id) % 256 AS yv,
+         (11 * (x // 16) +  7 * (y // 16) + 13 * media_id) % 256 AS cbv,
+         ( 5 * (x // 16) + 23 * (y // 16) + 19 * media_id) % 256 AS crv
+  FROM ids, range({width}) tx(x), range({height}) ty(y)),
+rgb AS (
+  SELECT media_id,
+         GREATEST(0, LEAST(255, CAST(floor((256 * yv + 359 * (crv - 128) + 128) / 256.0) AS BIGINT))) AS r,
+         GREATEST(0, LEAST(255, CAST(floor((256 * yv - 88 * (cbv - 128) - 183 * (crv - 128) + 128) / 256.0) AS BIGINT))) AS g,
+         GREATEST(0, LEAST(255, CAST(floor((256 * yv + 454 * (cbv - 128) + 128) / 256.0) AS BIGINT))) AS b
+  FROM mcu),
+ch AS (
+  SELECT media_id, r AS v FROM rgb
+  UNION ALL SELECT media_id, g FROM rgb
+  UNION ALL SELECT media_id, b FROM rgb)
+SELECT media_id,
+       CAST(floor(avg(v)) AS INT) AS mean_intensity,
+       CAST(max(v) AS INT) AS max_intensity,
+       CAST(floor(100.0 * sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) / {npx3}) AS INT)
+         AS nonzero_frac_pct
+FROM ch GROUP BY media_id"""
+
+
 def audio_features_sql(n: int = 64, n_samples: int = 800, sample_rate: int = 8000) -> str:
     """Twin of multimodal.audio_features over synthesize_audio's REAL WAV
     payloads: sample t of media m = ((t*(m%17+3)) % 1024) - 512, so the SQL
