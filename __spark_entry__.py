@@ -1616,7 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jpeg_color": _q_image_jpeg_color,  # new r5 gate: YCbCr 4:2:0 colour JPEG decode — interleaved MCUs, two-table luma/chroma selection, fixed-point RGB transform (VERDICT r4 item 4; link_adamic_adar rotates to tail: r4 driver-green, nodesim.py unchanged since, node_similarity_topk keeps the shared neighbor-intersection path in window)
         "ktruss_4": _q_ktruss,
         "doc_collocations": _q_collocations,  # new r4 gate: per-head top-k collocations by exact integer lift — the phrase-discovery audit (dag_topo_levels rotates to tail: r3 driver-green hash row, dag.py unchanged since; many SuperstepRunner siblings in window)
-        "hyperball_harmonic": _q_hyperball_harmonic,  # new r4 gate (VERDICT item 8)
+        "emb_pca_project": _q_pca_project,  # r5 upgrade IN WINDOW: rows-only → VALUE-gated via the planted-spectrum table (closed-form eigendecomposition; oracle = pca_planted_sql literal ground truth; hyperball_harmonic rotates to tail: r4 driver-green, hyperball.py unchanged since, graph_effective_diameter keeps the HLL superstep chain in window)
         "pagerank_articlerank": _q_article_rank,  # stays in-window r4: build join refactored (denominator folded, VERDICT/ADVICE)
         "streaming_dedup_canonical": _q_streaming_dedup,  # new r4 gate: streaming canonical-dedup drain == batch grouping — the dedup index a continuous ingest maintains (bipartite_copurchase rotates to tail: r3 driver-green hash row, graph.py bipartite path unchanged since)
         "doc_bigram_logprob": _q_bigram_logprob,  # new r4 gate: order-2 MLE LM quality filter, exact integer-scaled term sums (graph_fastrp_embeddings rotates to tail: r3 green, operators/fastrp.py unchanged since, and graph_fastrp_csr — the Tier B twin over the SAME fastrp_sql oracle — stays in window)
@@ -1632,18 +1632,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _q_windowed_events,
         "events_funnel": _q_funnel,  # new r4 gate: ordered conversion funnel (streaming_cocommit_edges rotates to tail: r3 green, streaming/ingest.py unchanged since; streaming_windowed_events keeps a Structured-Streaming drain gate in window)
         "events_retention": _q_retention,  # new r4 gate: daily cohort retention (sssp_csr_from_0 rotates to tail: r3 green, csr/paths.py unchanged since; lpa/triangle/fastrp/closeness CSR kernels stay in window)
-        "events_transitions": _q_transitions,  # new r4 gate: Markov transition counts (closeness_csr_sampled rotates to tail: r3 green, csr/msbfs.py unchanged since)
+        "louvain_communities": _q_louvain,  # r5 upgrade IN WINDOW: rows-only → VALUE-gated via integer_gains mode (exact 2m²-scaled gains; oracle = louvain_int_sql unrolled 4 sub-steps; events_transitions rotates to tail: r4 driver-green, events.py unchanged in r5, sessionize/windowed/funnel/retention/user_features keep events.py in window)
         "streaming_windowed_events": _q_streaming_windowed_events,  # new r4 gate: watermarked streaming window drain == batch aggregate (hyperball_est_r2 rotates to tail; hyperball_harmonic, same HLL chain at radius 4, stays in window)
         "pagerank_weighted": _q_pagerank_weighted,
         "graph_node2vec_walks": _q_node2vec_walks,
         # --- distinct core paths --------------------------------------------
-        "pagerank_warm_restart": _q_pagerank_warm,
-        "streaming_incremental_pagerank": _q_streaming_incremental_pagerank,  # new r5 gate: the north-star loop end-to-end — 3 streamed commit waves, warm-restart refresh after each, final published scores == unrolled 3-phase oracle (incremental.py's first driver row)
+        "streaming_incremental_pagerank": _q_streaming_incremental_pagerank,  # new r5 gate: the north-star loop end-to-end — 3 streamed commit waves, warm-restart refresh after each, final published scores == unrolled 3-phase oracle (incremental.py's first driver row; pagerank_warm_restart rotates to tail: r4 driver-green, and this gate drives the same warm-restart machinery plus the streaming merge in window)
         "lpa_csr_3iter": _q_lpa_csr,
         "streaming_sessions": _q_streaming_sessions,  # new r4 gate: session_window streaming drain == batch sessionize, same sessionize_sql oracle (graph_random_walks rotates to tail: r3 green; graph_node2vec_walks keeps the r4 walk-loop change driver-covered in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
         "link_adamic_adar": _q_adamic_adar,  # r4 driver-green; nodesim.py unchanged since; rotated out r5 for image_jpeg_color — node_similarity_topk keeps the shared neighbor-intersection path in window
+        "pagerank_warm_restart": _q_pagerank_warm,  # r4 driver-green; rotated out r5 for streaming_incremental_pagerank, which drives the same warm-restart machinery end-to-end (weighted + articlerank keep the pagerank superstep in window)
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
@@ -1663,7 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fastrp_embeddings": _q_fastrp,  # r3 green; operators/fastrp.py unchanged since; graph_fastrp_csr (same fastrp_sql oracle) in window
         "doc_pack_sequences": _q_pack_sequences,  # r3 green; pack.py + functions/rank.py unchanged since; prefix-sum path pytest-pinned
         "lpa_weighted_3iter": _q_lpa_weighted,  # r3 green; operators/lpa.py unchanged since; lpa_csr_3iter in window
-        "emb_pca_project": _q_pca_project,  # r5 upgrade: rows-only → VALUE-gated via the planted-spectrum table (closed-form eigendecomposition; oracle = pca_planted_sql literal ground truth); real-corpus Gram pass stays hash-gated via emb_gram_matrix
+        "hyperball_harmonic": _q_hyperball_harmonic,  # r4 driver-green; hyperball.py unchanged in r5; rotated out for emb_pca_project — graph_effective_diameter keeps the HLL superstep chain in window
+        "events_transitions": _q_transitions,  # r4 driver-green; events.py unchanged in r5; rotated out for louvain_communities — five events gates keep events.py in window
         "doc_decontaminate": _q_decontaminate,  # r3 green; unchanged since; doc_repetition_ratio keeps the n-gram quality path in window
         "doc_pii_scrub": _q_pii_scrub,  # r3 green; regex single-scan path unchanged since
         # r4: rotated out of the window for the 3 never-driver-run gates —
@@ -1715,7 +1716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_q_invariant": _q_louvain_invariant,  # louvain: fixed2_planted value oracle in window; r2 green
         "pagerank_csr_20iter": _q_pagerank_csr,  # Tier B runtime: 4 sibling CSR kernels (lpa/sssp/closeness/triangle) in window; r2 green
         "closeness_sampled": _q_closeness,  # Tier A MS-BFS: closeness_csr (Tier B twin, same semantics+oracle) in window; r2 green
-        "louvain_communities": _q_louvain,  # r5 upgrade: rows-only → VALUE-gated via integer_gains mode (exact 2m²-scaled gains; oracle = louvain_int_sql unrolled 4 sub-steps)
         "metapath_filtered": _q_metapath_filter,  # metapath family in window; r2 green
         "clustering_coefficient": _q_clustering_coefficient,  # triangles.py path: triangle_total in window; r2 green
         "label_dictionary": _q_label_dictionary,  # reducer.py path: graph_reducer_edges in window; r2 green
