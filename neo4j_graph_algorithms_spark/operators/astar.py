@@ -34,8 +34,10 @@ inputs blow up frontier-relaxation ROUND counts for any Bellman-Ford-style
 loop — use `delta_stepping` for those.
 
 Scale shape: landmark tables are |V|-sized — NEVER broadcast (repo
-convention): h is assembled once, repartitioned on vid, persisted, and the
-per-superstep candidate⋈h join hashes the frontier-sized side into it.
+convention): h is assembled once, then FOLDED INTO THE EDGE CACHE as an
+h(dst) column via one shuffle-hash join (r5), so every superstep's ALT
+prune is a plain column filter before the candidate aggregation — the
+per-round plan is exactly the baseline SSSP's, minus the pruned rows.
 Landmark precomputation is 2 SSSP runs per landmark, amortized across all
 point-to-point queries on the same graph (pass `heuristic=` to reuse).
 The g(t) probe that tightens U is FOLDED into the runner's metric
@@ -211,10 +213,12 @@ def astar_path(
     ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
     e = ef.with_direction(direction).df.select(SRC, DST, WEIGHT)
     e = e.groupBy(SRC, DST).agg(F.min(WEIGHT).alias(WEIGHT)).repartition(SRC)
-    e.persist()
-    e.count()
 
-    if heuristic is None:
+    cold = heuristic is None
+    if cold:
+        # the landmark SSSPs read e many times — worth its own cache
+        e.persist()
+        e.count()
         lms = (
             pick_landmarks_farthest(spark, e, landmarks, max_iterations)
             if isinstance(landmarks, int)
@@ -233,6 +237,29 @@ def astar_path(
     h.persist()
     h.count()
 
+    # Fold the potential into the EDGE cache once (r5): each relaxation
+    # then carries h(dst) as a plain column, so the per-superstep ALT prune
+    # is a filter BEFORE the candidate aggregation — zero per-round joins
+    # beyond the baseline SSSP's, and the pruned rows never reach the
+    # groupBy exchange.  One-time cost: an edge-sized shuffle, amortized
+    # over every superstep.  e_h is the ONLY edge cache the loop and the
+    # path rebuild touch, so a warm query (heuristic=) materializes the
+    # edge table exactly once, same as the baseline SSSP.
+    e_h = (
+        e.join(
+            h.select(
+                F.col(VID).alias(DST), F.col("h").alias("_h_dst")
+            ).hint("shuffle_hash"),
+            on=DST,
+            how="left",
+        )
+        .repartition(SRC)
+        .persist()
+    )
+    e_h.count()
+    if cold:
+        e.unpersist()
+
     state0 = spark.createDataFrame(
         [(int(source), 0.0, True)], f"{VID} long, {DIST} double, improved boolean"
     )
@@ -244,25 +271,24 @@ def astar_path(
         # driver-blocking job per superstep); any U >= d(s,t) prunes safely,
         # so the folded timing never changes the output
         frontier = state.filter(F.col("improved")).select(VID, DIST)
-        relaxed = (
-            e.join(
-                frontier.withColumnRenamed(VID, SRC).hint("shuffle_hash"), on=SRC
-            )
-            .select(F.col(DST).alias(VID), (F.col(DIST) + F.col(WEIGHT)).alias(DIST))
-            .groupBy(VID)
-            .agg(F.min(DIST).alias("_cand"))
+        relax = e_h.join(
+            frontier.withColumnRenamed(VID, SRC).hint("shuffle_hash"), on=SRC
+        ).select(
+            F.col(DST).alias(VID),
+            (F.col(DIST) + F.col(WEIGHT)).alias(DIST),
+            "_h_dst",
         )
         if bound["u"] != _INF:
-            # ALT prune: g + h(v) > U can never complete below U (strict >)
-            relaxed = (
-                relaxed.hint("shuffle_hash")
-                .join(h, on=VID, how="left")
-                .filter(
-                    F.col("_cand") + F.coalesce(F.col("h"), F.lit(0.0))
-                    <= F.lit(bound["u"])
-                )
-                .select(VID, "_cand")
+            # ALT prune: g + h(v) > U can never complete below U (strict >).
+            # Applied per-relaxation BEFORE the min-aggregation: the minimum
+            # candidate has the smallest g, so it survives iff the
+            # post-aggregation filter would have kept it — identical output,
+            # smaller exchange.
+            relax = relax.filter(
+                F.col(DIST) + F.coalesce(F.col("_h_dst"), F.lit(0.0))
+                <= F.lit(bound["u"])
             )
+        relaxed = relax.groupBy(VID).agg(F.min(DIST).alias("_cand"))
         return (
             state.select(VID, DIST)
             .join(relaxed, on=VID, how="full_outer")
@@ -298,7 +324,7 @@ def astar_path(
     )
     result = runner.run(state0, step)
     dist = result.state.select(VID, DIST)
-    out = path_from_dists(spark, e, dist, source, target)
+    out = path_from_dists(spark, e_h.select(SRC, DST, WEIGHT), dist, source, target)
     h.unpersist()
-    e.unpersist()
+    e_h.unpersist()
     return out
