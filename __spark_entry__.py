@@ -680,6 +680,33 @@ def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_distribution(spark, lineseq_edges(spark, sf_dir))
 
 
+def _q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset-Shalizi-Newman MLE power-law exponent of the degree tail
+    (operators/degrees.py:degree_powerlaw) — the scale-free audit behind
+    hub thresholds; 1e-6-grid integer log-term sums keep it exact."""
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_powerlaw
+
+    return degree_powerlaw(spark, lineseq_edges(spark, sf_dir), dmin=2)
+
+
+def _q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the degree distribution
+    (operators/degrees.py:degree_gini) — single-number skew audit via the
+    division-free doubled closed-form rank sum on the degree histogram."""
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_gini
+
+    return degree_gini(spark, lineseq_edges(spark, sf_dir))
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (pipeline/dedup.py:span_dedup, the
+    Lee-et-al ExactSubstr variant): tokens covered by any corpus-duplicated
+    3-gram are deleted and documents rebuilt from the unique remainder."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), n=3, min_count=2)
+
+
 def _q_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup GROUP assignment: LSH-verified pairs -> pointer-
     jumped WCC components -> MIN-id representative (pipeline/dedup.py)."""
@@ -1615,7 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jpeg_features": _q_image_jpeg_features,  # new r4 gate: real baseline-JPEG codec (VERDICT item 5)
         "image_jpeg_color": _q_image_jpeg_color,  # new r5 gate: YCbCr 4:2:0 colour JPEG decode — interleaved MCUs, two-table luma/chroma selection, fixed-point RGB transform (VERDICT r4 item 4; link_adamic_adar rotates to tail: r4 driver-green, nodesim.py unchanged since, node_similarity_topk keeps the shared neighbor-intersection path in window)
         "ktruss_4": _q_ktruss,
-        "doc_collocations": _q_collocations,  # new r4 gate: per-head top-k collocations by exact integer lift — the phrase-discovery audit (dag_topo_levels rotates to tail: r3 driver-green hash row, dag.py unchanged since; many SuperstepRunner siblings in window)
+        "dedup_spans": _q_span_dedup,  # new r5 gate: exact duplicated-span removal (Lee et al. ExactSubstr) — the span-level member completing the dedup family; pure integer/string relational plan (doc_collocations rotates to tail: r4 driver-green, text.py collocation path unchanged since; doc_top_ngrams + doc_bigram_logprob keep the n-gram aggregation paths in window)
         "emb_pca_project": _q_pca_project,  # r5 upgrade IN WINDOW: rows-only → VALUE-gated via the planted-spectrum table (closed-form eigendecomposition; oracle = pca_planted_sql literal ground truth; hyperball_harmonic rotates to tail: r4 driver-green, hyperball.py unchanged since, graph_effective_diameter keeps the HLL superstep chain in window)
         "pagerank_articlerank": _q_article_rank,  # stays in-window r4: build join refactored (denominator folded, VERDICT/ADVICE)
         "streaming_dedup_canonical": _q_streaming_dedup,  # new r4 gate: streaming canonical-dedup drain == batch grouping — the dedup index a continuous ingest maintains (bipartite_copurchase rotates to tail: r3 driver-green hash row, graph.py bipartite path unchanged since)
@@ -1623,13 +1650,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fastrp_csr": _q_fastrp_csr,  # new r4 Tier B kernel (VERDICT item 6)
         "events_user_features": _q_user_activity,  # new r4 gate: per-user RFM feature block with the exact-sum contract (lpa_weighted_3iter rotates to tail: r3 green, operators/lpa.py unchanged since; lpa_csr_3iter keeps label propagation in window)
         "community_conductance": _q_conductance,
-        "community_sllpa_overlap": _q_sllpa,
+        "graph_powerlaw_alpha": _q_degree_powerlaw,  # new r5 gate: CSN discrete-MLE power-law exponent, the scale-free audit behind every hub cap — 1e-6-grid integer log sums (community_sllpa_overlap rotates to tail: r4 driver-green, sllpa.py unchanged in r5; community_conductance + louvain_communities keep community quality in window)
         "doc_sample_stratified": _q_stratified_take,  # new r4 gate: deterministic per-stratum eval draw (doc_pack_sequences rotates to tail: r3 green, pack.py + functions/rank.py unchanged since; the distributed prefix-sum path they share stays pytest-pinned)
         "doc_bpe_subwords": _q_bpe_subwords,  # new r4 gate: learned-table segmentation counts (doc_unigram_logprob rotates to tail; doc_tfidf_topk covers the broadcast-token-model aggregation shape in window)
         "doc_length_stats": _q_length_stats,  # new r4 gate: token-length histogram percentiles, the packing-budget audit (graph_khop_sample rotates to tail; random/node2vec/skipgram walks keep the hash-deterministic sampling path covered in window)
         "graph_mis": _q_mis,  # new r4 gate: Luby maximal independent set, hash-priority superstep rounds == unrolled SQL (triangle_total_csr rotates to tail: r3 driver-green, csr/triangles.py unchanged since; lpa_csr_3iter + graph_fastrp_csr keep Tier B kernels in window)
         "events_sessionize": _q_sessionize,
-        "events_windowed_agg": _q_windowed_events,
+        "graph_degree_gini": _q_degree_gini,  # new r5 gate: degree-Gini skew audit, division-free closed-form rank sum on the histogram (events_windowed_agg rotates to tail: r4 driver-green, events.py unchanged since, and streaming_windowed_events — the SAME windowed_event_aggregate_sql oracle through the streaming drain — stays in window with sessionize/funnel/retention/user_features)
         "events_funnel": _q_funnel,  # new r4 gate: ordered conversion funnel (streaming_cocommit_edges rotates to tail: r3 green, streaming/ingest.py unchanged since; streaming_windowed_events keeps a Structured-Streaming drain gate in window)
         "events_retention": _q_retention,  # new r4 gate: daily cohort retention (sssp_csr_from_0 rotates to tail: r3 green, csr/paths.py unchanged since; lpa/triangle/fastrp/closeness CSR kernels stay in window)
         "louvain_communities": _q_louvain,  # r5 upgrade IN WINDOW: rows-only → VALUE-gated via integer_gains mode (exact 2m²-scaled gains; oracle = louvain_int_sql unrolled 4 sub-steps; events_transitions rotates to tail: r4 driver-green, events.py unchanged in r5, sessionize/windowed/funnel/retention/user_features keep events.py in window)
@@ -1644,6 +1671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail starts here (position 50+) ---------------------------------
         "link_adamic_adar": _q_adamic_adar,  # r4 driver-green; nodesim.py unchanged since; rotated out r5 for image_jpeg_color — node_similarity_topk keeps the shared neighbor-intersection path in window
         "pagerank_warm_restart": _q_pagerank_warm,  # r4 driver-green; rotated out r5 for streaming_incremental_pagerank, which drives the same warm-restart machinery end-to-end (weighted + articlerank keep the pagerank superstep in window)
+        "doc_collocations": _q_collocations,  # r4 driver-green; collocation path unchanged since; rotated out r5 for dedup_spans — doc_top_ngrams + doc_bigram_logprob keep the n-gram aggregation paths in window
+        "community_sllpa_overlap": _q_sllpa,  # r4 driver-green; sllpa.py unchanged in r5; rotated out for graph_powerlaw_alpha — community_conductance + louvain_communities keep community quality in window
+        "events_windowed_agg": _q_windowed_events,  # r4 driver-green; rotated out r5 for graph_degree_gini — streaming_windowed_events drives the same oracle through the streaming drain in window
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
@@ -1784,6 +1814,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_total_csr": oracles.triangle_total_sql(),
         "graph_mis": oracles.mis_sql(seed=17, rounds=12),
         "graph_rich_club": oracles.rich_club_sql(),
+        "graph_powerlaw_alpha": oracles.degree_powerlaw_sql(dmin=2),
+        "graph_degree_gini": oracles.degree_gini_sql(),
         "graph_coloring": oracles.coloring_sql(seed=17, rounds=24),
         "graph_matching": oracles.matching_sql(seed=29, rounds=16),
         "graph_coarsen": oracles.coarsen_sql(seed=29, rounds=16),
@@ -1831,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_score": pipeline_oracles.quality_score_sql(),
         "doc_fingerprint": pipeline_oracles.fingerprint_sql(),
         "dedup_exact": pipeline_oracles.exact_dedup_sql(),
+        "dedup_spans": pipeline_oracles.span_dedup_sql(n=3, min_count=2),
         "streaming_dedup_canonical": (
             "WITH h AS (SELECT sha256(text) AS content_hash, doc_id FROM documents)\n"
             "SELECT content_hash, min(doc_id) AS canonical_id,"

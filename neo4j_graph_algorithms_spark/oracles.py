@@ -2418,3 +2418,66 @@ SELECT DISTINCT d AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
        CAST(CAST(n_edges AS HUGEINT) * 2000000
             // (CAST(n_nodes AS HUGEINT) * (n_nodes - 1)) AS BIGINT) AS phi_q6
 FROM curves WHERE _isdeg > 0 AND n_nodes >= 2"""
+
+
+def degree_powerlaw_sql(dmin: int = 2) -> str:
+    """Clauset-Shalizi-Newman discrete-approx MLE power-law exponent —
+    twin of operators/degrees.py:degree_powerlaw.  Log terms summed on the
+    1e-6 integer grid per distinct degree; the final alpha/sigma expressions
+    textually mirror the Spark op order (1.0 + x, then − 1.0) so the two
+    engines evaluate identical IEEE sequences."""
+    return f"""WITH {LINESEQ_CTES},
+und AS (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM lineseq WHERE src <> dst GROUP BY 1, 2),
+deg AS (
+  SELECT vid, count(*) AS deg FROM (
+    SELECT src AS vid FROM und UNION ALL SELECT dst AS vid FROM und)
+  GROUP BY vid),
+hist AS (SELECT deg, count(*) AS cnt FROM deg WHERE deg >= {dmin} GROUP BY deg),
+agg AS (
+  SELECT sum(cnt) AS n_tail,
+         sum(CAST(round(ln(deg / ({dmin} - 0.5)) * 1000000.0, 0) AS BIGINT)
+             * cnt) AS s_q6
+  FROM hist)
+SELECT CAST({dmin} AS BIGINT) AS dmin,
+       CAST(n_tail AS BIGINT) AS n_tail,
+       round(1.0 + n_tail * 1000000.0 / s_q6, 6) AS alpha_q6,
+       round((1.0 + n_tail * 1000000.0 / s_q6 - 1.0) / sqrt(n_tail), 6)
+         AS sigma_q6
+FROM agg"""
+
+
+def degree_gini_sql() -> str:
+    """Degree-distribution Gini coefficient — twin of
+    operators/degrees.py:degree_gini.  The doubled closed-form rank sum
+    (2·Σ i·d = Σ_d d·(2·cnt·cum_prev + cnt·(cnt+1))) in HUGEINT matches
+    Spark's DECIMAL(38,0) path: no division until the final double ratio."""
+    return f"""WITH {LINESEQ_CTES},
+und AS (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM lineseq WHERE src <> dst GROUP BY 1, 2),
+deg AS (
+  SELECT vid, count(*) AS deg FROM (
+    SELECT src AS vid FROM und UNION ALL SELECT dst AS vid FROM und)
+  GROUP BY vid),
+hist AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY deg),
+cum AS (
+  SELECT deg, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY deg
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM hist),
+agg AS (
+  SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+         CAST(sum(deg * cnt) AS HUGEINT) AS sumd,
+         sum(CAST(deg AS HUGEINT) *
+             (2 * CAST(cnt AS HUGEINT) * CAST(cum_prev AS HUGEINT)
+              + CAST(cnt AS HUGEINT) * (CAST(cnt AS HUGEINT) + 1)))
+           AS two_rankdeg
+  FROM cum)
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       CAST(sumd AS BIGINT) AS sum_deg,
+       round(CASE WHEN n * sumd > 0
+                  THEN CAST(two_rankdeg - (n + 1) * sumd AS DOUBLE)
+                       / CAST(n * sumd AS DOUBLE) END, 6) AS gini_q6
+FROM agg"""

@@ -501,3 +501,74 @@ def keep_best_in_groups(
         "q4",
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[id, n_tokens, n_removed, clean_text] — exact duplicated-span removal
+    (Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §ExactSubstr): every token covered by a word n-gram
+    that occurs ≥ `min_count` times ANYWHERE in the corpus (with
+    multiplicity — within-doc repeats count) is deleted, and the document is
+    rebuilt from the surviving tokens in order.  Unlike the document-level
+    family above (exact/MinHash/SimHash), this removes the duplicated SPANS
+    while keeping the unique remainder of each document — the variant that
+    rescues partially-boilerplate pages instead of dropping them.
+
+    The reference paper's suffix array is a single-machine structure; the
+    Spark-shaped equivalent is relational: position-exploded n-grams →
+    corpus-wide gram counts → covered-position expansion (each duplicated
+    gram start covers positions [s, s+n-1]) → anti-join against the token
+    table → ordered reassembly.  Cross-engine exactness needs no float at
+    all (counts, positions, strings only).
+
+    Scale shape: the gram explode is one row per token (same cardinality as
+    the corpus token table, the floor for any exact method); the duplicated
+    gram set is corpus-scaled so the hit join is a shuffle hash join on the
+    gram key, NEVER a broadcast; covered-position expansion fans out at most
+    n× the hit rows before the distinct; reassembly is one groupBy(id) whose
+    per-doc state is the surviving token list — bounded by document length,
+    the same bound sessionize's per-user window documents.
+    """
+    from neo4j_graph_algorithms_spark.pipeline.text import _all_grams
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+    )
+    grams = docs.select(
+        F.col(id_col), F.posexplode(_all_grams(text_col, n)).alias("pos", "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gram")
+    )
+    hits = grams.join(dup.hint("shuffle_hash"), on="gram").select(id_col, "pos")
+    covered = hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered.hint("shuffle_hash"), on=[id_col, "pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(F.col(id_col), F.size(tokens_col(text_col)).alias("n_tokens"))
+    return base.join(rebuilt.hint("shuffle_hash"), on=id_col, how="left").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

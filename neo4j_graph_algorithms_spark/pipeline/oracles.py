@@ -1410,3 +1410,33 @@ def pca_planted_sql() -> str:
 FROM (VALUES
 {values}
 ) AS t(vec_id, component, value)"""
+
+
+def span_dedup_sql(n: int = 5, min_count: int = 2) -> str:
+    """Exact duplicated-span removal — twin of dedup.py:span_dedup.  Pure
+    integer/string relational plan (position grams → multiplicity counts →
+    covered-position expansion → anti-join → ordered string_agg), so the two
+    engines cannot disagree on any float boundary."""
+    return f"""WITH {DOCS_CTE},
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i + 1 : i + {n}], ' ') AS gram
+  FROM docs, unnest(range(greatest(len(toks) - {n} + 1, 0))) t(i)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= {min_count}),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + j AS pos
+  FROM g JOIN dup USING (gram), unnest(range({n})) u(j)),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM docs, unnest(range(len(toks))) t(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, len(d.toks) AS n_tokens,
+       len(d.toks) - coalesce(a.n_kept, 0) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM docs d LEFT JOIN agg a USING (doc_id)"""

@@ -143,3 +143,54 @@ def test_rich_club_random_and_reshard(spark):
         for r in rich_club(spark, df.repartition(7)).collect()
     }
     assert got2 == got
+
+
+def test_degree_gini_star_and_cycle(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_gini
+    from tests.conftest import edge_df
+
+    # star K(1,5): degrees sorted [1,1,1,1,1,5] → G = (2·45 − 7·10)/(6·10) = 1/3
+    star = [(0, i) for i in range(1, 6)]
+    row = degree_gini(spark, edge_df(spark, star)).collect()[0]
+    assert (row["n_vertices"], row["sum_deg"]) == (6, 10)
+    assert row["gini_q6"] == pytest.approx(1 / 3, abs=1e-6)
+    # regular graph (6-cycle): all degrees equal → G = 0
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    row = degree_gini(spark, edge_df(spark, cycle)).collect()[0]
+    assert row["gini_q6"] == 0.0
+
+
+def test_degree_gini_multigraph_invariance(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_gini
+    from tests.conftest import edge_df
+
+    # parallel edges, reverses, and self-loops must not change the
+    # undirected-simple degree view
+    base = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    noisy = base + [(1, 0), (0, 1), (3, 3)]
+    g1 = degree_gini(spark, edge_df(spark, base)).collect()[0]
+    g2 = degree_gini(spark, edge_df(spark, noisy)).collect()[0]
+    assert g1 == g2
+
+
+def test_degree_powerlaw_matches_python(spark):
+    import math
+
+    from neo4j_graph_algorithms_spark.operators.degrees import degree_powerlaw
+    from tests.conftest import edge_df
+
+    # hub-skewed toy: one hub of degree 8, spokes of degree 1-2
+    pairs = [(0, i) for i in range(1, 9)] + [(1, 2), (3, 4), (5, 6)]
+    degs = {}
+    simple = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    for a, b in simple:
+        degs[a] = degs.get(a, 0) + 1
+        degs[b] = degs.get(b, 0) + 1
+    dmin = 1
+    tail = [d for d in degs.values() if d >= dmin]
+    s = sum(round(math.log(d / (dmin - 0.5)) * 1_000_000) for d in tail) / 1e6
+    alpha = 1.0 + len(tail) / s
+    row = degree_powerlaw(spark, edge_df(spark, pairs), dmin=dmin).collect()[0]
+    assert row["dmin"] == dmin and row["n_tail"] == len(tail)
+    assert row["alpha_q6"] == pytest.approx(alpha, abs=1e-6)
+    assert row["sigma_q6"] == pytest.approx((alpha - 1) / math.sqrt(len(tail)), abs=1e-6)

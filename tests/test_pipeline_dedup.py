@@ -297,3 +297,46 @@ def test_keep_best_in_groups_picks_quality_then_min_id(spark):
     assert (got[3][2], got[4][2]) == (1, 0)
     # the singleton keeps itself
     assert got[5][2] == 1
+
+
+def test_span_dedup_duplicated_docs_fully_removed(spark, docs):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import span_dedup
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in span_dedup(docs, n=3, min_count=2).collect()
+    }
+    # docs 0/1 and 3/4 are exact pairs: every 3-gram is corpus-duplicated,
+    # so every token is covered and the rebuilt text is empty
+    for d in (0, 1, 3, 4):
+        assert got[d] == (10, 10, "")
+    # doc 2 shares 3-grams at positions 0-6 with docs 0/1 (covering tokens
+    # 0-8); its last gram "theta iota omega" is unique, so only the token
+    # outside every duplicated gram's span survives
+    assert got[2] == (10, 9, "omega")
+
+
+def test_span_dedup_within_doc_multiplicity_counts(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import span_dedup
+
+    # a single doc repeating its own 3-gram: "a b c" and "b c a" occur twice
+    # WITHIN the doc, so min_count=2 fires without any cross-doc duplicate
+    docs = spark.createDataFrame([(0, "a b c a b c a")], "doc_id long, text string")
+    row = span_dedup(docs, n=3, min_count=2).collect()[0]
+    assert (row.n_tokens, row.n_removed, row.clean_text) == (7, 7, "")
+
+
+def test_span_dedup_short_docs_untouched(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x y"), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in span_dedup(docs, n=3, min_count=2).collect()
+    }
+    # shorter than n → no grams → nothing can be covered, even for exact pairs
+    assert got[0] == (2, 0, "x y")
+    assert got[1] == (2, 0, "x y")
+    assert got[2] == (0, 0, "")
