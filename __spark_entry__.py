@@ -698,6 +698,16 @@ def _q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_gini(spark, lineseq_edges(spark, sf_dir))
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user AS-OF join, purchase ← latest prior click
+    (pipeline/events.py:asof_join) — the attribution primitive, built as a
+    union-tag running-last window instead of an inequality join."""
+    from neo4j_graph_algorithms_spark.pipeline.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof_join(ev, left_type="purchase", right_type="click")
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span removal (pipeline/dedup.py:span_dedup, the
     Lee-et-al ExactSubstr variant): tokens covered by any corpus-duplicated
@@ -1665,7 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec_walks": _q_node2vec_walks,
         # --- distinct core paths --------------------------------------------
         "streaming_incremental_pagerank": _q_streaming_incremental_pagerank,  # new r5 gate: the north-star loop end-to-end — 3 streamed commit waves, warm-restart refresh after each, final published scores == unrolled 3-phase oracle (incremental.py's first driver row; pagerank_warm_restart rotates to tail: r4 driver-green, and this gate drives the same warm-restart machinery plus the streaming merge in window)
-        "lpa_csr_3iter": _q_lpa_csr,
+        "events_asof_join": _q_asof_join,  # new r5 gate: per-user AS-OF join (last click before purchase) — attribution without an inequality join; deterministic tie-break both engines share (lpa_csr_3iter rotates to tail: r4 driver-green, csr/lpa.py unchanged in r5; graph_fastrp_csr keeps the Tier B cogroup-kernel shape in window)
         "streaming_sessions": _q_streaming_sessions,  # new r4 gate: session_window streaming drain == batch sessionize, same sessionize_sql oracle (graph_random_walks rotates to tail: r3 green; graph_node2vec_walks keeps the r4 walk-loop change driver-covered in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
@@ -1674,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocations": _q_collocations,  # r4 driver-green; collocation path unchanged since; rotated out r5 for dedup_spans — doc_top_ngrams + doc_bigram_logprob keep the n-gram aggregation paths in window
         "community_sllpa_overlap": _q_sllpa,  # r4 driver-green; sllpa.py unchanged in r5; rotated out for graph_powerlaw_alpha — community_conductance + louvain_communities keep community quality in window
         "events_windowed_agg": _q_windowed_events,  # r4 driver-green; rotated out r5 for graph_degree_gini — streaming_windowed_events drives the same oracle through the streaming drain in window
+        "lpa_csr_3iter": _q_lpa_csr,  # r4 driver-green; csr/lpa.py unchanged in r5; rotated out for events_asof_join — graph_fastrp_csr keeps the Tier B cogroup-kernel shape in window
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
@@ -1930,6 +1941,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_khop_sample": oracles.khop_fanout_sql(fanouts=(3, 2), seed=42),
         "degree_centrality": oracles.degree_centrality_sql(),
         "events_sessionize": pipeline_oracles.sessionize_sql(gap_minutes=30.0),
+        "events_asof_join": pipeline_oracles.asof_join_sql(
+            left_type="purchase", right_type="click"
+        ),
         "streaming_sessions": pipeline_oracles.sessionize_sql(gap_minutes=30.0),
         "events_funnel": pipeline_oracles.funnel_sql(
             ["view", "click", "purchase"], window_minutes=24 * 60.0

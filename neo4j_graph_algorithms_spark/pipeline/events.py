@@ -323,3 +323,78 @@ def user_activity_features(
         F.max(ep).alias("last_ep"),
         (F.sum(scaled) / F.lit(1e6)).alias("total_value"),
     )
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """[event_id, user_id, ts_us, matched_event_id, matched_ts_us, lag_us] —
+    per-user AS-OF join: each `left_type` event is joined to the most recent
+    `right_type` event by the same user with ts ≤ the left event's ts (the
+    attribution primitive: "last click before this purchase").  Timestamps
+    are returned as BIGINT epoch microseconds (the sessionize convention —
+    engine-neutral integers across the oracle boundary); unmatched left
+    events keep NULL matched columns.
+
+    Semantics match DuckDB's native `ASOF JOIN` / kdb `aj` with a
+    DETERMINISTIC tie-break the native forms leave unspecified: right
+    events sort before left events at equal ts (a same-instant right event
+    IS visible), and among right events tied on (user, ts) the one with the
+    greatest `event_id` wins.
+
+    Scale shape: NO inequality join anywhere (a naive range join is
+    O(|L|·|R|) per user) — both sides are union-tagged and scanned once
+    under a per-user running `last(..., ignoreNulls)` window, so the cost
+    is ONE shuffle on user_id plus a per-user sort: identical shape to
+    sessionize, bounded by per-user event counts, skew-splittable by AQE
+    on the user key.
+    """
+    ev = events.select(
+        F.col(id_col).alias("eid"),
+        F.col(user_col),
+        # parquet TIMESTAMP_NTZ → cast through TIMESTAMP under the session's
+        # pinned UTC zone (session.py:45), matching DuckDB's naive-as-UTC
+        # epoch_us — same convention as sessionize's unix_timestamp
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(type_col),
+    )
+    tagged = (
+        ev.filter(F.col(type_col) == right_type)
+        .select(user_col, "ts_us", "eid", F.lit(0).alias("side"))
+        .unionByName(
+            ev.filter(F.col(type_col) == left_type).select(
+                user_col, "ts_us", "eid", F.lit(1).alias("side")
+            )
+        )
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("ts_us", "side", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = tagged.select(
+        user_col,
+        "ts_us",
+        "eid",
+        "side",
+        F.last(F.when(F.col("side") == 0, F.col("eid")), ignorenulls=True)
+        .over(w)
+        .alias("matched_event_id"),
+        F.last(F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("matched_ts_us"),
+    )
+    return runs.filter(F.col("side") == 1).select(
+        F.col("eid").alias("event_id"),
+        F.col(user_col),
+        "ts_us",
+        "matched_event_id",
+        "matched_ts_us",
+        (F.col("ts_us") - F.col("matched_ts_us")).alias("lag_us"),
+    )

@@ -1440,3 +1440,29 @@ SELECT d.doc_id, len(d.toks) AS n_tokens,
        len(d.toks) - coalesce(a.n_kept, 0) AS n_removed,
        coalesce(a.clean_text, '') AS clean_text
 FROM docs d LEFT JOIN agg a USING (doc_id)"""
+
+
+def asof_join_sql(left_type: str = "purchase", right_type: str = "click") -> str:
+    """Per-user AS-OF join — twin of events.py:asof_join.  Written with the
+    SAME union-tag + running last_value(IGNORE NULLS) construction instead
+    of DuckDB's native ASOF JOIN, because the native form leaves ties among
+    equal right timestamps unspecified; this way both engines share one
+    deterministic ordering (ts, side, eid).  All integers (epoch_us)."""
+    return f"""WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS eid, 0 AS side
+  FROM events WHERE event_type = '{right_type}'
+  UNION ALL
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS eid, 1 AS side
+  FROM events WHERE event_type = '{left_type}'),
+runs AS (
+  SELECT user_id, ts_us, eid, side,
+         last_value(CASE WHEN side = 0 THEN eid END IGNORE NULLS)
+           OVER w AS matched_event_id,
+         last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+           OVER w AS matched_ts_us
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT eid AS event_id, user_id, ts_us, matched_event_id, matched_ts_us,
+       ts_us - matched_ts_us AS lag_us
+FROM runs WHERE side = 1"""

@@ -246,3 +246,46 @@ def test_user_activity_features_hand_values(spark):
     assert u1.last_ep - u1.first_ep == int((day + 5.0) * 60)
     assert u1.total_value == 4.0
     assert got[2].n_events == 1 and got[2].n_active_days == 1
+
+
+def test_asof_join_basic_and_unmatched(spark):
+    from neo4j_graph_algorithms_spark.pipeline.events import asof_join
+
+    ev = _events(spark, [
+        (0, 0.0, 1, "click", 0.0),
+        (1, 5.0, 1, "click", 0.0),
+        (2, 7.0, 1, "purchase", 9.0),   # matches click 1 (t=5)
+        (3, 9.0, 1, "purchase", 9.0),   # also matches click 1
+        (4, 2.0, 2, "purchase", 9.0),   # user 2 has no click → unmatched
+    ])
+    got = {r.event_id: (r.matched_event_id, r.lag_us)
+           for r in asof_join(ev, "purchase", "click").collect()}
+    assert got[2] == (1, 2 * 60 * 1_000_000)
+    assert got[3] == (1, 4 * 60 * 1_000_000)
+    assert got[4] == (None, None)
+
+
+def test_asof_join_same_instant_and_tie_break(spark):
+    from neo4j_graph_algorithms_spark.pipeline.events import asof_join
+
+    ev = _events(spark, [
+        (0, 3.0, 1, "click", 0.0),
+        (1, 3.0, 1, "click", 0.0),      # tied clicks at t=3: max event_id wins
+        (2, 3.0, 1, "purchase", 9.0),   # same-instant click IS visible (ts ≤)
+        (3, 1.0, 1, "purchase", 9.0),   # before any click → unmatched
+    ])
+    got = {r.event_id: (r.matched_event_id, r.lag_us)
+           for r in asof_join(ev, "purchase", "click").collect()}
+    assert got[2] == (1, 0)
+    assert got[3] == (None, None)
+
+
+def test_asof_join_never_crosses_users(spark):
+    from neo4j_graph_algorithms_spark.pipeline.events import asof_join
+
+    ev = _events(spark, [
+        (0, 0.0, 1, "click", 0.0),
+        (1, 5.0, 2, "purchase", 9.0),   # user 2: user 1's click invisible
+    ])
+    rows = asof_join(ev, "purchase", "click").collect()
+    assert len(rows) == 1 and rows[0].matched_event_id is None
