@@ -1102,6 +1102,53 @@ def _q_streaming_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataF
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_streaming_incremental_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental loop's OTHER refresh path (streaming/incremental.py:
+    refresh_wcc_components): stream THREE commit waves through the stateful
+    co-commit ingest, warm-restart connected components from the previously
+    published labeling after each wave, and return the FINAL published
+    [vid, comp] table — which must equal the batch min-id WCC of the full
+    merged table (oracles.corpus_wcc_sql), because the additive merge sink
+    only ever merges components wave-over-wave."""
+    import shutil
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.sources.corpus import synthesize_corpus
+    from neo4j_graph_algorithms_spark.streaming.incremental import (
+        refresh_wcc_components,
+    )
+    from neo4j_graph_algorithms_spark.streaming.ingest import (
+        cocommit_increments,
+        merge_edge_increments,
+        stream_corpus,
+    )
+
+    base = tempfile.mkdtemp(prefix="linkgraph-incrwcc-gate-")
+    try:
+        corpus = synthesize_corpus(spark, hash_mode="poly")
+        waves = [
+            corpus.filter(F.col("commit") < "c_0010"),
+            corpus.filter((F.col("commit") >= "c_0010") & (F.col("commit") < "c_0015")),
+            corpus.filter(F.col("commit") >= "c_0015"),
+        ]
+        for w, wdf in enumerate(waves):
+            wdf.coalesce(2).write.parquet(f"{base}/in/wave={w}")
+            stream = stream_corpus(spark, f"{base}/in")
+            inc = cocommit_increments(stream, id_mode="poly")
+            q = merge_edge_increments(
+                inc, f"{base}/edges", f"{base}/ck", trigger_available_now=True
+            )
+            q.awaitTermination(600)
+            refresh_wcc_components(spark, f"{base}/edges", f"{base}/comps")
+        return (
+            spark.read.parquet(f"{base}/comps")
+            .select("vid", "comp")
+            .localCheckpoint(eager=True)  # materialize before the tmp dir dies
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.curate import curate
 
@@ -1676,7 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- distinct core paths --------------------------------------------
         "streaming_incremental_pagerank": _q_streaming_incremental_pagerank,  # new r5 gate: the north-star loop end-to-end — 3 streamed commit waves, warm-restart refresh after each, final published scores == unrolled 3-phase oracle (incremental.py's first driver row; pagerank_warm_restart rotates to tail: r4 driver-green, and this gate drives the same warm-restart machinery plus the streaming merge in window)
         "events_asof_join": _q_asof_join,  # new r5 gate: per-user AS-OF join (last click before purchase) — attribution without an inequality join; deterministic tie-break both engines share (lpa_csr_3iter rotates to tail: r4 driver-green, csr/lpa.py unchanged in r5; graph_fastrp_csr keeps the Tier B cogroup-kernel shape in window)
-        "streaming_sessions": _q_streaming_sessions,  # new r4 gate: session_window streaming drain == batch sessionize, same sessionize_sql oracle (graph_random_walks rotates to tail: r3 green; graph_node2vec_walks keeps the r4 walk-loop change driver-covered in window)
+        "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
         "link_adamic_adar": _q_adamic_adar,  # r4 driver-green; nodesim.py unchanged since; rotated out r5 for image_jpeg_color — node_similarity_topk keeps the shared neighbor-intersection path in window
@@ -1685,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_sllpa_overlap": _q_sllpa,  # r4 driver-green; sllpa.py unchanged in r5; rotated out for graph_powerlaw_alpha — community_conductance + louvain_communities keep community quality in window
         "events_windowed_agg": _q_windowed_events,  # r4 driver-green; rotated out r5 for graph_degree_gini — streaming_windowed_events drives the same oracle through the streaming drain in window
         "lpa_csr_3iter": _q_lpa_csr,  # r4 driver-green; csr/lpa.py unchanged in r5; rotated out for events_asof_join — graph_fastrp_csr keeps the Tier B cogroup-kernel shape in window
+        "streaming_sessions": _q_streaming_sessions,  # r4 driver-green; sessions.py unchanged in r5; rotated out for streaming_incremental_wcc — events_sessionize keeps the sessionize_sql oracle in window, three streaming drains stay in window
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
@@ -1791,6 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         "lineseq_edges": oracles.lineseq_edges_sql(),
         "pagerank_20iter": oracles.pagerank_sql(iterations=20),
         "pagerank_warm_restart": oracles.pagerank_warm_sql(pre_iters=20, warm_iters=10),
+        "streaming_incremental_wcc": oracles.corpus_wcc_sql(rounds=8),
         "streaming_incremental_pagerank": oracles.corpus_incremental_pagerank_sql(
             wave_commits=(10, 15, 20), iters_per_wave=8
         ),

@@ -2481,3 +2481,29 @@ SELECT CAST(n AS BIGINT) AS n_vertices,
                   THEN CAST(two_rankdeg - (n + 1) * sumd AS DOUBLE)
                        / CAST(n * sumd AS DOUBLE) END, 6) AS gini_q6
 FROM agg"""
+
+
+def corpus_wcc_sql(rounds: int = 8) -> str:
+    """Min-id connected components over the poly-id co-commit graph — the
+    batch ground truth for streaming/incremental.py:refresh_wcc_components
+    (warm-start soundness: the merge sink is additive, components only ever
+    merge, so the final wave's labeling must equal the batch labeling of
+    the full table).  Same hop-min + pointer-jump unroll as wcc_sql;
+    fixpoint-idempotent, so over-unrolling is safe."""
+    parts = _corpus_cocommit_parts()
+    parts += [
+        "cund AS (SELECT src, dst FROM cedges UNION ALL SELECT dst AS src, src AS dst FROM cedges)",
+        "cverts AS (SELECT src AS vid FROM cedges UNION SELECT dst AS vid FROM cedges)",
+        "w0 AS MATERIALIZED (SELECT vid, vid AS comp FROM cverts)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""wh{k} AS MATERIALIZED (
+  SELECT vid, min(comp) AS comp FROM (
+    SELECT u.dst AS vid, c.comp FROM cund u JOIN w{k - 1} c ON u.src = c.vid
+    UNION ALL SELECT vid, comp FROM w{k - 1}) x GROUP BY vid),
+w{k} AS MATERIALIZED (
+  SELECT a.vid, coalesce(b.comp, a.comp) AS comp
+  FROM wh{k} a LEFT JOIN wh{k} b ON a.comp = b.vid)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vid, comp FROM w{rounds}"
