@@ -708,6 +708,15 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(ev, left_type="purchase", right_type="click")
 
 
+def _q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-tail MLE exponent of the corpus token-frequency distribution
+    (pipeline/text.py:zipf_alpha) — the corpus-health audit; same CSN
+    1e-6-grid contract as graph_powerlaw_alpha, applied to term counts."""
+    from neo4j_graph_algorithms_spark.pipeline.text import zipf_alpha
+
+    return zipf_alpha(_docs(spark, sf_dir), fmin=2)
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span removal (pipeline/dedup.py:span_dedup, the
     Lee-et-al ExactSubstr variant): tokens covered by any corpus-duplicated
@@ -1709,7 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": _q_conductance,
         "graph_powerlaw_alpha": _q_degree_powerlaw,  # new r5 gate: CSN discrete-MLE power-law exponent, the scale-free audit behind every hub cap — 1e-6-grid integer log sums (community_sllpa_overlap rotates to tail: r4 driver-green, sllpa.py unchanged in r5; community_conductance + louvain_communities keep community quality in window)
         "doc_sample_stratified": _q_stratified_take,  # new r4 gate: deterministic per-stratum eval draw (doc_pack_sequences rotates to tail: r3 green, pack.py + functions/rank.py unchanged since; the distributed prefix-sum path they share stays pytest-pinned)
-        "doc_bpe_subwords": _q_bpe_subwords,  # new r4 gate: learned-table segmentation counts (doc_unigram_logprob rotates to tail; doc_tfidf_topk covers the broadcast-token-model aggregation shape in window)
+        "doc_zipf_alpha": _q_zipf_alpha,  # new r5 gate: Zipf-tail MLE over token frequencies — the corpus-health audit, same CSN 1e-6-grid contract as graph_powerlaw_alpha (doc_bpe_subwords rotates to tail: r4 driver-green, and r5's bpe.py change batched INDUCTION only — doc_bpe_merges keeps that changed path in window; the segmentation greedy-replace contract is unchanged since r4)
         "doc_length_stats": _q_length_stats,  # new r4 gate: token-length histogram percentiles, the packing-budget audit (graph_khop_sample rotates to tail; random/node2vec/skipgram walks keep the hash-deterministic sampling path covered in window)
         "graph_mis": _q_mis,  # new r4 gate: Luby maximal independent set, hash-priority superstep rounds == unrolled SQL (triangle_total_csr rotates to tail: r3 driver-green, csr/triangles.py unchanged since; lpa_csr_3iter + graph_fastrp_csr keep Tier B kernels in window)
         "events_sessionize": _q_sessionize,
@@ -1733,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _q_windowed_events,  # r4 driver-green; rotated out r5 for graph_degree_gini — streaming_windowed_events drives the same oracle through the streaming drain in window
         "lpa_csr_3iter": _q_lpa_csr,  # r4 driver-green; csr/lpa.py unchanged in r5; rotated out for events_asof_join — graph_fastrp_csr keeps the Tier B cogroup-kernel shape in window
         "streaming_sessions": _q_streaming_sessions,  # r4 driver-green; sessions.py unchanged in r5; rotated out for streaming_incremental_wcc — events_sessionize keeps the sessionize_sql oracle in window, three streaming drains stay in window
+        "doc_bpe_subwords": _q_bpe_subwords,  # r4 driver-green; segmentation greedy-replace path unchanged in r5 (the r5 bpe.py change batched induction only); rotated out for doc_zipf_alpha — doc_bpe_merges keeps bpe.py's changed path in window
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
@@ -1924,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": pipeline_oracles.fingerprint_sql(),
         "dedup_exact": pipeline_oracles.exact_dedup_sql(),
         "dedup_spans": pipeline_oracles.span_dedup_sql(n=3, min_count=2),
+        "doc_zipf_alpha": pipeline_oracles.zipf_alpha_sql(fmin=2),
         "streaming_dedup_canonical": (
             "WITH h AS (SELECT sha256(text) AS content_hash, doc_id FROM documents)\n"
             "SELECT content_hash, min(doc_id) AS canonical_id,"

@@ -1466,3 +1466,25 @@ runs AS (
 SELECT eid AS event_id, user_id, ts_us, matched_event_id, matched_ts_us,
        ts_us - matched_ts_us AS lag_us
 FROM runs WHERE side = 1"""
+
+
+def zipf_alpha_sql(fmin: int = 2) -> str:
+    """Zipf-tail MLE over token frequencies — twin of text.py:zipf_alpha.
+    Same 1e-6-grid integer log-term contract as oracles.degree_powerlaw_sql,
+    expressions textually mirroring the Spark op order."""
+    return f"""WITH {DOCS_CTE},
+freq AS (
+  SELECT tok, count(*) AS f
+  FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY tok),
+hist AS (SELECT f, count(*) AS cnt FROM freq WHERE f >= {fmin} GROUP BY f),
+agg AS (
+  SELECT sum(cnt) AS n_tail,
+         sum(CAST(round(ln(f / ({fmin} - 0.5)) * 1000000.0, 0) AS BIGINT)
+             * cnt) AS s_q6
+  FROM hist)
+SELECT CAST({fmin} AS BIGINT) AS fmin,
+       CAST(n_tail AS BIGINT) AS n_tail,
+       round(1.0 + n_tail * 1000000.0 / s_q6, 6) AS alpha_q6,
+       round((1.0 + n_tail * 1000000.0 / s_q6 - 1.0) / sqrt(n_tail), 6)
+         AS sigma_q6
+FROM agg"""

@@ -690,3 +690,52 @@ def collocations(
         .filter(F.col("rank") <= per_head_k)
         .select("x", "y", "c_xy", "c_x", "c_y", "lift_q6", "rank")
     )
+
+
+def zipf_alpha(docs: DataFrame, fmin: int = 2, text_col: str = "text") -> DataFrame:
+    """[fmin, n_tail, alpha_q6, sigma_q6] — maximum-likelihood Zipf/power-law
+    exponent of the corpus token-frequency distribution (the same
+    Clauset-Shalizi-Newman discrete approximation as
+    operators/degrees.py:degree_powerlaw, applied to term frequencies):
+
+        alpha = 1 + n / Σ ln(f_t / (fmin − ½)),  over tokens with f_t ≥ fmin.
+
+    The corpus-health audit behind every vocabulary decision in this module:
+    natural-language corpora sit near alpha ≈ 2 (Zipf's law); a much flatter
+    tail (alpha → 1) signals boilerplate/spam flooding, a much steeper one
+    signals truncated or synthetic text.  BPE merge counts, token_dictionary
+    size, and unigram-LM smoothing all assume the Zipf regime.
+
+    Exactness: identical 1e-6-grid contract — per DISTINCT frequency f the
+    term round(10⁶·ln(f/(fmin−½)))·count_f is a BIGINT, so the cross-engine
+    sum is order-independent; alpha/sigma are one double expression over
+    identical integers, mirrored textually in the DuckDB twin.
+
+    Scale shape: token explode → frequency table (vocabulary-sized) →
+    frequency-of-frequencies histogram (a few hundred rows even at web
+    scale) → keyless aggregate.  Nothing past the first groupBy is
+    corpus-sized.
+    """
+    freq = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    hist = (
+        freq.filter(F.col("f") >= fmin)
+        .groupBy("f")
+        .agg(F.count("*").alias("cnt"))
+    )
+    term = (
+        F.round(F.log(F.col("f") / (fmin - 0.5)) * 1_000_000.0, 0).cast("long")
+        * F.col("cnt")
+    )
+    agg = hist.agg(F.sum("cnt").alias("n_tail"), F.sum(term).alias("s_q6"))
+    n, s = F.col("n_tail"), F.col("s_q6")
+    alpha = F.lit(1.0) + n * F.lit(1_000_000.0) / s
+    return agg.select(
+        F.lit(fmin).cast("long").alias("fmin"),
+        n.cast("long").alias("n_tail"),
+        F.round(alpha, 6).alias("alpha_q6"),
+        F.round((alpha - F.lit(1.0)) / F.sqrt(n), 6).alias("sigma_q6"),
+    )

@@ -340,3 +340,11 @@ def test_span_dedup_short_docs_untouched(spark):
     assert got[0] == (2, 0, "x y")
     assert got[1] == (2, 0, "x y")
     assert got[2] == (0, 0, "")
+
+
+def test_span_dedup_reshard_invariance(spark, docs):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import span_dedup
+
+    a = sorted(map(tuple, span_dedup(docs, n=3, min_count=2).collect()))
+    b = sorted(map(tuple, span_dedup(docs.repartition(7), n=3, min_count=2).collect()))
+    assert a == b

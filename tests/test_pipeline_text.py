@@ -446,3 +446,24 @@ def test_collocations_short_docs_and_reshard(spark):
         ).collect()
     }
     assert got13 == got
+
+
+def test_zipf_alpha_matches_python(spark, docs):
+    import math
+    from collections import Counter
+
+    from neo4j_graph_algorithms_spark.pipeline.text import zipf_alpha
+
+    freqs = Counter()
+    for _, text in DOCS:
+        freqs.update(t for t in text.split(" ") if t != "")
+    fmin = 2
+    tail = [f for f in freqs.values() if f >= fmin]
+    s = sum(round(math.log(f / (fmin - 0.5)) * 1_000_000) for f in tail) / 1e6
+    alpha = 1.0 + len(tail) / s
+    row = zipf_alpha(docs, fmin=fmin).collect()[0]
+    assert (row["fmin"], row["n_tail"]) == (fmin, len(tail))
+    assert row["alpha_q6"] == pytest.approx(alpha, abs=1e-6)
+    assert row["sigma_q6"] == pytest.approx(
+        (alpha - 1) / math.sqrt(len(tail)), abs=1e-6
+    )
