@@ -717,6 +717,16 @@ def _q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_alpha(_docs(spark, sf_dir), fmin=2)
 
 
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the lineseq graph
+    (operators/degrees.py:graph_reciprocity) — the direction-structure
+    audit; two BIGINT counts and one ratio, self-semi-join on the
+    reversed key."""
+    from neo4j_graph_algorithms_spark.operators.degrees import graph_reciprocity
+
+    return graph_reciprocity(spark, lineseq_edges(spark, sf_dir))
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span removal (pipeline/dedup.py:span_dedup, the
     Lee-et-al ExactSubstr variant): tokens covered by any corpus-duplicated
@@ -1681,7 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never/un-verified in r2: front of the window -------------------
         "ann_ivf_search": _q_ivf_search,
-        "doc_token_dictionary": _q_token_dictionary,
+        "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
         "curate_stage_counts": _q_curate,
         "video_features": _q_video_features,  # new r4 gate: real AVI/MJPG container + sampled-frame JPEG decode (multimodal_features rotates to tail: the fake-codec plumbing twin of the real png/jpeg/audio gates in window)
         "audio_features": _q_audio_features,
@@ -1743,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_csr_3iter": _q_lpa_csr,  # r4 driver-green; csr/lpa.py unchanged in r5; rotated out for events_asof_join — graph_fastrp_csr keeps the Tier B cogroup-kernel shape in window
         "streaming_sessions": _q_streaming_sessions,  # r4 driver-green; sessions.py unchanged in r5; rotated out for streaming_incremental_wcc — events_sessionize keeps the sessionize_sql oracle in window, three streaming drains stay in window
         "doc_bpe_subwords": _q_bpe_subwords,  # r4 driver-green; segmentation greedy-replace path unchanged in r5 (the r5 bpe.py change batched induction only); rotated out for doc_zipf_alpha — doc_bpe_merges keeps bpe.py's changed path in window
+        "doc_token_dictionary": _q_token_dictionary,  # r4 driver-green; dense-rank two-phase ranking unchanged in r5; rotated out for graph_reciprocity — dict-mode dedup gates (dedup_keep_best) drive token_dictionary + functions/rank.py in window
         # r4: rotated out of the window for new r4 gates — each r3-green on a
         # code path unchanged since, with an in-window sibling where one exists
         "dedup_minhash_groups": _q_minhash_groups,  # r3 driver-green; minhash/LSH chain unchanged since; rotated out for graph_coloring — dedup_keep_best keeps dedup.py in window
@@ -1886,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_rich_club": oracles.rich_club_sql(),
         "graph_powerlaw_alpha": oracles.degree_powerlaw_sql(dmin=2),
         "graph_degree_gini": oracles.degree_gini_sql(),
+        "graph_reciprocity": oracles.graph_reciprocity_sql(),
         "graph_coloring": oracles.coloring_sql(seed=17, rounds=24),
         "graph_matching": oracles.matching_sql(seed=29, rounds=16),
         "graph_coarsen": oracles.coarsen_sql(seed=29, rounds=16),

@@ -354,3 +354,49 @@ def degree_gini(
         s.cast("long").alias("sum_deg"),
         F.round(F.when((n * s) > 0, gini), 6).alias("gini_q6"),
     )
+
+
+def graph_reciprocity(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+) -> DataFrame:
+    """[n_edges, n_reciprocal, reciprocity_q6] — edge reciprocity of the
+    directed simple graph (Newman, "Networks" §7.10): the fraction of
+    distinct non-loop directed edges (u,v) whose reverse (v,u) is also
+    present.  The direction-structure audit: a link graph derived from a
+    symmetric relation (co-commit) must read 1.0, an inherently
+    asymmetric one (imports, sequence edges) reads near 0 — a value that
+    moves between rounds means the derivation's direction handling changed.
+
+    Exactness: two BIGINT counts and one double ratio over identical
+    integers (twin: oracles.graph_reciprocity_sql).
+
+    Scale shape: one distinct over the edge set, then ONE self-semi-join on
+    the reversed key — hinted shuffle_hash (both sides are |E|-sized; a
+    broadcast would be the classic |E|-broadcast failure at web scale).
+    Each mutual pair counts twice, matching the standard definition r =
+    |E ∩ Eᵀ| / |E|.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    e = (
+        ef.df.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: base count + both join sides
+    )
+    rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    recip = e.join(rev.hint("shuffle_hash"), on=[SRC, DST], how="left_semi")
+    counts = e.agg(F.count("*").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").alias("n_reciprocal"))
+    )
+    return counts.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_reciprocal").cast("double") / F.col("n_edges").cast("double"),
+            ),
+            6,
+        ).alias("reciprocity_q6"),
+    )

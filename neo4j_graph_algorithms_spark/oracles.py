@@ -2507,3 +2507,22 @@ w{k} AS MATERIALIZED (
   FROM wh{k} a LEFT JOIN wh{k} b ON a.comp = b.vid)"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT vid, comp FROM w{rounds}"
+
+
+def graph_reciprocity_sql() -> str:
+    """Directed-edge reciprocity over the distinct non-loop lineseq edges —
+    twin of operators/degrees.py:graph_reciprocity.  Two BIGINT counts, one
+    double ratio: no float boundary to disagree on."""
+    return f"""WITH {LINESEQ_CTES},
+e AS (SELECT DISTINCT src, dst FROM lineseq WHERE src <> dst),
+agg AS (
+  SELECT (SELECT count(*) FROM e) AS n_edges,
+         (SELECT count(*) FROM e a
+          WHERE EXISTS (SELECT 1 FROM e b
+                        WHERE b.src = a.dst AND b.dst = a.src)) AS n_reciprocal)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+       round(CASE WHEN n_edges > 0
+                  THEN CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE)
+             END, 6) AS reciprocity_q6
+FROM agg"""

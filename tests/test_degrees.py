@@ -194,3 +194,31 @@ def test_degree_powerlaw_matches_python(spark):
     assert row["dmin"] == dmin and row["n_tail"] == len(tail)
     assert row["alpha_q6"] == pytest.approx(alpha, abs=1e-6)
     assert row["sigma_q6"] == pytest.approx((alpha - 1) / math.sqrt(len(tail)), abs=1e-6)
+
+
+def test_graph_reciprocity_hand_values(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import graph_reciprocity
+    from tests.conftest import edge_df
+
+    # 0↔1 mutual, 1→2 one-way, 2→2 self-loop (excluded), 0→1 duplicate
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 2), (0, 1)]
+    row = graph_reciprocity(spark, edge_df(spark, pairs)).collect()[0]
+    # distinct non-loop edges: (0,1),(1,0),(1,2) → 2 of 3 reciprocal
+    assert (row["n_edges"], row["n_reciprocal"]) == (3, 2)
+    assert row["reciprocity_q6"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_graph_reciprocity_extremes(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import graph_reciprocity
+    from tests.conftest import edge_df
+
+    # fully symmetric graph → 1.0
+    sym = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    assert graph_reciprocity(spark, edge_df(spark, sym)).collect()[0][
+        "reciprocity_q6"
+    ] == 1.0
+    # pure DAG → 0.0
+    dag = [(0, 1), (1, 2), (0, 2)]
+    assert graph_reciprocity(spark, edge_df(spark, dag)).collect()[0][
+        "reciprocity_q6"
+    ] == 0.0
