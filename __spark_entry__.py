@@ -177,6 +177,18 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA stochastic hub/authority scores (beyond the reference
+    catalogue) on the line-seq multigraph, 10 fixed iterations,
+    degree-normalized sends, L1-normalized half-steps."""
+    from neo4j_graph_algorithms_spark.operators.salsa import salsa
+
+    res = salsa(spark, lineseq_edges(spark, sf_dir), max_iterations=10)
+    return res.state.select(
+        "vid", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
 def _q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PageRank: cold 20 iters on the graph minus every
     (src+dst)%97==0 edge, then warm-restart (residual init) 10 fixed
@@ -1691,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never/un-verified in r2: front of the window -------------------
         "ann_ivf_search": _q_ivf_search,
+        "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
         "curate_stage_counts": _q_curate,
         "video_features": _q_video_features,  # new r4 gate: real AVI/MJPG container + sampled-frame JPEG decode (multimodal_features rotates to tail: the fake-codec plumbing twin of the real png/jpeg/audio gates in window)
@@ -1701,7 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates whose code path has an in-window sibling (VERDICT r3 item 3)
         "degree_centrality": _q_degree_centrality,
         "doc_subword_count": _q_subword_count,
-        "hits_10iter": _q_hits,
         "graph_matching": _q_matching,  # new r4 gate: greedy maximal matching, hash-priority rounds == unrolled SQL (dedup_embedding_cosine rotates to tail: r3 driver-green, SRP-LSH chain unchanged since; dedup_keep_best + dedup_minhash_groups keep dedup.py in window)
         "graph_coloring": _q_coloring,  # new r4 gate: Jones-Plassmann greedy coloring, the conflict-free-scheduling primitive completing the mis/matching symmetry-breaking trio (dedup_minhash_groups rotates to tail: r3 driver-green, minhash chain unchanged since; dedup_keep_best keeps dedup.py in window)
         "graph_coarsen": _q_coarsen,  # new r4 gate: matching-contraction coarsening, the multilevel contract step consuming graph_matching's drain (doc_tfidf_topk rotates to tail: r3 driver-green, tfidf path unchanged since; doc_top_ngrams/doc_repetition_ratio/doc_bigram_logprob keep text.py in window)
@@ -1789,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _q_quantize,  # r3 green; rotated out r4 for graph_degree_stats — pure column exprs, embedding path in window via ann_ivf_search
         "hyperball_est_r2": _q_hyperball,  # r2 green; rotated out r4 for streaming_windowed_events — hyperball_harmonic (same HLL register chain, radius 4) in window
         "multimodal_features": _q_multimodal_features,  # r3 green; rotated out r4 for video_features — fake-codec plumbing twin of the real png/jpeg/audio gates in window
+        "hits_10iter": _q_hits,  # r4 driver-green; rotated to tail r5 for salsa_10iter (same normalized hub/authority superstep shape, new degree-normalized code path)
         "eigenvector_20iter": _q_eigenvector,  # r3 green; rotated out r4 for doc_hash_split — hits_10iter (same normalized power-iteration superstep) in window
         "pagerank_personalized": _q_pagerank_personalized,  # r3 green; rotated out r4 for graph_effective_diameter — weighted/warm/articlerank cover the pagerank superstep in window
         "kcore_30": _q_kcore,  # r3 green; rotated out r4 for doc_bpe_merges — ktruss_4 (same synchronous peel loop) in window
@@ -2000,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_degree_stats": oracles.degree_distribution_sql(),
         "hits_10iter": oracles.hits_sql(iterations=10),
+        "salsa_10iter": oracles.salsa_sql(iterations=10),
         "node_similarity_topk": oracles.node_similarity_sql(top_k=10),
         "link_adamic_adar": oracles.adamic_adar_sql(top_k=10),
         "kcore_30": oracles.kcore_sql(k=30, rounds=12),

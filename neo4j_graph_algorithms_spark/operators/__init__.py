@@ -38,6 +38,7 @@ from neo4j_graph_algorithms_spark.operators.reducer import (
     label_dictionary,
 )
 from neo4j_graph_algorithms_spark.operators.hits import hits
+from neo4j_graph_algorithms_spark.operators.salsa import salsa
 from neo4j_graph_algorithms_spark.operators.hyperball import (
     hyperball,
     hyperball_harmonic,
@@ -101,6 +102,7 @@ __all__ = [
     "graph_reducer",
     "label_dictionary",
     "hits",
+    "salsa",
     "hyperball",
     "hyperball_harmonic",
     "random_walks",

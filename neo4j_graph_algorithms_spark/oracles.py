@@ -2526,3 +2526,43 @@ SELECT CAST(n_edges AS BIGINT) AS n_edges,
                   THEN CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE)
              END, 6) AS reciprocity_q6
 FROM agg"""
+
+
+def salsa_sql(iterations: int = 10) -> str:
+    """Unrolled SALSA power iteration (degree-normalized auth/hub sends,
+    per-half-step L1 normalization) on the line-seq multigraph — twin of
+    operators/salsa.py.  The inverse degrees are precomputed once (esrc /
+    edst CTEs) exactly as the operator folds them into its edge caches."""
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "od AS (SELECT src, 1.0 / count(*) AS inv_out FROM lineseq GROUP BY src)",
+        "id_ AS (SELECT dst, 1.0 / count(*) AS inv_in FROM lineseq GROUP BY dst)",
+        "esrc AS MATERIALIZED (SELECT e.src, e.dst, od.inv_out FROM lineseq e JOIN od USING (src))",
+        "edst AS MATERIALIZED (SELECT e.src, e.dst, id_.inv_in FROM lineseq e JOIN id_ USING (dst))",
+        "s0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS auth, CAST(1.0 AS DOUBLE) AS hub FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(s.hub * e.inv_out) AS a
+  FROM s{i - 1} s JOIN esrc e ON s.vid = e.src GROUP BY e.dst),
+an{i} AS (SELECT sum(a) AS an FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT v.vid,
+         coalesce(r.a, 0) / (CASE WHEN coalesce(an.an, 0) > 0 THEN an.an ELSE 1 END) AS auth
+  FROM s{i - 1} v LEFT JOIN ar{i} r ON v.vid = r.vid CROSS JOIN an{i} an),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS vid, sum(a.auth * e.inv_in) AS h
+  FROM a{i} a JOIN edst e ON a.vid = e.dst GROUP BY e.src),
+hn{i} AS (SELECT sum(h) AS hn FROM hr{i}),
+s{i} AS MATERIALIZED (
+  SELECT a.vid, a.auth,
+         coalesce(r.h, 0) / (CASE WHEN coalesce(hn.hn, 0) > 0 THEN hn.hn ELSE 1 END) AS hub
+  FROM a{i} a LEFT JOIN hr{i} r ON a.vid = r.vid CROSS JOIN hn{i} hn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vid, round(auth, 6) AS auth, round(hub, 6) AS hub FROM s{iterations}"
+    )

@@ -110,6 +110,7 @@ PROCEDURES: dict[str, str] = {
     "algo.allShortestPaths.stream": "neo4j_graph_algorithms_spark.operators.msbfs.all_shortest_paths",
     # beyond the reference: Kleinberg hubs/authorities on the same runtime
     "algo.hits": "neo4j_graph_algorithms_spark.operators.hits.hits",
+    "algo.salsa": "neo4j_graph_algorithms_spark.operators.salsa.salsa",
     # beyond the reference: deterministic GNN-sampling walks
     "algo.randomWalk": "neo4j_graph_algorithms_spark.operators.walks.random_walks",
     # beyond the reference: HLL neighborhood sketches (Boldi-Vigna HyperBall)
