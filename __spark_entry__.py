@@ -216,6 +216,17 @@ def _q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(total,)], "triangles long")
 
 
+def _q_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle estimate (deterministic p=1/2 hash coin,
+    seed 7) on the co-order graph — the scale path for the exact counter:
+    sample the closure-join input, scale the count by 1/p^3."""
+    from neo4j_graph_algorithms_spark.operators.triangles import triangle_count_sampled
+
+    return triangle_count_sampled(
+        spark, coorder_edges(spark, sf_dir), p_num=1, p_den=2, seed=7
+    )
+
+
 def _q_triangles_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_node, _ = triangle_count(spark, coorder_edges(spark, sf_dir))
     return per_node
@@ -1706,8 +1717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
         "curate_stage_counts": _q_curate,
+        "triangle_doulion_est": _q_triangle_doulion,  # new r5 gate: DOULION sampled triangle estimate — the deterministic-coin scale path for the headline triangle metric (p=1/2 cuts the closure-join shuffle ~4x at 10^12 edges); also puts the Tier A triangle stream back in window (audio_features rotates to tail: r4 driver-green, WAV path unchanged in r5; image_jpeg_features/image_jpeg_color/video_features keep the real-codec multimodal paths in window)
         "video_features": _q_video_features,  # new r4 gate: real AVI/MJPG container + sampled-frame JPEG decode (multimodal_features rotates to tail: the fake-codec plumbing twin of the real png/jpeg/audio gates in window)
-        "audio_features": _q_audio_features,
         "ann_ivf_recall": _q_ann_recall,  # new r4 gate: recall@5 eval of the IVF probe vs the exact top-k — the ANN deployment's quality harness (image_png_features rotates to tail: r3 driver-green, png.py unchanged since; jpeg/video/audio codec gates keep the modality paths in window)
         # r4 rotation: the last 3 never-driver-run gates (green in the
         # committed local sweeps since r2/r3) take the slots of 3 r3-green
@@ -1757,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "audio_features": _q_audio_features,  # r4 driver-green; WAV path unchanged in r5; rotated out for triangle_doulion_est — jpeg/jpeg_color/video keep the real-codec multimodal paths in window
         "link_adamic_adar": _q_adamic_adar,  # r4 driver-green; nodesim.py unchanged since; rotated out r5 for image_jpeg_color — node_similarity_topk keeps the shared neighbor-intersection path in window
         "pagerank_warm_restart": _q_pagerank_warm,  # r4 driver-green; rotated out r5 for streaming_incremental_pagerank, which drives the same warm-restart machinery end-to-end (weighted + articlerank keep the pagerank superstep in window)
         "doc_collocations": _q_collocations,  # r4 driver-green; collocation path unchanged since; rotated out r5 for dedup_spans — doc_top_ngrams + doc_bigram_logprob keep the n-gram aggregation paths in window
@@ -1880,6 +1892,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc_components": oracles.wcc_sql(rounds=12),
         "wcc_stats": oracles.wcc_stats_sql(rounds=12),
         "triangle_total": oracles.triangle_total_sql(),
+        "triangle_doulion_est": oracles.triangle_doulion_sql(p_num=1, p_den=2, seed=7),
         "triangles_per_node": oracles.triangles_per_node_sql(),
         "clustering_coefficient": oracles.clustering_coefficient_sql(),
         "avg_clustering_coefficient": oracles.avg_clustering_coefficient_sql(),

@@ -2,6 +2,7 @@ from neo4j_graph_algorithms_spark.operators.wcc import wcc, wcc_stats
 from neo4j_graph_algorithms_spark.operators.pagerank import pagerank, pagerank_scores
 from neo4j_graph_algorithms_spark.operators.triangles import (
     triangle_count,
+    triangle_count_sampled,
     triangle_stream,
     clustering_coefficients,
     average_clustering_coefficient,
@@ -74,6 +75,7 @@ __all__ = [
     "pagerank",
     "pagerank_scores",
     "triangle_count",
+    "triangle_count_sampled",
     "triangle_stream",
     "clustering_coefficients",
     "average_clustering_coefficient",

@@ -169,3 +169,70 @@ def transitivity(spark: SparkSession, edges: EdgeFrame | DataFrame) -> DataFrame
     ).collect()[0]["w"]
     val = (3.0 * n_tri / wedges) if wedges else 0.0
     return spark.createDataFrame([(round(val, 6),)], "transitivity double")
+
+
+# ---- DOULION sampled estimator ---------------------------------------------
+
+#: 31-bit mixing constants for the deterministic edge-sampling hash — shared
+#: verbatim with the DuckDB twin (oracles.triangle_doulion_sql).  M is the
+#: Mersenne prime 2^31-1; reducing src/dst mod M first bounds every product
+#: below 2^62, so the arithmetic is exact (no overflow) in both engines'
+#: 64-bit integers.
+DOULION_M = 2_147_483_647
+DOULION_A = 1_103_515_245
+DOULION_B = 1_566_083_941
+
+
+def _doulion_keep(seed: int, p_num: int, p_den: int):
+    """Boolean column: deterministic per-edge coin over the CANONICAL pair.
+
+    h = ((src mod M)·A + (dst mod M)·B + seed) mod M; keep iff h mod den < num.
+    Sampling the canonical (src<dst) pair gives one decision per undirected
+    edge — exactly DOULION's per-edge coin, but replayable by any engine."""
+    m = F.lit(DOULION_M)
+    srcm = ((F.col(SRC) % m) + m) % m
+    dstm = ((F.col(DST) % m) + m) % m
+    h = (srcm * F.lit(DOULION_A) + dstm * F.lit(DOULION_B) + F.lit(seed)) % m
+    return (h % F.lit(p_den)) < F.lit(p_num)
+
+
+def triangle_count_sampled(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    p_num: int = 1,
+    p_den: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """DOULION triangle estimate (Tsourakakis et al., KDD 2009) — the scale
+    path for the exact counter: sparsify the simple undirected graph with a
+    per-edge coin of rate p = p_num/p_den, count triangles on the sample,
+    scale by 1/p^3.  E[estimate] = exact count; variance vanishes as the
+    count grows, so at 10^12-edge scale a p=1/2 coin cuts the dominant
+    closure-join shuffle ~4x (wedges ~p^2) for a fraction-of-a-percent
+    relative error, and smaller p buys more.
+
+    Unlike the paper's random coin the coin here is a DETERMINISTIC hash of
+    the canonical edge (constants above), making the estimate reproducible
+    run-to-run and replayable by the DuckDB oracle — the same determinism
+    convention every sampled operator in this repo follows (walks, splits,
+    betweenness sampling).
+
+    Returns one lazy row [n_edges_kept, tri_sampled, est_triangles] — counts
+    as BIGINT, the estimate as a 6dp double (exact when p_den/p_num is an
+    integer, e.g. 8·tri at p=1/2).  No reference analogue (the reference's
+    TriangleCount.java:40-206 is exact-only); beyond-catalogue scale twin of
+    `triangle_count`.
+    """
+    if not (0 < p_num <= p_den):
+        raise ValueError(f"need 0 < p_num <= p_den, got {p_num}/{p_den}")
+    und = _simple_undirected(edges)
+    kept = und.filter(_doulion_keep(seed, p_num, p_den))
+    tris = triangle_stream(spark, kept)
+    scale = (p_den / p_num) ** 3
+    n_e = kept.agg(F.count("*").alias("n_edges_kept"))
+    n_t = tris.agg(F.count("*").alias("tri_sampled"))
+    return n_e.crossJoin(n_t).select(
+        "n_edges_kept",
+        "tri_sampled",
+        F.round(F.col("tri_sampled") * F.lit(scale), 6).alias("est_triangles"),
+    )

@@ -2566,3 +2566,24 @@ s{i} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"\nSELECT vid, round(auth, 6) AS auth, round(hub, 6) AS hub FROM s{iterations}"
     )
+
+
+def triangle_doulion_sql(p_num: int = 1, p_den: int = 2, seed: int = 7) -> str:
+    """DOULION sampled-triangle estimate on the co-order graph — twin of
+    operators/triangles.triangle_count_sampled with the same deterministic
+    31-bit mixing coin (DOULION_M/A/B constants) over the canonical pair."""
+    m, a, b = 2_147_483_647, 1_103_515_245, 1_566_083_941
+    return f"""WITH {COORDER_CTES},
+e AS (
+  SELECT src, dst FROM coorder
+  WHERE ((((src % {m}) + {m}) % {m}) * {a}
+         + (((dst % {m}) + {m}) % {m}) * {b} + {seed}) % {m} % {p_den} < {p_num}),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+SELECT (SELECT count(*) FROM e) AS n_edges_kept,
+       count(*) AS tri_sampled,
+       round(count(*) * power(CAST({p_den} AS DOUBLE) / {p_num}, 3), 6)
+         AS est_triangles
+FROM tri"""

@@ -88,3 +88,67 @@ def test_transitivity_known_values(spark):
     # triangle + pendant at 2: wedges = 1+1+3 = 5 -> 3/5
     pend = tri + [(2, 3)]
     assert transitivity(spark, edge_df(spark, pend)).collect()[0]["transitivity"] == 0.6
+
+
+# ---- DOULION sampled estimator ---------------------------------------------
+
+
+def _keep(src, dst, seed, num, den):
+    from neo4j_graph_algorithms_spark.operators.triangles import (
+        DOULION_A,
+        DOULION_B,
+        DOULION_M,
+    )
+
+    h = ((src % DOULION_M) * DOULION_A + (dst % DOULION_M) * DOULION_B + seed) % DOULION_M
+    return h % den < num
+
+
+def test_doulion_keep_all_equals_exact(spark):
+    from neo4j_graph_algorithms_spark.operators.triangles import triangle_count_sampled
+
+    ids = names_to_ids(F4_NODES)
+    edges = edge_df(spark, parse_edges(F4_EDGES, ids))
+    row = triangle_count_sampled(spark, edges, p_num=1, p_den=1).collect()[0]
+    assert row.n_edges_kept == 11
+    assert row.tri_sampled == 3
+    assert row.est_triangles == 3.0
+
+
+def test_doulion_matches_python_replay_and_is_deterministic(spark):
+    from neo4j_graph_algorithms_spark.operators.triangles import triangle_count_sampled
+
+    # K6 on vids 0..5: 15 edges, 20 triangles — dense enough that p=1/2
+    # keeps a nontrivial subgraph
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    kept = [(s, d) for s, d in pairs if _keep(s, d, 7, 1, 2)]
+    exp_tris = sum(
+        1
+        for i in range(6)
+        for j in range(i + 1, 6)
+        for k in range(j + 1, 6)
+        if ((i, j) in kept and (j, k) in kept and (i, k) in kept)
+    )
+    got = triangle_count_sampled(spark, edge_df(spark, pairs), p_num=1, p_den=2, seed=7)
+    r1, r2 = got.collect()[0], got.collect()[0]
+    assert r1 == r2  # deterministic coin: identical on re-execution
+    assert r1.n_edges_kept == len(kept)
+    assert r1.tri_sampled == exp_tris
+    assert r1.est_triangles == pytest.approx(exp_tris * 8.0)
+
+
+def test_doulion_coin_is_per_undirected_edge(spark):
+    from neo4j_graph_algorithms_spark.operators.triangles import triangle_count_sampled
+
+    # both orientations + a parallel duplicate of the same edge collapse to
+    # ONE canonical pair before the coin, so kept-count is 0 or 1, never 2
+    pairs = [(3, 9), (9, 3), (3, 9)]
+    row = triangle_count_sampled(spark, edge_df(spark, pairs), p_num=1, p_den=2, seed=7).collect()[0]
+    assert row.n_edges_kept == (1 if _keep(3, 9, 7, 1, 2) else 0)
+
+
+def test_doulion_rejects_bad_rate(spark):
+    from neo4j_graph_algorithms_spark.operators.triangles import triangle_count_sampled
+
+    with pytest.raises(ValueError):
+        triangle_count_sampled(spark, edge_df(spark, [(0, 1)]), p_num=3, p_den=2)
