@@ -227,6 +227,14 @@ def _q_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed complete-triad census (Holland-Leinhardt 030T/030C/120*/
+    210/300) on the line-seq graph — the motif audit; zero-filled rows."""
+    from neo4j_graph_algorithms_spark.operators.motifs import triad_census
+
+    return triad_census(spark, lineseq_edges(spark, sf_dir))
+
+
 def _q_triangles_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_node, _ = triangle_count(spark, coorder_edges(spark, sf_dir))
     return per_node
@@ -1723,7 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 rotation: the last 3 never-driver-run gates (green in the
         # committed local sweeps since r2/r3) take the slots of 3 r3-green
         # gates whose code path has an in-window sibling (VERDICT r3 item 3)
-        "degree_centrality": _q_degree_centrality,
+        "graph_triad_motifs": _q_triad_census,  # new r5 gate: directed complete-triad census — the feed-forward-vs-cycle motif audit (Milo et al.) extending graph_reciprocity from dyads to triads; direction bits joined onto the SAME degree-ordered triangle stream triangle_doulion_est drives in window (degree_centrality rotates to tail: r4 driver-green, degrees.py unchanged in r5; graph_degree_stats + graph_degree_gini + graph_powerlaw_alpha keep the degree-audit path in window)
         "doc_subword_count": _q_subword_count,
         "graph_matching": _q_matching,  # new r4 gate: greedy maximal matching, hash-priority rounds == unrolled SQL (dedup_embedding_cosine rotates to tail: r3 driver-green, SRP-LSH chain unchanged since; dedup_keep_best + dedup_minhash_groups keep dedup.py in window)
         "graph_coloring": _q_coloring,  # new r4 gate: Jones-Plassmann greedy coloring, the conflict-free-scheduling primitive completing the mis/matching symmetry-breaking trio (dedup_minhash_groups rotates to tail: r3 driver-green, minhash chain unchanged since; dedup_keep_best keeps dedup.py in window)
@@ -1768,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "degree_centrality": _q_degree_centrality,  # r4 driver-green; degrees.py unchanged in r5; rotated out for graph_triad_motifs — graph_degree_stats/gini/powerlaw keep the degree-audit path in window
         "audio_features": _q_audio_features,  # r4 driver-green; WAV path unchanged in r5; rotated out for triangle_doulion_est — jpeg/jpeg_color/video keep the real-codec multimodal paths in window
         "link_adamic_adar": _q_adamic_adar,  # r4 driver-green; nodesim.py unchanged since; rotated out r5 for image_jpeg_color — node_similarity_topk keeps the shared neighbor-intersection path in window
         "pagerank_warm_restart": _q_pagerank_warm,  # r4 driver-green; rotated out r5 for streaming_incremental_pagerank, which drives the same warm-restart machinery end-to-end (weighted + articlerank keep the pagerank superstep in window)
@@ -1893,6 +1902,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc_stats": oracles.wcc_stats_sql(rounds=12),
         "triangle_total": oracles.triangle_total_sql(),
         "triangle_doulion_est": oracles.triangle_doulion_sql(p_num=1, p_den=2, seed=7),
+        "graph_triad_motifs": oracles.triad_census_sql(),
         "triangles_per_node": oracles.triangles_per_node_sql(),
         "clustering_coefficient": oracles.clustering_coefficient_sql(),
         "avg_clustering_coefficient": oracles.avg_clustering_coefficient_sql(),

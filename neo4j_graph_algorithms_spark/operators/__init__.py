@@ -39,6 +39,7 @@ from neo4j_graph_algorithms_spark.operators.reducer import (
     label_dictionary,
 )
 from neo4j_graph_algorithms_spark.operators.hits import hits
+from neo4j_graph_algorithms_spark.operators.motifs import triad_census
 from neo4j_graph_algorithms_spark.operators.salsa import salsa
 from neo4j_graph_algorithms_spark.operators.hyperball import (
     hyperball,
@@ -105,6 +106,7 @@ __all__ = [
     "label_dictionary",
     "hits",
     "salsa",
+    "triad_census",
     "hyperball",
     "hyperball_harmonic",
     "random_walks",

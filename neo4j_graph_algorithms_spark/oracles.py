@@ -2587,3 +2587,39 @@ SELECT (SELECT count(*) FROM e) AS n_edges_kept,
        round(count(*) * power(CAST({p_den} AS DOUBLE) / {p_num}, 3), 6)
          AS est_triangles
 FROM tri"""
+
+
+def triad_census_sql() -> str:
+    """Directed complete-triad census on the line-seq graph — twin of
+    operators/motifs.triad_census (same class definitions, same canonical
+    direction-bit collapse; zero-filled over all seven classes)."""
+    return f"""WITH {LINESEQ_CTES},
+d AS (SELECT DISTINCT src, dst FROM lineseq WHERE src <> dst),
+bits AS (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+                max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+                max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+         FROM d GROUP BY 1, 2),
+tri AS (SELECT e1.f AS f_ab, e1.r AS r_ab, e2.f AS f_bc, e2.r AS r_bc,
+               e3.f AS f_ac, e3.r AS r_ac
+        FROM bits e1 JOIN bits e2 ON e2.lo = e1.hi
+        JOIN bits e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+cls AS (SELECT CASE
+  WHEN f_ab*r_ab + f_bc*r_bc + f_ac*r_ac = 3 THEN '300'
+  WHEN f_ab*r_ab + f_bc*r_bc + f_ac*r_ac = 2 THEN '210'
+  WHEN f_ab*r_ab + f_bc*r_bc + f_ac*r_ac = 1 THEN
+    CASE WHEN f_ab*r_ab = 1 THEN
+           CASE WHEN f_ac = 1 AND f_bc = 1 THEN '120D'
+                WHEN r_ac = 1 AND r_bc = 1 THEN '120U' ELSE '120C' END
+         WHEN f_bc*r_bc = 1 THEN
+           CASE WHEN r_ab = 1 AND r_ac = 1 THEN '120D'
+                WHEN f_ab = 1 AND f_ac = 1 THEN '120U' ELSE '120C' END
+         ELSE
+           CASE WHEN f_ab = 1 AND r_bc = 1 THEN '120D'
+                WHEN r_ab = 1 AND f_bc = 1 THEN '120U' ELSE '120C' END
+    END
+  WHEN (f_ab = 1 AND f_bc = 1 AND r_ac = 1)
+    OR (r_ab = 1 AND r_bc = 1 AND f_ac = 1) THEN '030C'
+  ELSE '030T' END AS motif FROM tri),
+cnt AS (SELECT motif, count(*) AS n FROM cls GROUP BY motif),
+all7 AS (SELECT unnest(['030C','030T','120C','120D','120U','210','300']) AS motif)
+SELECT a.motif, coalesce(c.n, 0) AS n FROM all7 a LEFT JOIN cnt c USING (motif)"""
