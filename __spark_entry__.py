@@ -1604,6 +1604,18 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(_docs(spark, sf_dir), n=3, threshold=0.05)
 
 
+def _q_coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness via h-index iteration (Lü et al. 2016) — the one-loop
+    scale path vs the upward peel sweep; 24 fixed rounds (converges in 16
+    at sf0.01, max core 32), mirroring the unrolled oracle exactly."""
+    from neo4j_graph_algorithms_spark.operators.kcore import coreness_hindex
+
+    res = coreness_hindex(
+        spark, lineseq_edges(spark, sf_dir), max_iterations=24, fixed_iterations=True
+    )
+    return res.state.select("vid", "core")
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-core of the undirected line-seq graph (beyond the reference:
     gds.kcore twin) — [vid, deg-in-core]; nontrivial peel at sf0.01
@@ -1732,7 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # committed local sweeps since r2/r3) take the slots of 3 r3-green
         # gates whose code path has an in-window sibling (VERDICT r3 item 3)
         "graph_triad_motifs": _q_triad_census,  # new r5 gate: directed complete-triad census — the feed-forward-vs-cycle motif audit (Milo et al.) extending graph_reciprocity from dyads to triads; direction bits joined onto the SAME degree-ordered triangle stream triangle_doulion_est drives in window (degree_centrality rotates to tail: r4 driver-green, degrees.py unchanged in r5; graph_degree_stats + graph_degree_gini + graph_powerlaw_alpha keep the degree-audit path in window)
-        "doc_subword_count": _q_subword_count,
+        "graph_coreness_hindex": _q_coreness_hindex,  # new r5 gate: full coreness via h-index iteration — the one-superstep-loop scale path (no per-degeneracy-level sweep); ktruss_4 keeps the peel loop in window (doc_subword_count rotates to tail: r4 driver-green, subword path unchanged in r5; doc_top_ngrams/doc_zipf_alpha/doc_length_stats keep text.py in window)
         "graph_matching": _q_matching,  # new r4 gate: greedy maximal matching, hash-priority rounds == unrolled SQL (dedup_embedding_cosine rotates to tail: r3 driver-green, SRP-LSH chain unchanged since; dedup_keep_best + dedup_minhash_groups keep dedup.py in window)
         "graph_coloring": _q_coloring,  # new r4 gate: Jones-Plassmann greedy coloring, the conflict-free-scheduling primitive completing the mis/matching symmetry-breaking trio (dedup_minhash_groups rotates to tail: r3 driver-green, minhash chain unchanged since; dedup_keep_best keeps dedup.py in window)
         "graph_coarsen": _q_coarsen,  # new r4 gate: matching-contraction coarsening, the multilevel contract step consuming graph_matching's drain (doc_tfidf_topk rotates to tail: r3 driver-green, tfidf path unchanged since; doc_top_ngrams/doc_repetition_ratio/doc_bigram_logprob keep text.py in window)
@@ -1776,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "doc_subword_count": _q_subword_count,  # r4 driver-green; subword-count path unchanged in r5; rotated out for graph_coreness_hindex — doc_top_ngrams/doc_zipf_alpha/doc_length_stats keep text.py in window, doc_bpe_merges keeps bpe.py
         "degree_centrality": _q_degree_centrality,  # r4 driver-green; degrees.py unchanged in r5; rotated out for graph_triad_motifs — graph_degree_stats/gini/powerlaw keep the degree-audit path in window
         "audio_features": _q_audio_features,  # r4 driver-green; WAV path unchanged in r5; rotated out for triangle_doulion_est — jpeg/jpeg_color/video keep the real-codec multimodal paths in window
         "link_adamic_adar": _q_adamic_adar,  # r4 driver-green; nodesim.py unchanged since; rotated out r5 for image_jpeg_color — node_similarity_topk keeps the shared neighbor-intersection path in window
@@ -2040,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "node_similarity_topk": oracles.node_similarity_sql(top_k=10),
         "link_adamic_adar": oracles.adamic_adar_sql(top_k=10),
         "kcore_30": oracles.kcore_sql(k=30, rounds=12),
+        "graph_coreness_hindex": oracles.coreness_hindex_sql(iterations=24),
         "doc_repetition_ratio": pipeline_oracles.repetition_ratio_sql(n=3),
         "doc_decontaminate": pipeline_oracles.decontaminate_sql(n=3, threshold=0.05),
         "eigenvector_20iter": oracles.eigenvector_sql(iterations=20),

@@ -51,7 +51,7 @@ from neo4j_graph_algorithms_spark.operators.walks import (
     random_walks,
     walk_skipgram_pairs,
 )
-from neo4j_graph_algorithms_spark.operators.kcore import coreness, kcore
+from neo4j_graph_algorithms_spark.operators.kcore import coreness, coreness_hindex, kcore
 from neo4j_graph_algorithms_spark.operators.ktruss import ktruss, truss_stats
 from neo4j_graph_algorithms_spark.operators.eigenvector import eigenvector
 from neo4j_graph_algorithms_spark.operators.katz import katz
@@ -115,6 +115,7 @@ __all__ = [
     "khop_fanout_sample",
     "kcore",
     "coreness",
+    "coreness_hindex",
     "ktruss",
     "truss_stats",
     "eigenvector",

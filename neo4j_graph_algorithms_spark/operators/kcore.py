@@ -28,6 +28,7 @@ ever-shrinking subgraph — the standard sequential-sweep bound.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from neo4j_graph_algorithms_spark.graph import DST, SRC, VID, EdgeFrame
 from neo4j_graph_algorithms_spark.plans.runtime import SuperstepResult, SuperstepRunner
@@ -175,3 +176,90 @@ def coreness(
         out = out.join(labels, on=VID, how="left")
         return out.select(VID, F.coalesce("core", F.lit(0)).alias("core"))
     return out.select(VID, F.lit(0).alias("core"))
+
+
+def coreness_hindex(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    max_iterations: int = 50,
+    fixed_iterations: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> SuperstepResult:
+    """[vid, core] via h-index iteration — the ONE-LOOP coreness.
+
+    c_0(v) = deg(v); c_{t+1}(v) = h-index of {c_t(u) : u ~ v} (the largest
+    h with >= h neighbors of value >= h).  The sequence is pointwise
+    non-increasing and converges to the exact coreness (Lü, Zhou, Zhang &
+    Stanley, Nature Communications 7:10168, 2016) — no analogue in the
+    reference (kcore itself is beyond-catalogue).
+
+    This is the 10^12-edge path: `coreness` (the upward peel sweep above)
+    runs one shrinking peel PASS PER DEGENERACY LEVEL — dozens of
+    sequential phases on a web graph — while h-index iteration is a single
+    superstep loop that usually converges in O(10) rounds.  Per round: one
+    state join shuffled on the adjacency key + one per-vertex window over
+    neighbor values (rank-desc; h = max rank r with value >= r).  The
+    h-index is tie-order invariant, so row_number nondeterminism across
+    equal values cannot change the result.  Hub windows are degree-sized:
+    at web scale pair this with the degree caps the audits
+    (graph_degree_stats / rich_club) motivate.
+
+    With ``fixed_iterations=True`` runs EXACTLY max_iterations rounds (no
+    early-stop collect) — the mode the driver gate uses to mirror the
+    unrolled DuckDB oracle; the default early-stops when no vertex changed.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    adj = _both_directions(ef).repartition(DST).persist()
+    adj.count()
+    verts = ef.vertices()
+    deg = adj.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("core"))
+    state0 = (
+        verts.join(deg.hint("shuffle_hash"), on=VID, how="left")
+        .select(VID, F.coalesce(F.col("core"), F.lit(0)).alias("core"))
+    )
+
+    w = Window.partitionBy(SRC).orderBy(F.col("_cn").desc())
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        nbr_vals = adj.join(
+            state.select(F.col(VID).alias(DST), F.col("core").alias("_cn")).hint(
+                "shuffle_hash"
+            ),
+            on=DST,
+        ).select(SRC, "_cn")
+        h = (
+            nbr_vals.withColumn("_r", F.row_number().over(w))
+            .groupBy(F.col(SRC).alias(VID))
+            .agg(
+                F.coalesce(
+                    F.max(F.when(F.col("_cn") >= F.col("_r"), F.col("_r"))), F.lit(0)
+                ).alias("_h")
+            )
+        )
+        return (
+            state.select(VID)
+            .join(h.hint("shuffle_hash"), on=VID, how="left")
+            .select(VID, F.coalesce(F.col("_h"), F.lit(0)).alias("core"))
+        )
+
+    def changed(new: DataFrame, old: DataFrame, i: int) -> float:
+        # monotone non-increasing, so sum(core) strictly drops until the
+        # fixpoint — one scalar agg per state, no state-vs-state join
+        ns = new.agg(F.sum("core")).collect()[0][0] or 0
+        os_ = old.agg(F.sum("core")).collect()[0][0] or 0
+        return float(os_ - ns)
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        metric=None if fixed_iterations else changed,
+        converged=None if fixed_iterations else (lambda m: m == 0.0),
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group="linkgraph-coreness-hindex",
+    )
+    result = runner.run(state0, step, resume=resume)
+    adj.unpersist()
+    return result

@@ -103,3 +103,61 @@ def test_coreness_max_k_clamps_survivors(spark):
     out = {r["vid"]: r["core"]
            for r in coreness(spark, edge_df(spark, pairs), max_k=2).collect()}
     assert out == {0: 2, 1: 2, 2: 2, 3: 2, 7: 1}
+
+
+# ---- h-index coreness iteration --------------------------------------------
+
+
+def test_hindex_coreness_fixture(spark):
+    from neo4j_graph_algorithms_spark.operators.kcore import coreness_hindex
+
+    res = coreness_hindex(spark, edge_df(spark, TRI_PENDANT))
+    got = {r.vid: r.core for r in res.state.collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_hindex_equals_peel_sweep_on_random_graph(spark):
+    from neo4j_graph_algorithms_spark.operators.kcore import coreness_hindex
+
+    rng = random.Random(11)
+    pairs = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(140)})
+    pairs = [(s, d) for s, d in pairs if s != d]
+    exp = _python_coreness(pairs)
+    res = coreness_hindex(spark, edge_df(spark, pairs))
+    got = {r.vid: r.core for r in res.state.collect()}
+    assert got == exp
+    # the sweep operator agrees too — three independent paths, one answer
+    sweep = {r.vid: r.core for r in coreness(spark, edge_df(spark, pairs)).collect()}
+    assert sweep == exp
+
+
+def test_hindex_fixed_iterations_monotone_upper_bound(spark):
+    from neo4j_graph_algorithms_spark.operators.kcore import coreness_hindex
+
+    # truncated runs are pointwise >= the fixpoint and non-increasing in t
+    pairs = TRI_PENDANT + [(4, 5), (5, 0), (1, 3)]
+    exact = _python_coreness(pairs)
+    prev = None
+    for t in (1, 2, 4):
+        res = coreness_hindex(
+            spark, edge_df(spark, pairs), max_iterations=t, fixed_iterations=True
+        )
+        got = {r.vid: r.core for r in res.state.collect()}
+        assert all(got[v] >= exact[v] for v in exact)
+        if prev is not None:
+            assert all(got[v] <= prev[v] for v in prev)
+        prev = got
+
+
+def test_hindex_isolated_and_selfloop_vertices_core_zero(spark):
+    from neo4j_graph_algorithms_spark.operators.kcore import coreness_hindex
+
+    verts = spark.createDataFrame([(9,), (0,), (1,), (2,)], "vid long")
+    edges = spark.createDataFrame([(0, 1), (2, 2)], "src long, dst long")
+    ef_res = coreness_hindex(spark, edges, max_iterations=4)
+    # vertices() of the edge frame: 0,1,2 (2 via its self-loop) — 2 has no
+    # simple-graph neighbors, so core 0; explicit vertices add isolated 9
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+
+    got = {r.vid: r.core for r in ef_res.state.collect()}
+    assert got == {0: 1, 1: 1, 2: 0}
