@@ -227,3 +227,22 @@ def test_retention_join_never_broadcasts_user_cohorts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_coreness_hindex_superstep_never_broadcasts_state(spark):
+    """coreness_hindex joins |V|-sized state onto the adjacency each round
+    and folds per-vertex h-indexes back — both joins must stay shuffle-based
+    (repo convention: no graph-scaled broadcast in superstep joins)."""
+    from neo4j_graph_algorithms_spark.operators.kcore import coreness_hindex
+
+    pairs = [(i, (i + 1) % 16) for i in range(16)] + [(0, 8), (4, 12)]
+    res = coreness_hindex(
+        spark,
+        edge_df(spark, pairs),
+        max_iterations=2,
+        fixed_iterations=True,
+    )
+    plan = res.first_plan
+    assert plan is not None
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
