@@ -227,6 +227,14 @@ def _q_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge common-neighbor count + neighborhood overlap on the
+    co-order graph — the tie-strength / local-bridge audit."""
+    from neo4j_graph_algorithms_spark.operators.triangles import edge_embeddedness
+
+    return edge_embeddedness(spark, coorder_edges(spark, sf_dir))
+
+
 def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed complete-triad census (Holland-Leinhardt 030T/030C/120*/
     210/300) on the line-seq graph — the motif audit; zero-filled rows."""
@@ -1733,7 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (aggregate views, extremum/threshold flips, sampled twins).
     return {
         # --- never/un-verified in r2: front of the window -------------------
-        "ann_ivf_search": _q_ivf_search,
+        "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
         "curate_stage_counts": _q_curate,
@@ -1788,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "ann_ivf_search": _q_ivf_search,  # r2+ driver-green; IVF probe path unchanged in r5; rotated out for graph_edge_embeddedness — ann_ivf_recall drives the same IVF build/search chain in window
         "doc_subword_count": _q_subword_count,  # r4 driver-green; subword-count path unchanged in r5; rotated out for graph_coreness_hindex — doc_top_ngrams/doc_zipf_alpha/doc_length_stats keep text.py in window, doc_bpe_merges keeps bpe.py
         "degree_centrality": _q_degree_centrality,  # r4 driver-green; degrees.py unchanged in r5; rotated out for graph_triad_motifs — graph_degree_stats/gini/powerlaw keep the degree-audit path in window
         "audio_features": _q_audio_features,  # r4 driver-green; WAV path unchanged in r5; rotated out for triangle_doulion_est — jpeg/jpeg_color/video keep the real-codec multimodal paths in window
@@ -1916,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_total": oracles.triangle_total_sql(),
         "triangle_doulion_est": oracles.triangle_doulion_sql(p_num=1, p_den=2, seed=7),
         "graph_triad_motifs": oracles.triad_census_sql(),
+        "graph_edge_embeddedness": oracles.edge_embeddedness_sql(),
         "triangles_per_node": oracles.triangles_per_node_sql(),
         "clustering_coefficient": oracles.clustering_coefficient_sql(),
         "avg_clustering_coefficient": oracles.avg_clustering_coefficient_sql(),

@@ -1,6 +1,7 @@
 from neo4j_graph_algorithms_spark.operators.wcc import wcc, wcc_stats
 from neo4j_graph_algorithms_spark.operators.pagerank import pagerank, pagerank_scores
 from neo4j_graph_algorithms_spark.operators.triangles import (
+    edge_embeddedness,
     triangle_count,
     triangle_count_sampled,
     triangle_stream,
@@ -75,6 +76,7 @@ __all__ = [
     "wcc_stats",
     "pagerank",
     "pagerank_scores",
+    "edge_embeddedness",
     "triangle_count",
     "triangle_count_sampled",
     "triangle_stream",

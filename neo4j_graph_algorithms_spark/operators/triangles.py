@@ -236,3 +236,56 @@ def triangle_count_sampled(
         "tri_sampled",
         F.round(F.col("tri_sampled") * F.lit(scale), 6).alias("est_triangles"),
     )
+
+
+def edge_embeddedness(
+    spark: SparkSession, edges: EdgeFrame | DataFrame
+) -> DataFrame:
+    """[src, dst, common, overlap] per canonical undirected simple edge —
+    the tie-strength audit (Granovetter; Easley & Kleinberg ch. 3).
+
+    `common` = |N(u) ∩ N(v)| (= triangles through the edge); `overlap` =
+    the neighborhood-overlap Jaccard common / (deg(u)+deg(v)-2-common),
+    6dp, defined 0.0 when the union of other-neighbors is empty.  Edges
+    with overlap 0 are LOCAL BRIDGES — the weak ties whose removal
+    disconnects neighborhoods; in a link graph they separate template
+    cliques from genuine cross-references, so this is the edge-level
+    filter the dedup/community family acts on.
+
+    No reference analogue (TriangleCount.java:40-206 aggregates per node);
+    beyond-catalogue edge-level member of the triangle family.  Plan: one
+    degree-ordered triangle enumeration (triangle_stream), exploded to its
+    three canonical pairs and re-aggregated — the per-edge count shuffles
+    |tri| rows on the pair key, never all-pairs; degrees join in
+    shuffle-hash on vertex keys.
+    """
+    und = _simple_undirected(edges)
+    tris = triangle_stream(spark, und)
+    pair_counts = (
+        tris.select(F.col("a").alias(SRC), F.col("b").alias(DST))
+        .unionByName(tris.select(F.col("b").alias(SRC), F.col("c").alias(DST)))
+        .unionByName(tris.select(F.col("a").alias(SRC), F.col("c").alias(DST)))
+        .groupBy(SRC, DST)
+        .agg(F.count("*").alias("common"))
+    )
+    deg = (
+        und.select(F.col(SRC).alias(VID))
+        .unionByName(und.select(F.col(DST).alias(VID)))
+        .groupBy(VID)
+        .agg(F.count("*").alias("_deg"))
+    )
+    e = (
+        und.join(pair_counts.hint("shuffle_hash"), on=[SRC, DST], how="left")
+        .join(deg.select(F.col(VID).alias(SRC), F.col("_deg").alias("_du")).hint("shuffle_hash"), on=SRC)
+        .join(deg.select(F.col(VID).alias(DST), F.col("_deg").alias("_dv")).hint("shuffle_hash"), on=DST)
+    )
+    common = F.coalesce(F.col("common"), F.lit(0))
+    denom = F.col("_du") + F.col("_dv") - F.lit(2) - common
+    return e.select(
+        SRC,
+        DST,
+        common.alias("common"),
+        F.round(
+            F.when(denom > 0, common.cast("double") / denom).otherwise(F.lit(0.0)), 6
+        ).alias("overlap"),
+    )

@@ -2657,3 +2657,28 @@ c{i} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"\nSELECT vid, core FROM c{iterations}"
     )
+
+
+def edge_embeddedness_sql() -> str:
+    """Per-edge common-neighbor count + neighborhood overlap on the
+    co-order graph — twin of operators/triangles.edge_embeddedness (same
+    triangle explode-to-pairs aggregation, 6dp overlap, 0.0 when the
+    other-neighbor union is empty)."""
+    return f"""WITH {TRIANGLE_CTES},
+pc AS (
+  SELECT src, dst, count(*) AS common FROM (
+    SELECT a AS src, b AS dst FROM tri
+    UNION ALL SELECT b, c FROM tri
+    UNION ALL SELECT a, c FROM tri) x
+  GROUP BY 1, 2),
+deg AS (SELECT vid, count(*) AS d FROM (
+  SELECT src AS vid FROM coorder UNION ALL SELECT dst FROM coorder) x GROUP BY vid)
+SELECT e.src, e.dst, coalesce(pc.common, 0) AS common,
+       round(CASE WHEN du.d + dv.d - 2 - coalesce(pc.common, 0) > 0
+                  THEN CAST(coalesce(pc.common, 0) AS DOUBLE)
+                       / (du.d + dv.d - 2 - coalesce(pc.common, 0))
+                  ELSE 0.0 END, 6) AS overlap
+FROM coorder e
+LEFT JOIN pc ON pc.src = e.src AND pc.dst = e.dst
+JOIN deg du ON du.vid = e.src
+JOIN deg dv ON dv.vid = e.dst"""

@@ -152,3 +152,55 @@ def test_doulion_rejects_bad_rate(spark):
 
     with pytest.raises(ValueError):
         triangle_count_sampled(spark, edge_df(spark, [(0, 1)]), p_num=3, p_den=2)
+
+
+# ---- edge embeddedness / neighborhood overlap ------------------------------
+
+
+def test_edge_embeddedness_known_answer(spark):
+    from neo4j_graph_algorithms_spark.operators.triangles import edge_embeddedness
+
+    # triangle {0,1,2} + pendant 2-3: edge (0,1) has common={2},
+    # overlap = 1/(2+2-2-1) = 1; edge (1,2) common={0}, deg2=3 →
+    # 1/(2+3-2-1) = 0.5; bridge (2,3): common 0, overlap 0
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    got = {
+        (r.src, r.dst): (r.common, r.overlap)
+        for r in edge_embeddedness(spark, edge_df(spark, pairs)).collect()
+    }
+    assert got == {
+        (0, 1): (1, 1.0),
+        (1, 2): (1, 0.5),
+        (0, 2): (1, 0.5),
+        (2, 3): (0, 0.0),
+    }
+
+
+def test_edge_embeddedness_python_replay(spark):
+    from neo4j_graph_algorithms_spark.operators.triangles import edge_embeddedness
+
+    pairs = sorted({((i * 5 + 2) % 12, (i * i + 1) % 12) for i in range(40)})
+    pairs = [(s, d) for s, d in pairs if s != d]
+    und = sorted({(min(s, d), max(s, d)) for s, d in pairs})
+    nbr = {}
+    for s, d in und:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    exp = {}
+    for s, d in und:
+        c = len(nbr[s] & nbr[d])
+        den = len(nbr[s]) + len(nbr[d]) - 2 - c
+        exp[(s, d)] = (c, round(c / den, 6) if den > 0 else 0.0)
+    got = {
+        (r.src, r.dst): (r.common, r.overlap)
+        for r in edge_embeddedness(spark, edge_df(spark, pairs)).collect()
+    }
+    assert got == exp
+
+
+def test_edge_embeddedness_isolated_dyad(spark):
+    from neo4j_graph_algorithms_spark.operators.triangles import edge_embeddedness
+
+    # two deg-1 endpoints: empty other-neighbor union → overlap 0.0, not NaN
+    got = edge_embeddedness(spark, edge_df(spark, [(5, 9)])).collect()
+    assert [(r.src, r.dst, r.common, r.overlap) for r in got] == [(5, 9, 0, 0.0)]
