@@ -331,6 +331,22 @@ def _q_sllpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR sweep-cut curve (Andersen-Chung-Lang local clustering) around
+    the vid%50 teleport set on the line-seq graph — top-100 prefix,
+    histogram-difference cut, 6dp conductance."""
+    from neo4j_graph_algorithms_spark.operators.sweep import ppr_sweep
+
+    edges = lineseq_edges(spark, sf_dir)
+    ef_verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    sources = ef_verts.filter(F.col("vid") % 50 == 0)
+    return ppr_sweep(spark, edges, sources, max_iterations=20, top_k=100)
+
+
 def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community conductance (gds.conductance twin) of the vid%7
     assignment on the co-order graph."""
@@ -1776,7 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": _q_bigram_logprob,  # new r4 gate: order-2 MLE LM quality filter, exact integer-scaled term sums (graph_fastrp_embeddings rotates to tail: r3 green, operators/fastrp.py unchanged since, and graph_fastrp_csr — the Tier B twin over the SAME fastrp_sql oracle — stays in window)
         "graph_fastrp_csr": _q_fastrp_csr,  # new r4 Tier B kernel (VERDICT item 6)
         "events_user_features": _q_user_activity,  # new r4 gate: per-user RFM feature block with the exact-sum contract (lpa_weighted_3iter rotates to tail: r3 green, operators/lpa.py unchanged since; lpa_csr_3iter keeps label propagation in window)
-        "community_conductance": _q_conductance,
+        "community_ppr_sweep": _q_ppr_sweep,  # new r5 gate: PPR sweep-cut local clustering (Andersen-Chung-Lang) — the provable local community method completing louvain/sllpa/conductance; drives the personalized-pagerank superstep + the histogram-difference sweep (community_conductance rotates to tail: r4 driver-green, conductance_df unchanged in r5; louvain_communities — value-gated — and louvain_q_invariant keep community quality in window)
         "graph_powerlaw_alpha": _q_degree_powerlaw,  # new r5 gate: CSN discrete-MLE power-law exponent, the scale-free audit behind every hub cap — 1e-6-grid integer log sums (community_sllpa_overlap rotates to tail: r4 driver-green, sllpa.py unchanged in r5; community_conductance + louvain_communities keep community quality in window)
         "doc_sample_stratified": _q_stratified_take,  # new r4 gate: deterministic per-stratum eval draw (doc_pack_sequences rotates to tail: r3 green, pack.py + functions/rank.py unchanged since; the distributed prefix-sum path they share stays pytest-pinned)
         "doc_zipf_alpha": _q_zipf_alpha,  # new r5 gate: Zipf-tail MLE over token frequencies — the corpus-health audit, same CSN 1e-6-grid contract as graph_powerlaw_alpha (doc_bpe_subwords rotates to tail: r4 driver-green, and r5's bpe.py change batched INDUCTION only — doc_bpe_merges keeps that changed path in window; the segmentation greedy-replace contract is unchanged since r4)
@@ -1796,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "community_conductance": _q_conductance,  # r4 driver-green; conductance_df unchanged in r5; rotated out for community_ppr_sweep — louvain_communities + louvain_q_invariant keep community quality in window
         "ann_ivf_search": _q_ivf_search,  # r2+ driver-green; IVF probe path unchanged in r5; rotated out for graph_edge_embeddedness — ann_ivf_recall drives the same IVF build/search chain in window
         "doc_subword_count": _q_subword_count,  # r4 driver-green; subword-count path unchanged in r5; rotated out for graph_coreness_hindex — doc_top_ngrams/doc_zipf_alpha/doc_length_stats keep text.py in window, doc_bpe_merges keeps bpe.py
         "degree_centrality": _q_degree_centrality,  # r4 driver-green; degrees.py unchanged in r5; rotated out for graph_triad_motifs — graph_degree_stats/gini/powerlaw keep the degree-audit path in window
@@ -1926,6 +1943,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_doulion_est": oracles.triangle_doulion_sql(p_num=1, p_den=2, seed=7),
         "graph_triad_motifs": oracles.triad_census_sql(),
         "graph_edge_embeddedness": oracles.edge_embeddedness_sql(),
+        "community_ppr_sweep": oracles.ppr_sweep_sql(
+            iterations=20, source_mod=50, top_k=100
+        ),
         "triangles_per_node": oracles.triangles_per_node_sql(),
         "clustering_coefficient": oracles.clustering_coefficient_sql(),
         "avg_clustering_coefficient": oracles.avg_clustering_coefficient_sql(),

@@ -41,6 +41,7 @@ from neo4j_graph_algorithms_spark.operators.reducer import (
 )
 from neo4j_graph_algorithms_spark.operators.hits import hits
 from neo4j_graph_algorithms_spark.operators.motifs import triad_census
+from neo4j_graph_algorithms_spark.operators.sweep import ppr_sweep
 from neo4j_graph_algorithms_spark.operators.salsa import salsa
 from neo4j_graph_algorithms_spark.operators.hyperball import (
     hyperball,
@@ -109,6 +110,7 @@ __all__ = [
     "hits",
     "salsa",
     "triad_census",
+    "ppr_sweep",
     "hyperball",
     "hyperball_harmonic",
     "random_walks",

@@ -2682,3 +2682,76 @@ FROM coorder e
 LEFT JOIN pc ON pc.src = e.src AND pc.dst = e.dst
 JOIN deg du ON du.vid = e.src
 JOIN deg dv ON dv.vid = e.dst"""
+
+
+def ppr_sweep_sql(
+    iterations: int = 20,
+    damping: float = 0.85,
+    source_mod: int = 50,
+    top_k: int = 100,
+) -> str:
+    """PPR sweep-cut curve on the line-seq graph — twin of
+    operators/sweep.ppr_sweep.  Same unrolled delta-push PPR chain as
+    pagerank_personalized_sql, scores quantized to 6dp BEFORE the degree
+    normalization, then the histogram-difference sweep (+1 at an edge's
+    min prefix position, -1 at its max) so every prefix's cut is one
+    running sum."""
+    alpha = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "odeg AS (SELECT src, count(*) AS outdeg FROM lineseq GROUP BY src)",
+        "ewd AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv FROM lineseq e JOIN odeg d USING (src))",
+        f"""r0 AS MATERIALIZED (
+  SELECT vid,
+         CASE WHEN vid % {source_mod} = 0 THEN CAST({alpha} AS DOUBLE) ELSE 0.0 END AS rank,
+         CASE WHEN vid % {source_mod} = 0 THEN CAST({alpha} AS DOUBLE) ELSE 0.0 END AS delta
+  FROM verts)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.delta * e.inv) AS s
+  FROM r{i - 1} r JOIN ewd e ON r.vid = e.src WHERE r.delta > 0 GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT v.vid, v.rank + {d} * coalesce(s.s, 0) AS rank, {d} * coalesce(s.s, 0) AS delta
+  FROM r{i - 1} v LEFT JOIN s{i} s ON v.vid = s.vid)"""
+        )
+    parts.append(
+        f"""und AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d
+         FROM lineseq WHERE src <> dst),
+deg AS (SELECT vid, count(*) AS deg FROM (
+  SELECT s AS vid FROM und UNION ALL SELECT d FROM und) x GROUP BY vid),
+m2 AS (SELECT sum(deg) AS vol_all FROM deg),
+sc AS (SELECT vid, round(rank, 6) AS r6 FROM r{iterations} WHERE round(rank, 6) > 0),
+pos AS MATERIALIZED (
+  SELECT vid, deg, k FROM (
+    SELECT sc.vid, deg.deg, row_number() OVER (ORDER BY sc.r6 / deg.deg DESC, sc.vid) AS k
+    FROM sc JOIN deg USING (vid)) x
+  WHERE k <= {top_k}),
+ev AS (
+  SELECT least(coalesce(p1.k, 2147483648), coalesce(p2.k, 2147483648)) AS kmin,
+         CASE WHEN p1.k IS NOT NULL AND p2.k IS NOT NULL
+              THEN greatest(p1.k, p2.k) END AS kmax
+  FROM und e LEFT JOIN pos p1 ON p1.vid = e.s LEFT JOIN pos p2 ON p2.vid = e.d
+  WHERE p1.k IS NOT NULL OR p2.k IS NOT NULL),
+diff AS (SELECT k, sum(v) AS dv FROM (
+  SELECT kmin AS k, 1 AS v FROM ev
+  UNION ALL SELECT kmax, -1 FROM ev WHERE kmax IS NOT NULL) x GROUP BY k),
+curve AS (
+  SELECT p.k, p.vid,
+         sum(coalesce(f.dv, 0)) OVER (ORDER BY p.k) AS cut,
+         sum(p.deg) OVER (ORDER BY p.k) AS vol
+  FROM pos p LEFT JOIN diff f USING (k))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c.k, c.vid, CAST(c.cut AS BIGINT) AS cut, CAST(c.vol AS BIGINT) AS vol,
+       round(CASE WHEN least(c.vol, m2.vol_all - c.vol) > 0
+                  THEN CAST(c.cut AS DOUBLE) / least(c.vol, m2.vol_all - c.vol)
+             END, 6) AS phi
+FROM curve c CROSS JOIN m2"""
+    )
