@@ -1628,6 +1628,18 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(_docs(spark, sf_dir), n=3, threshold=0.05)
 
 
+def _q_coreness_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier B h-index coreness twin (cogrouped pandas histogram kernels —
+    csr/coreness.py): same 24 fixed rounds and the SAME DuckDB oracle as
+    graph_coreness_hindex, bit-identical by the integer-state contract."""
+    from neo4j_graph_algorithms_spark.csr.coreness import coreness_hindex_csr
+
+    res = coreness_hindex_csr(
+        spark, lineseq_edges(spark, sf_dir), max_iterations=24, fixed_iterations=True
+    )
+    return res.state.select("vid", "core")
+
+
 def _q_coreness_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full coreness via h-index iteration (Lü et al. 2016) — the one-loop
     scale path vs the upward peel sweep; 24 fixed rounds (converges in 16
@@ -1771,7 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness_hindex": _q_coreness_hindex,  # new r5 gate: full coreness via h-index iteration — the one-superstep-loop scale path (no per-degeneracy-level sweep); ktruss_4 keeps the peel loop in window (doc_subword_count rotates to tail: r4 driver-green, subword path unchanged in r5; doc_top_ngrams/doc_zipf_alpha/doc_length_stats keep text.py in window)
         "graph_matching": _q_matching,  # new r4 gate: greedy maximal matching, hash-priority rounds == unrolled SQL (dedup_embedding_cosine rotates to tail: r3 driver-green, SRP-LSH chain unchanged since; dedup_keep_best + dedup_minhash_groups keep dedup.py in window)
         "graph_coloring": _q_coloring,  # new r4 gate: Jones-Plassmann greedy coloring, the conflict-free-scheduling primitive completing the mis/matching symmetry-breaking trio (dedup_minhash_groups rotates to tail: r3 driver-green, minhash chain unchanged since; dedup_keep_best keeps dedup.py in window)
-        "graph_coarsen": _q_coarsen,  # new r4 gate: matching-contraction coarsening, the multilevel contract step consuming graph_matching's drain (doc_tfidf_topk rotates to tail: r3 driver-green, tfidf path unchanged since; doc_top_ngrams/doc_repetition_ratio/doc_bigram_logprob keep text.py in window)
+        "graph_coreness_csr": _q_coreness_csr,  # new r5 gate: Tier B h-index coreness — cogrouped pandas histogram kernels (per-bucket (gatherer,val,cnt) pre-counts), same oracle as graph_coreness_hindex, bit-identical integer contract (graph_coarsen rotates to tail: r4 driver-green, coarsen.py unchanged in r5; graph_matching — its drain input — plus graph_mis/graph_coloring keep the shrinking-frontier symmetry-breaking shape in window)
         "dedup_keep_best": _q_keep_best,  # new r4 gate: keep-one-per-cluster canonical selection (doc_bm25 rotates to tail; doc_tfidf_topk covers the doc_tokens+idf path)
         "emb_gram_matrix": _q_gram_matrix,  # new r4 gate: exact integer-scaled Gram matrix, the distributed-PCA pass (graph_walk_skipgrams rotates to tail: r3 green, and the r4 walk-loop change stays driver-covered in window by graph_node2vec_walks)
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
@@ -1812,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "graph_coarsen": _q_coarsen,  # r4 driver-green; coarsen.py unchanged in r5; rotated out for graph_coreness_csr — graph_matching/graph_mis/graph_coloring keep the shrinking-frontier superstep shape in window
         "community_conductance": _q_conductance,  # r4 driver-green; conductance_df unchanged in r5; rotated out for community_ppr_sweep — louvain_communities + louvain_q_invariant keep community quality in window
         "ann_ivf_search": _q_ivf_search,  # r2+ driver-green; IVF probe path unchanged in r5; rotated out for graph_edge_embeddedness — ann_ivf_recall drives the same IVF build/search chain in window
         "doc_subword_count": _q_subword_count,  # r4 driver-green; subword-count path unchanged in r5; rotated out for graph_coreness_hindex — doc_top_ngrams/doc_zipf_alpha/doc_length_stats keep text.py in window, doc_bpe_merges keeps bpe.py
@@ -2084,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         "link_adamic_adar": oracles.adamic_adar_sql(top_k=10),
         "kcore_30": oracles.kcore_sql(k=30, rounds=12),
         "graph_coreness_hindex": oracles.coreness_hindex_sql(iterations=24),
+        "graph_coreness_csr": oracles.coreness_hindex_sql(iterations=24),
         "doc_repetition_ratio": pipeline_oracles.repetition_ratio_sql(n=3),
         "doc_decontaminate": pipeline_oracles.decontaminate_sql(n=3, threshold=0.05),
         "eigenvector_20iter": oracles.eigenvector_sql(iterations=20),
