@@ -686,6 +686,15 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs, token_dictionary(docs))
 
 
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=4 grams, window 4) over the documents
+    table — the partial-overlap index for a source-code corpus."""
+    from neo4j_graph_algorithms_spark.pipeline.text import winnow_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    return winnow_fingerprints(docs, token_dictionary(docs), k=4, window=4)
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -1784,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_matching": _q_matching,  # new r4 gate: greedy maximal matching, hash-priority rounds == unrolled SQL (dedup_embedding_cosine rotates to tail: r3 driver-green, SRP-LSH chain unchanged since; dedup_keep_best + dedup_minhash_groups keep dedup.py in window)
         "graph_coloring": _q_coloring,  # new r4 gate: Jones-Plassmann greedy coloring, the conflict-free-scheduling primitive completing the mis/matching symmetry-breaking trio (dedup_minhash_groups rotates to tail: r3 driver-green, minhash chain unchanged since; dedup_keep_best keeps dedup.py in window)
         "graph_coreness_csr": _q_coreness_csr,  # new r5 gate: Tier B h-index coreness — cogrouped pandas histogram kernels (per-bucket (gatherer,val,cnt) pre-counts), same oracle as graph_coreness_hindex, bit-identical integer contract (graph_coarsen rotates to tail: r4 driver-green, coarsen.py unchanged in r5; graph_matching — its drain input — plus graph_mis/graph_coloring keep the shrinking-frontier symmetry-breaking shape in window)
+        "doc_winnowing": _q_winnowing,  # new r5 gate: MOSS winnowing fingerprints — the code-corpus partial-overlap index (any shared >=7-token run shares a fingerprint); rightmost-min tie-break realized as ONE integer window-min via (hash,pos) packing (events_sessionize rotates to tail: r4 driver-green, sessionize lag/cumsum path unchanged in r5 — the r5 cap change lives in curate.py, driven in window by curate_stage_counts; funnel/retention/user_features/asof_join keep events.py in window)
         "dedup_keep_best": _q_keep_best,  # new r4 gate: keep-one-per-cluster canonical selection (doc_bm25 rotates to tail; doc_tfidf_topk covers the doc_tokens+idf path)
         "emb_gram_matrix": _q_gram_matrix,  # new r4 gate: exact integer-scaled Gram matrix, the distributed-PCA pass (graph_walk_skipgrams rotates to tail: r3 green, and the r4 walk-loop change stays driver-covered in window by graph_node2vec_walks)
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
@@ -1810,7 +1820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zipf_alpha": _q_zipf_alpha,  # new r5 gate: Zipf-tail MLE over token frequencies — the corpus-health audit, same CSN 1e-6-grid contract as graph_powerlaw_alpha (doc_bpe_subwords rotates to tail: r4 driver-green, and r5's bpe.py change batched INDUCTION only — doc_bpe_merges keeps that changed path in window; the segmentation greedy-replace contract is unchanged since r4)
         "doc_length_stats": _q_length_stats,  # new r4 gate: token-length histogram percentiles, the packing-budget audit (graph_khop_sample rotates to tail; random/node2vec/skipgram walks keep the hash-deterministic sampling path covered in window)
         "graph_mis": _q_mis,  # new r4 gate: Luby maximal independent set, hash-priority superstep rounds == unrolled SQL (triangle_total_csr rotates to tail: r3 driver-green, csr/triangles.py unchanged since; lpa_csr_3iter + graph_fastrp_csr keep Tier B kernels in window)
-        "events_sessionize": _q_sessionize,
         "graph_degree_gini": _q_degree_gini,  # new r5 gate: degree-Gini skew audit, division-free closed-form rank sum on the histogram (events_windowed_agg rotates to tail: r4 driver-green, events.py unchanged since, and streaming_windowed_events — the SAME windowed_event_aggregate_sql oracle through the streaming drain — stays in window with sessionize/funnel/retention/user_features)
         "events_funnel": _q_funnel,  # new r4 gate: ordered conversion funnel (streaming_cocommit_edges rotates to tail: r3 green, streaming/ingest.py unchanged since; streaming_windowed_events keeps a Structured-Streaming drain gate in window)
         "events_retention": _q_retention,  # new r4 gate: daily cohort retention (sssp_csr_from_0 rotates to tail: r3 green, csr/paths.py unchanged since; lpa/triangle/fastrp/closeness CSR kernels stay in window)
@@ -1824,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "events_sessionize": _q_sessionize,  # r4 driver-green; sessionize lag/cumsum path unchanged in r5 (the cap change lives in curate.py, in window via curate_stage_counts); rotated out for doc_winnowing — funnel/retention/user_features/asof_join keep events.py in window
         "graph_coarsen": _q_coarsen,  # r4 driver-green; coarsen.py unchanged in r5; rotated out for graph_coreness_csr — graph_matching/graph_mis/graph_coloring keep the shrinking-frontier superstep shape in window
         "community_conductance": _q_conductance,  # r4 driver-green; conductance_df unchanged in r5; rotated out for community_ppr_sweep — louvain_communities + louvain_q_invariant keep community quality in window
         "ann_ivf_search": _q_ivf_search,  # r2+ driver-green; IVF probe path unchanged in r5; rotated out for graph_edge_embeddedness — ann_ivf_recall drives the same IVF build/search chain in window
@@ -2036,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_language_id": pipeline_oracles.language_id_sql(),
         "doc_quality_score": pipeline_oracles.quality_score_sql(),
         "doc_fingerprint": pipeline_oracles.fingerprint_sql(),
+        "doc_winnowing": pipeline_oracles.winnowing_sql(k=4, window=4),
         "dedup_exact": pipeline_oracles.exact_dedup_sql(),
         "dedup_spans": pipeline_oracles.span_dedup_sql(n=3, min_count=2),
         "doc_zipf_alpha": pipeline_oracles.zipf_alpha_sql(fmin=2),

@@ -1488,3 +1488,38 @@ SELECT CAST({fmin} AS BIGINT) AS fmin,
        round((1.0 + n_tail * 1000000.0 / s_q6 - 1.0) / sqrt(n_tail), 6)
          AS sigma_q6
 FROM agg"""
+
+
+def winnowing_sql(k: int = 4, window: int = 4) -> str:
+    """MOSS winnowing fingerprints — twin of pipeline/text.winnow_fingerprints
+    (dictionary mode).  Same rolling k-gram polynomial over tids, same
+    packed (kh * 2^20 + (2^20-1-pos)) integer so one window-min realizes
+    the rightmost-min robust tie-break."""
+    cap = 1 << 20
+    leads = "".join(
+        f",\n         lead(tid, {j}) OVER w AS l{j}" for j in range(1, k)
+    )
+    kh = "tid"
+    for j in range(1, k):
+        kh = f"(({kh}) * 31 + l{j}) % {HASH_P}"
+    full_kgram = f"WHERE l{k - 1} IS NOT NULL" if k > 1 else ""
+    return f"""WITH {DOCS_CTE},
+{TOKEN_DICT_CTES},
+tp AS (
+  SELECT t.doc_id, t.i, d.tid{leads}
+  FROM tokpos t JOIN dict d USING (tok)
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.i)),
+kg AS (
+  SELECT doc_id, i AS pos, {kh} AS kh
+  FROM tp {full_kgram}),
+mn AS (
+  SELECT doc_id,
+         min(kh * {cap} + ({cap} - 1 - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS mp,
+         lead(kh, {window - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS full_w
+  FROM kg)
+SELECT DISTINCT doc_id,
+       {cap} - 1 - (mp % {cap}) AS pos,
+       mp // {cap} AS gram_hash
+FROM mn WHERE full_w IS NOT NULL"""

@@ -739,3 +739,81 @@ def zipf_alpha(docs: DataFrame, fmin: int = 2, text_col: str = "text") -> DataFr
         F.round(alpha, 6).alias("alpha_q6"),
         F.round((alpha - F.lit(1.0)) / F.sqrt(n), 6).alias("sigma_q6"),
     )
+
+
+#: winnowing packs (kgram_hash, position) into one BIGINT so a single
+#: integer window-min yields "min hash, rightmost position" — the robust
+#: tie-break — identically in any engine.  kh < HASH_P < 2^20 and
+#: pos < WINNOW_POS_CAP = 2^20, so packed < 2^40.
+WINNOW_POS_CAP = 1 << 20
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    dictionary: DataFrame | None = None,
+    k: int = 4,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[doc_id, pos, gram_hash] — MOSS winnowing fingerprints (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003), THE code-corpus partial-overlap
+    fingerprint: from every window of `window` consecutive k-gram hashes
+    keep the minimum (rightmost on ties — robust winnowing), so any shared
+    token run of length >= window + k - 1 between two documents shares at
+    least one selected fingerprint, while ~2/(window+1) of k-grams are kept.
+
+    Complements `fingerprint` (whole-document rolling hash: equality only)
+    with the local-match index that catches partial file copies, vendored
+    snippets, and license boilerplate in a source-code corpus.
+
+    Cross-engine determinism: k-gram hash = the same rolling polynomial as
+    `fingerprint` over dictionary tids (oracle mode) or xxhash64 buckets
+    (scale mode); the rightmost-min window pick is ONE integer min over
+    packed (kh * 2^20 + (2^20-1-pos)) values — no tie-break logic to drift.
+    Positions are capped at 2^20 tokens/doc (docs beyond the cap contribute
+    no fingerprints past it — pair with length_stats/chunking upstream).
+
+    Plan: explode + one (doc, pos) shuffle; k-1 lead() columns build the
+    rolling hash inside one window pass; the winnow itself is a frame min —
+    no self-joins, no arrays, linear in corpus tokens.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or window < 1:
+        raise ValueError(f"need k >= 1 and window >= 1, got k={k} window={window}")
+    per_tok = doc_tokens(docs, id_col, text_col, with_pos=True).filter(
+        F.col("pos") < WINNOW_POS_CAP
+    )
+    if dictionary is not None:
+        per_tok = per_tok.join(dictionary, on="tok")
+    else:
+        per_tok = per_tok.withColumn("tid", F.pmod(F.xxhash64("tok"), F.lit(HASH_P)))
+
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    kh = F.col("tid")
+    for j in range(1, k):
+        kh = (kh * 31 + F.lead("tid", j).over(w_ord)) % HASH_P
+    kg = (
+        per_tok.select(id_col, "pos", kh.alias("_kh"))
+        .filter(F.col("_kh").isNotNull())  # trailing pos without a full k-gram
+    )
+
+    w_kg = Window.partitionBy(id_col).orderBy("pos")
+    frame = w_kg.rowsBetween(0, window - 1)
+    packed = F.col("_kh") * WINNOW_POS_CAP + (WINNOW_POS_CAP - 1 - F.col("pos"))
+    sel = (
+        kg.select(
+            id_col,
+            F.min(packed).over(frame).alias("_mp"),
+            F.lead("_kh", window - 1).over(w_kg).alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull())  # only full windows select
+        .select(id_col, "_mp")
+        .distinct()
+    )
+    return sel.select(
+        id_col,
+        (F.lit(WINNOW_POS_CAP - 1) - F.col("_mp") % WINNOW_POS_CAP).alias("pos"),
+        F.shiftright(F.col("_mp"), 20).alias("gram_hash"),
+    )

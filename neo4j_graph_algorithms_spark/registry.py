@@ -121,6 +121,8 @@ PROCEDURES: dict[str, str] = {
     "algo.khopSample": "neo4j_graph_algorithms_spark.operators.walks.khop_fanout_sample",
     "algo.kcore": "neo4j_graph_algorithms_spark.operators.kcore.kcore",
     "algo.coreness": "neo4j_graph_algorithms_spark.operators.kcore.coreness",
+    "algo.coreness.hindex": "neo4j_graph_algorithms_spark.operators.kcore.coreness_hindex",
+    "algo.coreness.csr": "neo4j_graph_algorithms_spark.csr.coreness.coreness_hindex_csr",
     "algo.ktruss": "neo4j_graph_algorithms_spark.operators.ktruss.ktruss",
     "algo.eigenvector": "neo4j_graph_algorithms_spark.operators.eigenvector.eigenvector",
     "algo.katz": "neo4j_graph_algorithms_spark.operators.katz.katz",
@@ -129,6 +131,10 @@ PROCEDURES: dict[str, str] = {
     "algo.nodeSimilarity": "neo4j_graph_algorithms_spark.operators.nodesim.node_similarity",
     "algo.adamicAdar": "neo4j_graph_algorithms_spark.operators.nodesim.adamic_adar",
     "algo.triangle.transitivity": "neo4j_graph_algorithms_spark.operators.triangles.transitivity",
+    "algo.triangle.sampled": "neo4j_graph_algorithms_spark.operators.triangles.triangle_count_sampled",
+    "algo.edgeEmbeddedness": "neo4j_graph_algorithms_spark.operators.triangles.edge_embeddedness",
+    "algo.triadCensus": "neo4j_graph_algorithms_spark.operators.motifs.triad_census",
+    "algo.pprSweep": "neo4j_graph_algorithms_spark.operators.sweep.ppr_sweep",
     "algo.topoLevels": "neo4j_graph_algorithms_spark.operators.dag.topo_levels",
     "algo.isDag": "neo4j_graph_algorithms_spark.operators.dag.is_dag",
     "algo.sllpa": "neo4j_graph_algorithms_spark.operators.sllpa.sllpa",

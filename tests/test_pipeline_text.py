@@ -467,3 +467,76 @@ def test_zipf_alpha_matches_python(spark, docs):
     assert row["sigma_q6"] == pytest.approx(
         (alpha - 1) / math.sqrt(len(tail)), abs=1e-6
     )
+
+
+# ---- winnowing fingerprints -------------------------------------------------
+
+
+def _winnow_replay(texts, k, window):
+    """Pure-python replay of the winnowing contract (dictionary mode)."""
+    from neo4j_graph_algorithms_spark.pipeline.text import HASH_P, WINNOW_POS_CAP
+
+    vocab = sorted({t for x in texts.values() for t in x.split() if t})
+    tid = {t: i + 1 for i, t in enumerate(vocab)}
+    out = {}
+    for did, text in texts.items():
+        toks = [t for t in text.split() if t]
+        khs = []
+        for p in range(len(toks) - k + 1):
+            acc = tid[toks[p]]
+            for j in range(1, k):
+                acc = (acc * 31 + tid[toks[p + j]]) % HASH_P
+            khs.append(acc)
+        sel = set()
+        for s in range(len(khs) - window + 1):
+            packed = [
+                khs[s + j] * WINNOW_POS_CAP + (WINNOW_POS_CAP - 1 - (s + j))
+                for j in range(window)
+            ]
+            mp = min(packed)
+            sel.add((WINNOW_POS_CAP - 1 - mp % WINNOW_POS_CAP, mp >> 20))
+        out[did] = sel
+    return out
+
+
+def _winnow_spark(spark, texts, k, window):
+    from neo4j_graph_algorithms_spark.pipeline.text import (
+        token_dictionary,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    res = winnow_fingerprints(docs, token_dictionary(docs), k=k, window=window)
+    out = {}
+    for r in res.collect():
+        out.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    return out
+
+
+def test_winnowing_matches_python_replay(spark):
+    texts = {
+        1: "a b c d e f g a b c d",
+        2: "x y a b c d e z z x y",
+        3: "q q q q q q",  # constant run: rightmost-min ties exercised
+        4: "m n",  # shorter than one k-gram: no fingerprints
+    }
+    exp = _winnow_replay(texts, k=3, window=3)
+    got = _winnow_spark(spark, texts, k=3, window=3)
+    exp = {d: s for d, s in exp.items() if s}
+    assert got == exp
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # docs share a run of window + k - 1 = 6 tokens -> must share >= 1 hash
+    shared = "s1 s2 s3 s4 s5 s6"
+    texts = {1: f"a b {shared} c d", 2: f"x {shared} y z w"}
+    got = _winnow_spark(spark, texts, k=3, window=4)
+    h1 = {h for _, h in got[1]}
+    h2 = {h for _, h in got[2]}
+    assert h1 & h2
+
+
+def test_winnowing_k1_window1_selects_every_token(spark):
+    texts = {7: "u v w"}
+    got = _winnow_spark(spark, texts, k=1, window=1)
+    assert {p for p, _ in got[7]} == {0, 1, 2}
