@@ -455,6 +455,23 @@ def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vid", F.round("centrality", 6).alias("centrality"))
 
 
+def _q_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Girvan-Newman edge betweenness on the capped line-seq
+    subgraph — same degree-top-32 sample and depth cap as the vertex gate;
+    per-edge shortest-path mass, the inter-cluster bridge audit."""
+    from neo4j_graph_algorithms_spark.graph import EdgeFrame
+    from neo4j_graph_algorithms_spark.operators.betweenness import edge_betweenness
+
+    ef = EdgeFrame(_bsub(spark, sf_dir))
+    src = (
+        ef.degrees("BOTH").orderBy(F.desc("degree"), F.asc("vid")).limit(32).select("vid")
+    )
+    res = edge_betweenness(spark, ef, sources=src, max_depth=12)
+    # compare the exact BIGINT micro-unit sum (c6), not the rounded double:
+    # see the operator docstring's cross-engine exactness contract
+    return res.select("src", "dst", "c6")
+
+
 def _q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.operators.mst import mst
 
@@ -1797,7 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_keep_best,  # new r4 gate: keep-one-per-cluster canonical selection (doc_bm25 rotates to tail; doc_tfidf_topk covers the doc_tokens+idf path)
         "emb_gram_matrix": _q_gram_matrix,  # new r4 gate: exact integer-scaled Gram matrix, the distributed-PCA pass (graph_walk_skipgrams rotates to tail: r3 green, and the r4 walk-loop change stays driver-covered in window by graph_node2vec_walks)
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
-        "node_similarity_topk": _q_node_similarity,
+        "edge_betweenness_sampled": _q_edge_betweenness,  # new r5 gate: Girvan-Newman edge betweenness — per-edge shortest-path mass from the same sigma-BFS + delta sweep as the vertex gates, materialized per edge before the fold; pair-sum oracle (node_similarity_topk rotates to tail: r4 driver-green, nodesim.py unchanged in r5; the wedge-join candidate plan stays pytest-pinned)
         "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
         "graph_rich_club": _q_rich_club,  # new r4 gate: rich-club density curve via histogram suffix sums — the hub-interconnection audit behind the repo's hub caps (doc_repetition_ratio rotates to tail: r3 driver-green, rep-ratio column exprs unchanged since; six doc_* gates stay in window)
         "doc_chunk_overlap": _q_chunk_overlap,  # new r4 gate: sliding-window chunking, the RAG shard step (doc_decontaminate rotates to tail: r3 green, unchanged since, and doc_repetition_ratio keeps the n-gram quality path in window)
@@ -1833,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "node_similarity_topk": _q_node_similarity,  # r4 driver-green; nodesim.py unchanged in r5; rotated out for edge_betweenness_sampled — the wedge-join candidate plan stays pytest-pinned (test_nodesim.py)
         "events_sessionize": _q_sessionize,  # r4 driver-green; sessionize lag/cumsum path unchanged in r5 (the cap change lives in curate.py, in window via curate_stage_counts); rotated out for doc_winnowing — funnel/retention/user_features/asof_join keep events.py in window
         "graph_coarsen": _q_coarsen,  # r4 driver-green; coarsen.py unchanged in r5; rotated out for graph_coreness_csr — graph_matching/graph_mis/graph_coloring keep the shrinking-frontier superstep shape in window
         "community_conductance": _q_conductance,  # r4 driver-green; conductance_df unchanged in r5; rotated out for community_ppr_sweep — louvain_communities + louvain_q_invariant keep community quality in window
@@ -1968,6 +1986,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_edge_embeddedness": oracles.edge_embeddedness_sql(),
         "community_ppr_sweep": oracles.ppr_sweep_sql(
             iterations=20, source_mod=50, top_k=100
+        ),
+        "edge_betweenness_sampled": oracles.edge_betweenness_sql(
+            max_vid=200, k=32, max_depth=12
         ),
         "triangles_per_node": oracles.triangles_per_node_sql(),
         "clustering_coefficient": oracles.clustering_coefficient_sql(),

@@ -32,6 +32,7 @@ from neo4j_graph_algorithms_spark.operators.msbfs import (
 from neo4j_graph_algorithms_spark.operators.betweenness import (
     betweenness,
     betweenness_sampled,
+    edge_betweenness,
 )
 from neo4j_graph_algorithms_spark.operators.mst import mst, mst_stats
 from neo4j_graph_algorithms_spark.operators.louvain import louvain, modularity_df
@@ -111,6 +112,7 @@ __all__ = [
     "salsa",
     "triad_census",
     "ppr_sweep",
+    "edge_betweenness",
     "hyperball",
     "hyperball_harmonic",
     "random_walks",

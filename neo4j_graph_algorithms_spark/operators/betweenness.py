@@ -248,3 +248,139 @@ def betweenness_sampled(
         checkpoint_dir=checkpoint_dir,
         resume=resume,
     )
+
+
+def edge_betweenness(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    sources: DataFrame | None = None,
+    direction: str = "OUTGOING",
+    max_depth: int = 100,
+) -> DataFrame:
+    """[src, dst, centrality] Brandes EDGE betweenness — the Girvan-Newman
+    edge importance: how many (sampled-source) shortest paths run over each
+    directed edge, c(u,v) = f·Σ_s σ_su/σ_sv·(1+δ_s(v)) for v one BFS level
+    below u.
+
+    Same forward σ-BFS and backward δ sweep as `betweenness` (the per-edge
+    terms are exactly what the vertex sweep sums INTO u — this variant
+    materializes them per edge before the fold, one extra edge-keyed
+    aggregation per level, nothing else).  `sources=None` is exact; a [vid]
+    sample scales by f = n/|sample| (RA-Brandes, RABrandesBetweennessCentrality
+    .java:177).  Batch estimator: no durable level checkpoints here — use
+    the vertex variant when mid-algorithm resume matters.
+
+    Cross-engine exactness: the backward sweep runs in INTEGER micro-units
+    (the repo's integer-scaled 1e-6-grid contract, cf. pipeline/events.py):
+    δ is a BIGINT, each term is round(σ_u/σ_w · (10^6 + δ6_w)) cast to
+    BIGINT, and every accumulation is an exact integer sum — order-free and
+    bit-identical to the unrolled oracle.  (Rounding DOUBLES to 6dp is NOT
+    enough: 1e-6 is not a binary fraction, so "grid" doubles still sum
+    inexactly, and σ ratios are often dyadic rationals sitting exactly on
+    a rounding boundary — observed flipping the 6th decimal at sf0.001.)
+    Per-term error ≤5e-7/10^6-unit, accumulated ≤depth·5e-7 — noise floors
+    below the sampling error.
+
+    The classic consumer is Girvan-Newman community splitting (remove the
+    max-centrality edge, recompute); at link-graph scale the useful read is
+    the audit: edges carrying disproportionate shortest-path mass are the
+    inter-cluster bridges the sweep/embeddedness family flags structurally.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    e = ef.with_direction(direction).df.select(SRC, DST).distinct().repartition(SRC)
+    e.persist()
+    verts = ef.vertices().localCheckpoint(eager=True)
+    n = verts.count()
+    src_df = sources.select(VID) if sources is not None else verts
+    k = src_df.count()
+    f = float(n) / float(k) if k else 0.0
+
+    # ---- forward: levels[d] = (s, vid, sigma) ------------------------------
+    level0 = src_df.select(
+        F.col(VID).alias("s"), F.col(VID), F.lit(1).cast("double").alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [level0]
+    visited = level0.select("s", VID).localCheckpoint(eager=True)
+    for _d in range(max_depth):
+        frontier = levels[-1]
+        pushed = (
+            frontier.join(e.withColumnRenamed(SRC, VID), on=VID)
+            .groupBy("s", F.col(DST).alias(VID))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = pushed.join(visited, on=["s", VID], how="left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.isEmpty():
+            break
+        levels.append(new)
+        visited = visited.unionByName(new.select("s", VID)).localCheckpoint(eager=True)
+
+    # ---- backward: δ sweep in BIGINT micro-units, per-edge terms kept ------
+    edge_parts: list[DataFrame] = []
+    delta_next = levels[-1].select("s", VID, F.lit(0).cast("long").alias("delta6"))
+    for d in range(len(levels) - 2, -1, -1):
+        succ = delta_next.join(levels[d + 1], on=["s", VID]).select(
+            "s",
+            F.col(VID).alias(DST),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta6").alias("delta6_w"),
+        )
+        j = (
+            levels[d]
+            .join(e, levels[d][VID] == e[SRC])
+            .join(succ, on=["s", DST])
+            .select(
+                "s",
+                levels[d][VID].alias("_u"),
+                F.col(DST).alias("_w"),
+                F.round(
+                    F.col("sigma")
+                    / F.col("sigma_w")
+                    * (F.lit(1_000_000.0) + F.col("delta6_w")),
+                    0,
+                )
+                .cast("long")
+                .alias("c6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        edge_parts.append(j.groupBy("_u", "_w").agg(F.sum("c6").alias("c6")))
+        contrib = j.groupBy("s", F.col("_u").alias(VID)).agg(
+            F.sum("c6").alias("delta6")
+        )
+        delta_next = (
+            levels[d]
+            .select("s", VID)
+            .join(contrib, on=["s", VID], how="left")
+            .select(
+                "s", VID, F.coalesce("delta6", F.lit(0)).cast("long").alias("delta6")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    if edge_parts:
+        allc = edge_parts[0]
+        for p in edge_parts[1:]:
+            allc = allc.unionByName(p)
+        eb = allc.groupBy(F.col("_u").alias(SRC), F.col("_w").alias(DST)).agg(
+            F.sum("c6").alias("c6")
+        )
+    else:
+        eb = spark.createDataFrame([], f"{SRC} long, {DST} long, c6 long")
+    # c6 is the EXACT unscaled integer (micro-units, pre-f) — the value the
+    # driver gate compares; centrality = f·c6/10^6 is the convenience double
+    # (its 6dp decimal rendering can sit on a representation boundary where
+    # Spark's string-based round and C-library rounds disagree — never gate
+    # on it)
+    out = e.join(eb, on=[SRC, DST], how="left").select(
+        SRC,
+        DST,
+        F.coalesce("c6", F.lit(0)).cast("long").alias("c6"),
+        (F.lit(f) * F.coalesce("c6", F.lit(0)) / F.lit(1_000_000.0)).alias(
+            "centrality"
+        ),
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -2755,3 +2755,63 @@ SELECT c.k, c.vid, CAST(c.cut AS BIGINT) AS cut, CAST(c.vol AS BIGINT) AS vol,
              END, 6) AS phi
 FROM curve c CROSS JOIN m2"""
     )
+
+
+def edge_betweenness_sql(max_vid: int = 200, k: int = 32, max_depth: int = 12) -> str:
+    """Sampled EDGE betweenness on the size-capped line-seq subgraph —
+    twin of operators/betweenness.edge_betweenness with the degree-top-k
+    source sample.  Unrolled as the SAME backward delta sweep the operator
+    runs (NOT the pair-sum identity), in BIGINT micro-units: delta6 is an
+    integer, each term is CAST(round(sigma_u/sigma_w*(10^6+delta6_w)) AS
+    BIGINT), every accumulation an exact integer sum — order-free and
+    bit-identical across engines, and the gate compares the raw BIGINT c6
+    (never a rounded double: 1e-6 is not a binary fraction, sigma ratios
+    often sit exactly on rounding boundaries, and Spark's string-based
+    round vs C-library round disagree there — both observed at sf0.001)."""
+    parts = [LINESEQ_CTES, BETWEENNESS_SUB.format(max_vid=max_vid)]
+    parts.append(
+        f"""deg AS (
+  SELECT vid, count(*) AS degree FROM (
+    SELECT src AS vid FROM g UNION ALL SELECT dst AS vid FROM g) dd GROUP BY vid),
+srcs AS (SELECT vid FROM deg ORDER BY degree DESC, vid ASC LIMIT {k}),
+lvl0 AS MATERIALIZED (SELECT vid AS s, vid AS v, CAST(1 AS DOUBLE) AS sigma FROM srcs),
+vis0 AS MATERIALIZED (SELECT s, v FROM lvl0)"""
+    )
+    for d in range(1, max_depth + 1):
+        parts.append(
+            f"""lvl{d} AS MATERIALIZED (
+  SELECT x.s, x.v, sum(x.sigma) AS sigma FROM (
+    SELECT l.s, g.dst AS v, l.sigma FROM lvl{d - 1} l JOIN g ON g.src = l.v) x
+  LEFT JOIN vis{d - 1} vv ON vv.s = x.s AND vv.v = x.v
+  WHERE vv.s IS NULL GROUP BY x.s, x.v),
+vis{d} AS MATERIALIZED (
+  SELECT s, v FROM vis{d - 1} UNION ALL SELECT s, v FROM lvl{d})"""
+        )
+    parts.append(
+        f"del{max_depth} AS (SELECT s, v, CAST(0 AS BIGINT) AS delta6 FROM lvl{max_depth})"
+    )
+    for d in range(max_depth - 1, -1, -1):
+        parts.append(
+            f"""term{d} AS MATERIALIZED (
+  SELECT l.s, l.v AS u, g.dst AS w,
+         CAST(round(l.sigma / lw.sigma * (1000000 + dw.delta6), 0) AS BIGINT) AS c6
+  FROM lvl{d} l JOIN g ON g.src = l.v
+  JOIN lvl{d + 1} lw ON lw.s = l.s AND lw.v = g.dst
+  JOIN del{d + 1} dw ON dw.s = l.s AND dw.v = g.dst),
+del{d} AS MATERIALIZED (
+  SELECT l.s, l.v, CAST(coalesce(t.dsum, 0) AS BIGINT) AS delta6
+  FROM lvl{d} l LEFT JOIN (
+    SELECT s, u, sum(c6) AS dsum FROM term{d} GROUP BY s, u) t
+  ON t.s = l.s AND t.u = l.v)"""
+        )
+    allterms = " UNION ALL ".join(
+        f"SELECT u, w, c6 FROM term{d}" for d in range(max_depth)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+eb AS (SELECT u, w, sum(c6) AS c6 FROM ({allterms}) at GROUP BY u, w)
+SELECT g.src, g.dst, CAST(coalesce(eb.c6, 0) AS BIGINT) AS c6
+FROM g LEFT JOIN eb ON eb.u = g.src AND eb.w = g.dst"""
+    )
