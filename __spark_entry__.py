@@ -716,6 +716,14 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-pair 3-gram containment >= 0.8 — the asymmetric
+    subset-duplicate score Jaccard dilutes away."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
@@ -1836,7 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": _q_stratified_take,  # new r4 gate: deterministic per-stratum eval draw (doc_pack_sequences rotates to tail: r3 green, pack.py + functions/rank.py unchanged since; the distributed prefix-sum path they share stays pytest-pinned)
         "doc_zipf_alpha": _q_zipf_alpha,  # new r5 gate: Zipf-tail MLE over token frequencies — the corpus-health audit, same CSN 1e-6-grid contract as graph_powerlaw_alpha (doc_bpe_subwords rotates to tail: r4 driver-green, and r5's bpe.py change batched INDUCTION only — doc_bpe_merges keeps that changed path in window; the segmentation greedy-replace contract is unchanged since r4)
         "doc_length_stats": _q_length_stats,  # new r4 gate: token-length histogram percentiles, the packing-budget audit (graph_khop_sample rotates to tail; random/node2vec/skipgram walks keep the hash-deterministic sampling path covered in window)
-        "graph_mis": _q_mis,  # new r4 gate: Luby maximal independent set, hash-priority superstep rounds == unrolled SQL (triangle_total_csr rotates to tail: r3 driver-green, csr/triangles.py unchanged since; lpa_csr_3iter + graph_fastrp_csr keep Tier B kernels in window)
+        "dedup_containment": _q_containment,  # new r5 gate: ordered-pair n-gram containment (Broder) — the asymmetric subset-duplicate score completing the dedup family's symmetric members; one integer division, threshold on the rounded value (graph_mis rotates to tail: r4 driver-green, mis.py unchanged in r5; graph_matching + graph_coloring keep the hash-priority shrinking-frontier shape in window)
         "graph_degree_gini": _q_degree_gini,  # new r5 gate: degree-Gini skew audit, division-free closed-form rank sum on the histogram (events_windowed_agg rotates to tail: r4 driver-green, events.py unchanged since, and streaming_windowed_events — the SAME windowed_event_aggregate_sql oracle through the streaming drain — stays in window with sessionize/funnel/retention/user_features)
         "events_funnel": _q_funnel,  # new r4 gate: ordered conversion funnel (streaming_cocommit_edges rotates to tail: r3 green, streaming/ingest.py unchanged since; streaming_windowed_events keeps a Structured-Streaming drain gate in window)
         "events_retention": _q_retention,  # new r4 gate: daily cohort retention (sssp_csr_from_0 rotates to tail: r3 green, csr/paths.py unchanged since; lpa/triangle/fastrp/closeness CSR kernels stay in window)
@@ -1850,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_wcc": _q_streaming_incremental_wcc,  # new r5 gate: the incremental loop's second refresh path — 3 streamed waves, warm-restart WCC republish per wave, final labeling == batch min-id WCC of the merged table (streaming_sessions rotates to tail: r4 driver-green, sessions.py unchanged in r5; events_sessionize drives the same sessionize_sql oracle batch-side, and windowed/dedup/incremental streaming drains stay in window)
         "shortest_path_astar": _q_shortest_path_astar,  # new r4 gate: ALT-pruned point-to-point search == canonical shortest path, also driver-covers the path_from_dists refactor shared with shortest_path_nodes (louvain_fixed2_planted rotates to tail: r3 green, operators/louvain.py unchanged since; community_conductance + community_sllpa_overlap keep community quality in window)
         # --- tail starts here (position 50+) ---------------------------------
+        "graph_mis": _q_mis,  # r4 driver-green; mis.py unchanged in r5; rotated out for dedup_containment — graph_matching + graph_coloring keep the hash-priority shrinking-frontier shape in window
         "node_similarity_topk": _q_node_similarity,  # r4 driver-green; nodesim.py unchanged in r5; rotated out for edge_betweenness_sampled — the wedge-join candidate plan stays pytest-pinned (test_nodesim.py)
         "events_sessionize": _q_sessionize,  # r4 driver-green; sessionize lag/cumsum path unchanged in r5 (the cap change lives in curate.py, in window via curate_stage_counts); rotated out for doc_winnowing — funnel/retention/user_features/asof_join keep events.py in window
         "graph_coarsen": _q_coarsen,  # r4 driver-green; coarsen.py unchanged in r5; rotated out for graph_coreness_csr — graph_matching/graph_mis/graph_coloring keep the shrinking-frontier superstep shape in window
@@ -2068,6 +2077,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_score": pipeline_oracles.quality_score_sql(),
         "doc_fingerprint": pipeline_oracles.fingerprint_sql(),
         "doc_winnowing": pipeline_oracles.winnowing_sql(k=4, window=4),
+        "dedup_containment": pipeline_oracles.containment_sql(n=3, threshold=0.8),
         "dedup_exact": pipeline_oracles.exact_dedup_sql(),
         "dedup_spans": pipeline_oracles.span_dedup_sql(n=3, min_count=2),
         "doc_zipf_alpha": pipeline_oracles.zipf_alpha_sql(fmin=2),

@@ -572,3 +572,48 @@ def span_dedup(
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[a, b, containment] ORDERED pairs (a != b) with n-gram containment
+    C(a, b) = |S_a ∩ S_b| / |S_a| >= threshold (Broder 1997).
+
+    The ASYMMETRIC near-dup score: a short document embedded verbatim in a
+    long one has C(short, long) ~ 1 while Jaccard dilutes toward
+    |short|/|long| — so containment is the subset-duplicate detector
+    (boilerplate inclusion, quoted posts, vendored file inside a bundle)
+    that `ngram_jaccard_pairs` structurally misses.  Directed: C(a,b) and
+    C(b,a) are both emitted when both clear the threshold.
+
+    Brute-force baseline like `ngram_jaccard_pairs` (shared-shingle join
+    enumerates intersecting pairs) — at scale seed candidates from
+    `minhash_lsh_dedup` buckets and verify containment on those pairs only.
+    Cross-engine: the score is ONE integer division rounded to 6dp (no
+    sums of rounded doubles), and the threshold compares the rounded value.
+    """
+    sh = _shingle_sets(docs, n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(id_col).alias("a"), "tok")
+    sb = sh.select(F.col(id_col).alias("b"), "tok")
+    inter = (
+        sa.join(sb, on="tok")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = inter.join(
+        sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), on="a"
+    ).select(
+        "a",
+        "b",
+        F.round(F.col("n_inter").cast("double") / F.col("sz_a"), 6).alias(
+            "containment"
+        ),
+    )
+    return scored.filter(F.col("containment") >= threshold)

@@ -1523,3 +1523,19 @@ SELECT DISTINCT doc_id,
        {cap} - 1 - (mp % {cap}) AS pos,
        mp // {cap} AS gram_hash
 FROM mn WHERE full_w IS NOT NULL"""
+
+
+def containment_sql(n: int = 3, threshold: float = 0.8) -> str:
+    """Ordered-pair n-gram containment — twin of
+    pipeline/dedup.ngram_containment_pairs (one integer division rounded
+    6dp, threshold on the rounded value)."""
+    return f"""WITH {_gram_ctes(n)},
+sz AS (SELECT doc_id, count(*) AS sz FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+  FROM gd a JOIN gd b ON b.gram = a.gram AND b.doc_id <> a.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT i.a, i.b, round(CAST(i.n_inter AS DOUBLE) / sa.sz, 6) AS containment
+  FROM inter i JOIN sz sa ON sa.doc_id = i.a)
+SELECT a, b, containment FROM scored WHERE containment >= {threshold}"""

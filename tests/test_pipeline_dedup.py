@@ -348,3 +348,59 @@ def test_span_dedup_reshard_invariance(spark, docs):
     a = sorted(map(tuple, span_dedup(docs, n=3, min_count=2).collect()))
     b = sorted(map(tuple, span_dedup(docs.repartition(7), n=3, min_count=2).collect()))
     assert a == b
+
+
+# ---- n-gram containment -----------------------------------------------------
+
+
+def test_containment_detects_subset_duplicate(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import ngram_containment_pairs
+
+    short = "q w e r t y u"
+    docs = spark.createDataFrame(
+        [(1, short), (2, f"a b c {short} d e f g h i j k l m n o p")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): r.containment
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # all 5 of doc-1's 3-grams appear in doc-2: C(1,2)=1.0; the reverse is
+    # diluted below threshold — the asymmetry Jaccard cannot express
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_python_replay(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import ngram_containment_pairs
+
+    texts = {
+        1: "a b c d e f",
+        2: "c d e f g h",
+        3: "a b c d e f",  # exact dup of 1
+        4: "zz yy xx",
+    }
+    def grams(t, n=3):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    exp = {}
+    for a, ta in texts.items():
+        for b, tb in texts.items():
+            if a == b:
+                continue
+            ga, gb = grams(ta), grams(tb)
+            if ga and round(len(ga & gb) / len(ga), 6) >= 0.5:
+                exp[(a, b)] = round(len(ga & gb) / len(ga), 6)
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.containment
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert got == exp and (1, 3) in got and got[(1, 3)] == 1.0
+
+
+def test_containment_short_docs_no_shingles(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id long, text string")
+    assert ngram_containment_pairs(docs, n=3, threshold=0.1).collect() == []
