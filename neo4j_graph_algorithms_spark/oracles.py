@@ -1598,6 +1598,73 @@ a{i} AS MATERIALIZED (
     )
 
 
+def onion_sql(rounds: int = 48) -> str:
+    """Unrolled onion decomposition of the undirected line-seq graph — twin
+    of operators/onion.py:onion_decomposition.  Per round the threshold k
+    rises to the minimum surviving degree and every vertex with degree <= k
+    is removed, tagged with the round index (layer) and k (onion_core).
+    `rounds` must cover the full peel depth at the gate SF (measured: 40
+    rounds at sf0.01; 48 gives margin — post-fixpoint rounds are idle
+    no-ops over an empty vertex set)."""
+    parts = [
+        NBR_CTES,
+        "oa0 AS MATERIALIZED (SELECT vid AS src, nbr AS dst FROM nbrs)",
+        "ov0 AS MATERIALIZED (SELECT DISTINCT vid FROM nbrs)",
+        "ok0 AS (SELECT 0 AS k)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""od{i} AS MATERIALIZED (
+  SELECT v.vid, coalesce(c.c, 0) AS c
+  FROM ov{i - 1} v LEFT JOIN
+       (SELECT src, count(*) AS c FROM oa{i - 1} GROUP BY src) c
+       ON c.src = v.vid),
+ok{i} AS MATERIALIZED (SELECT greatest((SELECT k FROM ok{i - 1}),
+                 coalesce((SELECT min(c) FROM od{i}),
+                          (SELECT k FROM ok{i - 1}))) AS k),
+orm{i} AS MATERIALIZED (
+  SELECT d.vid, {i} AS layer, (SELECT k FROM ok{i}) AS core
+  FROM od{i} d WHERE d.c <= (SELECT k FROM ok{i})),
+ov{i} AS MATERIALIZED (
+  SELECT vid FROM od{i} WHERE c > (SELECT k FROM ok{i})),
+oa{i} AS MATERIALIZED (
+  SELECT x.src, x.dst FROM oa{i - 1} x
+  JOIN ov{i} p ON p.vid = x.src JOIN ov{i} q ON q.vid = x.dst)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT vid, layer, core FROM orm{i}" for i in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vid, CAST(layer AS INTEGER) AS layer,"
+        f" CAST(core AS INTEGER) AS onion_core FROM ({union})"
+    )
+
+
+def sage_aggregate_sql() -> str:
+    """Twin of pipeline/sage.py:sage_aggregate over the undirected line-seq
+    graph and the embeddings table: two-layer GraphSAGE mean-aggregator in
+    exact BIGINT micro-units (half-up grid, floor((2s+d)/(2d)) layer-1
+    re-rounding — bit-identical to the Spark double division)."""
+    return f"""WITH {NBR_CTES},
+semb AS (
+  SELECT vec_id AS vid, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+l1 AS MATERIALIZED (
+  SELECT n.vid, e.pos, sum(e.m) AS sum1, count(*) AS d1
+  FROM nbrs n JOIN semb e ON e.vid = n.nbr GROUP BY n.vid, e.pos),
+m1 AS MATERIALIZED (
+  SELECT vid, pos, CAST(floor((2 * sum1 + d1) / (2.0 * d1)) AS BIGINT) AS m
+  FROM l1),
+l2 AS (
+  SELECT n.vid, e.pos, sum(e.m) AS sum2, count(*) AS d2
+  FROM nbrs n JOIN m1 e ON e.vid = n.nbr GROUP BY n.vid, e.pos)
+SELECT a.vid, a.pos, a.sum1, a.d1, b.sum2, b.d2
+FROM l1 a LEFT JOIN l2 b ON b.vid = a.vid AND b.pos = a.pos"""
+
+
 def eigenvector_sql(iterations: int = 20) -> str:
     """Unrolled undamped power iteration (per-step L2 normalization) on the
     undirected-simple line-seq graph — twin of operators/eigenvector.py."""
@@ -2565,6 +2632,87 @@ s{i} AS MATERIALIZED (
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT vid, round(auth, 6) AS auth, round(hub, 6) AS hub FROM s{iterations}"
+    )
+
+
+def wtf_sql(
+    source_mod: int = 400,
+    circle_size: int = 100,
+    n_recs: int = 50,
+    ppr_iterations: int = 20,
+    damping: float = 0.85,
+    salsa_iterations: int = 10,
+) -> str:
+    """Who-to-Follow (personalized SALSA) on the line-seq multigraph — twin
+    of operators/wtf.py:who_to_follow with seeds vid % source_mod == 0.
+    Composes the pagerank_personalized_sql push recurrence (unchanged),
+    the top-C circle on the 1e-6 grid (vid tie-break), and the salsa_sql
+    half-step recurrence replayed over the circle-induced edge set."""
+    alpha = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        LINESEQ_CTES,
+        LINESEQ_VERTS,
+        "deg AS (SELECT src, count(*) AS outdeg FROM lineseq GROUP BY src)",
+        "ewd AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv FROM lineseq e JOIN deg d USING (src))",
+        f"""r0 AS MATERIALIZED (
+  SELECT vid,
+         CASE WHEN vid % {source_mod} = 0 THEN CAST({alpha} AS DOUBLE) ELSE 0.0 END AS rank,
+         CASE WHEN vid % {source_mod} = 0 THEN CAST({alpha} AS DOUBLE) ELSE 0.0 END AS delta
+  FROM verts)""",
+    ]
+    for i in range(1, ppr_iterations + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(r.delta * e.inv) AS s
+  FROM r{i - 1} r JOIN ewd e ON r.vid = e.src WHERE r.delta > 0 GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT v.vid, v.rank + {d} * coalesce(s.s, 0) AS rank, {d} * coalesce(s.s, 0) AS delta
+  FROM r{i - 1} v LEFT JOIN s{i} s ON v.vid = s.vid)"""
+        )
+    parts.append(
+        f"""circle AS MATERIALIZED (
+  SELECT vid FROM r{ppr_iterations} WHERE round(rank, 6) > 0
+  ORDER BY round(rank, 6) DESC, vid LIMIT {circle_size}),
+ie AS MATERIALIZED (
+  SELECT e.src, e.dst FROM lineseq e JOIN circle c ON c.vid = e.src),
+iverts AS (SELECT src AS vid FROM ie UNION SELECT dst FROM ie),
+wod AS (SELECT src, 1.0 / count(*) AS inv_out FROM ie GROUP BY src),
+wid_ AS (SELECT dst, 1.0 / count(*) AS inv_in FROM ie GROUP BY dst),
+wesrc AS MATERIALIZED (SELECT e.src, e.dst, wod.inv_out FROM ie e JOIN wod USING (src)),
+wedst AS MATERIALIZED (SELECT e.src, e.dst, wid_.inv_in FROM ie e JOIN wid_ USING (dst)),
+ws0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS auth, CAST(1.0 AS DOUBLE) AS hub FROM iverts)"""
+    )
+    for i in range(1, salsa_iterations + 1):
+        parts.append(
+            f"""war{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, sum(s.hub * e.inv_out) AS a
+  FROM ws{i - 1} s JOIN wesrc e ON s.vid = e.src GROUP BY e.dst),
+wan{i} AS (SELECT sum(a) AS an FROM war{i}),
+wa{i} AS MATERIALIZED (
+  SELECT v.vid,
+         coalesce(r.a, 0) / (CASE WHEN coalesce(an.an, 0) > 0 THEN an.an ELSE 1 END) AS auth
+  FROM ws{i - 1} v LEFT JOIN war{i} r ON v.vid = r.vid CROSS JOIN wan{i} an),
+whr{i} AS MATERIALIZED (
+  SELECT e.src AS vid, sum(a.auth * e.inv_in) AS h
+  FROM wa{i} a JOIN wedst e ON a.vid = e.dst GROUP BY e.src),
+whn{i} AS (SELECT sum(h) AS hn FROM whr{i}),
+ws{i} AS MATERIALIZED (
+  SELECT a.vid, a.auth,
+         coalesce(r.h, 0) / (CASE WHEN coalesce(hn.hn, 0) > 0 THEN hn.hn ELSE 1 END) AS hub
+  FROM wa{i} a LEFT JOIN whr{i} r ON a.vid = r.vid CROSS JOIN whn{i} hn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(row_number() OVER (ORDER BY auth DESC, vid) AS INT) AS rank,
+       vid, auth
+FROM (
+  SELECT vid, round(auth, 6) AS auth FROM ws{salsa_iterations}
+  WHERE round(auth, 6) > 0
+    AND vid NOT IN (SELECT vid FROM circle)
+  ORDER BY round(auth, 6) DESC, vid LIMIT {n_recs})"""
     )
 
 
