@@ -1733,6 +1733,32 @@ def _q_wtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (operators/bowtie.py) of the DOULION-coin
+    sparsified line-seq digraph (p=1/16, seed 7 — all seven Broder classes
+    populated at sf0.01: core 630 / in 459 / out 474 / tube 66 /
+    tendrils 79+94 / disconnected 74)."""
+    from neo4j_graph_algorithms_spark.operators.bowtie import bowtie_decomposition
+    from neo4j_graph_algorithms_spark.operators.triangles import _doulion_keep
+
+    e = (
+        lineseq_edges(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .filter(_doulion_keep(seed=7, p_num=1, p_den=16))
+    )
+    return bowtie_decomposition(spark, e)
+
+
+def _q_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s-core (weighted k-core, Eidsaa-Almaas) of the co-order graph at
+    s=82 — [vid, strength] BIGINT-exact; 6 peel rounds / 1844 survivors
+    at sf0.01 (operators/kcore.py:s_core)."""
+    from neo4j_graph_algorithms_spark.operators.kcore import s_core
+
+    return s_core(spark, coorder_edges(spark, sf_dir), s=82).state
+
+
 def _q_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20-per-language uniform sample without replacement
     (pipeline/sample.py:stratified_take) — the reproducible eval-draw."""
@@ -1844,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_onion_layers": _q_onion,  # new r5 gate: onion decomposition — layer + coreness per vertex from the monotone-threshold synchronous peel; deepens the kcore/ktruss peel family with the anomaly-audit statistic (kcore_30 stays rotated to tail: same peel-loop discipline now driven in window by this gate and ktruss_4)
         "graph_sage_agg": _q_sage_agg,  # new r5 gate: two-layer GraphSAGE mean-aggregator joining the link graph to the embeddings table in exact BIGINT micro-units — the GNN training-data prep op; first gate exercising the graph x feature-table join path
         "graph_who_to_follow": _q_wtf,  # new r5 gate: WTF personalized-SALSA recommendation — composes the gated PPR delta-push and SALSA half-step supersteps through circle induction; the recommendation query the link scores exist to serve
+        "graph_bowtie": _q_bowtie,  # new r5 gate: Broder bow-tie census — SCC core + four delta-frontier reachability closures classifying every vertex (core/in/out/tube/tendrils/disconnected); composes the gated scc operator into the canonical web-graph structure audit
+        "graph_score_82": _q_score,  # new r5 gate: s-core weighted peel (Eidsaa-Almaas) on the co-order graph — BIGINT strength sums, the weighted member of the kcore/ktruss/onion peel family
         "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
@@ -1867,9 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
         "graph_rich_club": _q_rich_club,  # new r4 gate: rich-club density curve via histogram suffix sums — the hub-interconnection audit behind the repo's hub caps (doc_repetition_ratio rotates to tail: r3 driver-green, rep-ratio column exprs unchanged since; six doc_* gates stay in window)
         "doc_chunk_overlap": _q_chunk_overlap,  # new r4 gate: sliding-window chunking, the RAG shard step (doc_decontaminate rotates to tail: r3 green, unchanged since, and doc_repetition_ratio keeps the n-gram quality path in window)
-        "doc_hash_split": _q_hash_split,  # new r4 gate: deterministic train/val/test assignment (eigenvector_20iter rotates to tail; hits_10iter covers the normalized power-iteration superstep in window)
         "graph_effective_diameter": _q_effective_diameter,  # new r4 gate: HyperANF effective diameter (pagerank_personalized rotates to tail; weighted/warm/articlerank cover the pagerank superstep in window)
-        "doc_top_ngrams": _q_top_ngrams,  # new r4 gate: corpus top-k n-grams via TakeOrderedAndProject (doc_pii_scrub rotates to tail: r3 green, regex path unchanged since)
         "image_jpeg_color": _q_image_jpeg_color,  # new r5 gate: YCbCr 4:2:0 colour JPEG decode — interleaved MCUs, two-table luma/chroma selection, fixed-point RGB transform (VERDICT r4 item 4; link_adamic_adar rotates to tail: r4 driver-green, nodesim.py unchanged since, node_similarity_topk keeps the shared neighbor-intersection path in window)
         "dedup_spans": _q_span_dedup,  # new r5 gate: exact duplicated-span removal (Lee et al. ExactSubstr) — the span-level member completing the dedup family; pure integer/string relational plan (doc_collocations rotates to tail: r4 driver-green, text.py collocation path unchanged since; doc_top_ngrams + doc_bigram_logprob keep the n-gram aggregation paths in window)
         "emb_pca_project": _q_pca_project,  # r5 upgrade IN WINDOW: rows-only → VALUE-gated via the planted-spectrum table (closed-form eigendecomposition; oracle = pca_planted_sql literal ground truth; hyperball_harmonic rotates to tail: r4 driver-green, hyperball.py unchanged since, graph_effective_diameter keeps the HLL superstep chain in window)
@@ -1947,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_resample": _q_mixture_resample,  # r3 green; hash-threshold column exprs, doc_pack_sequences + sample pytest cover the module
         "doc_bm25": _q_bm25,  # r3 green; rotated out r4 for dedup_keep_best — doc_tfidf_topk (same doc_tokens+idf join) in window
         "emb_quantize_int8": _q_quantize,  # r3 green; rotated out r4 for graph_degree_stats — pure column exprs, embedding path in window via ann_ivf_search
+        "doc_hash_split": _q_hash_split,  # r4 driver-green; rotated to tail r5s4 for graph_score_82 — the deterministic-hash assignment discipline stays in window via doc_sample_stratified and the dedup hash gates
+        "doc_top_ngrams": _q_top_ngrams,  # r4 driver-green; rotated to tail r5s4 for graph_bowtie — gram counting stays in window via doc_bigram_logprob + doc_zipf_alpha, and the TakeOrderedAndProject top-k path via doc_tfidf-family siblings
         "image_jpeg_features": _q_image_jpeg_features,  # r4 driver-green; rotated to tail r5s4 for graph_onion_layers — image_jpeg_color (the superset colour path through the same codec) stays in window
         "ktruss_4": _q_ktruss,  # r4 driver-green; rotated to tail r5s4 for graph_sage_agg — graph_onion_layers + kcore-family keep the synchronous-peel discipline in window (ktruss.py unchanged in r5)
         "pagerank_articlerank": _q_article_rank,  # r4 driver-green; rotated to tail r5s4 for graph_who_to_follow — pagerank_weighted + streaming_incremental_pagerank keep the pagerank superstep in window, and WTF itself drives the personalized delta-push path
@@ -2184,6 +2212,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_who_to_follow": oracles.wtf_sql(
             source_mod=400, circle_size=100, n_recs=50
         ),
+        "graph_bowtie": oracles.bowtie_sql(seed=7, p_num=1, p_den=16),
+        "graph_score_82": oracles.score_sql(s=82, rounds=12),
         "graph_coreness_hindex": oracles.coreness_hindex_sql(iterations=24),
         "graph_coreness_csr": oracles.coreness_hindex_sql(iterations=24),
         "doc_repetition_ratio": pipeline_oracles.repetition_ratio_sql(n=3),

@@ -100,6 +100,70 @@ def kcore(
     )
 
 
+def s_core(
+    spark: SparkSession,
+    edges: EdgeFrame | DataFrame,
+    s: int,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> SuperstepResult:
+    """s-core: the weighted k-core (Eidsaa & Almaas, "s-core network
+    decomposition", Phys. Rev. E 88, 2013) — peel every vertex whose
+    STRENGTH (sum of incident edge weights in the surviving subgraph) is
+    < s, to a fixpoint.  Result state is [vid, strength] with strength as
+    BIGINT (weights are cast to long up front, so the per-round strength
+    aggregation is exact integer arithmetic — order-free, engine-free; the
+    repo's integer gate discipline).  Same superstep shape as `kcore`:
+    one map-side-combined strength aggregation + two shuffle_hash-hinted
+    survivor semi-joins per round, monotone row-count convergence.
+    """
+    if s < 1:
+        raise ValueError(f"s must be >= 1, got {s}")
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    und = ef.canonical().df.select(SRC, DST, F.col("weight").cast("long").alias("w"))
+    adj0 = (
+        und.unionByName(
+            und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
+        )
+        .repartition(SRC)
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        strength = state.groupBy(SRC).agg(F.sum("w").alias("strength"))
+        keep = strength.filter(F.col("strength") >= s).select(SRC)
+        return (
+            state.join(keep.hint("shuffle_hash"), on=SRC, how="left_semi")
+            .join(
+                keep.select(F.col(SRC).alias(DST)).hint("shuffle_hash"),
+                on=DST,
+                how="left_semi",
+            )
+        )
+
+    runner = SuperstepRunner(
+        spark,
+        max_iterations=max_iterations,
+        metric=lambda new, old, i: float(old.count() - new.count()),
+        converged=lambda m: m == 0.0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        job_group=f"linkgraph-score-{s}",
+    )
+    res = runner.run(adj0, step, resume=resume)
+    core = res.state.groupBy(F.col(SRC).alias(VID)).agg(
+        F.sum("w").alias("strength")
+    )
+    return SuperstepResult(
+        state=core,
+        iterations=res.iterations,
+        converged=res.converged,
+        metrics=res.metrics,
+        first_plan=res.first_plan,
+    )
+
+
 def coreness(
     spark: SparkSession,
     edges: EdgeFrame | DataFrame,

@@ -302,6 +302,56 @@ FROM gverts vv LEFT JOIN mutual m ON m.v = vv.vid
 GROUP BY vv.vid"""
 
 
+def bowtie_sql(seed: int = 7, p_num: int = 1, p_den: int = 16) -> str:
+    """Bow-tie decomposition (Broder et al. 2000) of the hash-sparsified
+    line-seq digraph — twin of operators/bowtie.py:bowtie_decomposition
+    over the same DOULION-coin edge subset (p = p_num/p_den keeps the
+    giant SCC from swallowing the graph: all seven classes populated at
+    sf0.01).  Reachability via one recursive pair closure reused for all
+    four set closures; CORE = largest SCC, ties to smallest comp id."""
+    m, a, b = 2_147_483_647, 1_103_515_245, 1_566_083_941
+    return f"""WITH RECURSIVE {LINESEQ_CTES},
+gd AS (SELECT DISTINCT src, dst FROM lineseq),
+ge AS MATERIALIZED (
+  SELECT src, dst FROM gd
+  WHERE ((((src % {m}) + {m}) % {m}) * {a}
+         + (((dst % {m}) + {m}) % {m}) * {b} + {seed}) % {m} % {p_den} < {p_num}),
+gverts AS MATERIALIZED (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM ge UNION ALL SELECT dst FROM ge)),
+reach(s, v) AS (
+  SELECT src, dst FROM ge
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN ge e ON e.src = r.v),
+mutual AS MATERIALIZED (
+  SELECT r1.s AS u, r1.v AS v FROM reach r1 JOIN reach r2 ON r1.s = r2.v AND r1.v = r2.s),
+comp AS MATERIALIZED (
+  SELECT vv.vid, least(vv.vid, coalesce(min(mu.u), vv.vid)) AS comp
+  FROM gverts vv LEFT JOIN mutual mu ON mu.v = vv.vid GROUP BY vv.vid),
+core AS MATERIALIZED (
+  SELECT vid FROM comp WHERE comp = (
+    SELECT comp FROM (SELECT comp, count(*) AS n FROM comp GROUP BY comp)
+    ORDER BY n DESC, comp ASC LIMIT 1)),
+fwd AS MATERIALIZED (SELECT DISTINCT r.v AS vid FROM reach r JOIN core c ON c.vid = r.s),
+bwd AS MATERIALIZED (SELECT DISTINCT r.s AS vid FROM reach r JOIN core c ON c.vid = r.v),
+out_ AS MATERIALIZED (SELECT vid FROM fwd WHERE vid NOT IN (SELECT vid FROM core)),
+in_ AS MATERIALIZED (SELECT vid FROM bwd WHERE vid NOT IN (SELECT vid FROM core)),
+fromin AS MATERIALIZED (SELECT DISTINCT r.v AS vid FROM reach r JOIN in_ i ON i.vid = r.s),
+toout AS MATERIALIZED (SELECT DISTINCT r.s AS vid FROM reach r JOIN out_ o ON o.vid = r.v)
+SELECT vv.vid,
+       CASE
+         WHEN vv.vid IN (SELECT vid FROM core) THEN 'core'
+         WHEN vv.vid IN (SELECT vid FROM in_) THEN 'in'
+         WHEN vv.vid IN (SELECT vid FROM out_) THEN 'out'
+         WHEN vv.vid IN (SELECT vid FROM fromin)
+          AND vv.vid IN (SELECT vid FROM toout) THEN 'tube'
+         WHEN vv.vid IN (SELECT vid FROM fromin) THEN 'tendril_in'
+         WHEN vv.vid IN (SELECT vid FROM toout) THEN 'tendril_out'
+         ELSE 'disconnected'
+       END AS bowtie_class
+FROM gverts vv"""
+
+
 def sssp_sql(source: int = 0, rounds: int = 10) -> str:
     """Unrolled Bellman-Ford (min-plus) rounds over line-seq (weight 1.0);
     `rounds` must cover the source eccentricity (measured 4 at sf0.01)."""
@@ -1595,6 +1645,35 @@ a{i} AS MATERIALIZED (
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT src AS vid, count(*) AS deg FROM a{rounds} GROUP BY src"
+    )
+
+
+def score_sql(s: int = 82, rounds: int = 12) -> str:
+    """Unrolled s-core peel (weighted k-core) on the co-order graph — twin
+    of operators/kcore.py:s_core.  Strength sums run in BIGINT (co-order
+    weights are integer counts), so the compare is exact.  `rounds` must
+    cover the peel depth at the gate SF (measured: 6 rounds at sf0.01 for
+    s=82; 12 gives 2x margin — extra rounds are idle fixpoint no-ops)."""
+    parts = [
+        COORDER_CTES,
+        """sa0 AS MATERIALIZED (
+  SELECT src, dst, CAST(weight AS BIGINT) AS w FROM coorder
+  UNION ALL
+  SELECT dst AS src, src AS dst, CAST(weight AS BIGINT) AS w FROM coorder)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""sk{i} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, sum(w) AS st FROM sa{i - 1} GROUP BY src)
+  WHERE st >= {s}),
+sa{i} AS MATERIALIZED (
+  SELECT x.src, x.dst, x.w FROM sa{i - 1} x
+  JOIN sk{i} ka ON ka.src = x.src JOIN sk{i} kb ON kb.src = x.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT src AS vid, sum(w) AS strength FROM sa{rounds} GROUP BY src"
     )
 
 

@@ -161,3 +161,72 @@ def test_hindex_isolated_and_selfloop_vertices_core_zero(spark):
 
     got = {r.vid: r.core for r in ef_res.state.collect()}
     assert got == {0: 1, 1: 1, 2: 0}
+
+
+# -- s-core (weighted k-core) -------------------------------------------------
+
+
+def _python_score(pairs, weights, s):
+    """Sequential weighted peel oracle."""
+    adj: dict[int, dict[int, float]] = {}
+    for (a, b), w in zip(pairs, weights):
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        adj.setdefault(lo, {})[hi] = adj.setdefault(lo, {}).get(hi, 0) + w
+    und: dict[int, dict[int, float]] = {}
+    for a, ns in adj.items():
+        for b, w in ns.items():
+            und.setdefault(a, {})[b] = w
+            und.setdefault(b, {})[a] = w
+    alive = set(und)
+    strength = {v: sum(und[v].values()) for v in alive}
+    while True:
+        drop = [v for v in alive if strength[v] < s]
+        if not drop:
+            break
+        for v in drop:
+            alive.discard(v)
+            for u, w in und[v].items():
+                if u in alive:
+                    strength[u] -= w
+    return {v: int(strength[v]) for v in alive}
+
+
+def test_score_weighted_triangle_pendant(spark):
+    from neo4j_graph_algorithms_spark.operators.kcore import s_core
+
+    pairs = TRI_PENDANT
+    weights = [3.0, 3.0, 3.0, 2.0, 1.0]
+    res = s_core(spark, edge_df(spark, pairs, weights), s=4)
+    got = {r.vid: r.strength for r in res.state.collect()}
+    assert got == {0: 6, 1: 6, 2: 6}
+    assert res.did_converge
+    # s high enough to peel everything (cascade through the triangle)
+    res7 = s_core(spark, edge_df(spark, pairs, weights), s=7)
+    assert res7.state.count() == 0
+
+
+def test_score_matches_python_oracle_random(spark):
+    import random
+
+    from neo4j_graph_algorithms_spark.operators.kcore import s_core
+
+    rng = random.Random(13)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    weights = [float(rng.randrange(1, 6)) for _ in pairs]
+    clean = [(p, w) for p, w in zip(pairs, weights) if p[0] != p[1]]
+    pairs, weights = [p for p, _ in clean], [w for _, w in clean]
+    for s in (5, 12, 20):
+        res = s_core(spark, edge_df(spark, pairs, weights), s=s)
+        got = {r.vid: r.strength for r in res.state.collect()}
+        assert got == _python_score(pairs, weights, s)
+
+
+def test_score_unit_weights_equal_kcore(spark):
+    from neo4j_graph_algorithms_spark.operators.kcore import kcore, s_core
+
+    pairs = TRI_PENDANT + [(4, 5), (5, 0), (1, 3)]
+    sres = {r.vid: r.strength for r in s_core(spark, edge_df(spark, pairs), s=2).state.collect()}
+    kres = {r.vid: r.deg for r in kcore(spark, edge_df(spark, pairs), k=2).state.collect()}
+    assert sres == kres
