@@ -1834,6 +1834,15 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Jelinek-Mercer interpolated trigram log-probability per document
+    (pipeline/text.py:trigram_logprob, fixed lambdas 0.6/0.3/0.1) — the
+    order-3 member of the perplexity-filter family."""
+    from neo4j_graph_algorithms_spark.pipeline.text import trigram_logprob
+
+    return trigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 uncentered principal-component projection over the
     planted-spectrum table (pipeline/similarity.py:pca_project over
@@ -1871,7 +1880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sage_agg": _q_sage_agg,  # new r5 gate: two-layer GraphSAGE mean-aggregator joining the link graph to the embeddings table in exact BIGINT micro-units — the GNN training-data prep op; first gate exercising the graph x feature-table join path
         "graph_who_to_follow": _q_wtf,  # new r5 gate: WTF personalized-SALSA recommendation — composes the gated PPR delta-push and SALSA half-step supersteps through circle induction; the recommendation query the link scores exist to serve
         "graph_bowtie": _q_bowtie,  # new r5 gate: Broder bow-tie census — SCC core + four delta-frontier reachability closures classifying every vertex (core/in/out/tube/tendrils/disconnected); composes the gated scc operator into the canonical web-graph structure audit
-        "graph_score_82": _q_score,  # new r5 gate: s-core weighted peel (Eidsaa-Almaas) on the co-order graph — BIGINT strength sums, the weighted member of the kcore/ktruss/onion peel family
+        "graph_score_82": _q_score,
+        "doc_trigram_logprob": _q_trigram_logprob,  # new r5 gate: Jelinek-Mercer interpolated trigram LM — the order-3 perplexity filter; fixed-lambda interpolation keeps it engine-replayable, same 6dp-first integer-sum contract as the bigram gate  # new r5 gate: s-core weighted peel (Eidsaa-Almaas) on the co-order graph — BIGINT strength sums, the weighted member of the kcore/ktruss/onion peel family
         "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
@@ -1893,7 +1903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
         "edge_betweenness_sampled": _q_edge_betweenness,  # new r5 gate: Girvan-Newman edge betweenness — per-edge shortest-path mass from the same sigma-BFS + delta sweep as the vertex gates, materialized per edge before the fold; pair-sum oracle (node_similarity_topk rotates to tail: r4 driver-green, nodesim.py unchanged in r5; the wedge-join candidate plan stays pytest-pinned)
         "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
-        "graph_rich_club": _q_rich_club,  # new r4 gate: rich-club density curve via histogram suffix sums — the hub-interconnection audit behind the repo's hub caps (doc_repetition_ratio rotates to tail: r3 driver-green, rep-ratio column exprs unchanged since; six doc_* gates stay in window)
         "doc_chunk_overlap": _q_chunk_overlap,  # new r4 gate: sliding-window chunking, the RAG shard step (doc_decontaminate rotates to tail: r3 green, unchanged since, and doc_repetition_ratio keeps the n-gram quality path in window)
         "graph_effective_diameter": _q_effective_diameter,  # new r4 gate: HyperANF effective diameter (pagerank_personalized rotates to tail; weighted/warm/articlerank cover the pagerank superstep in window)
         "image_jpeg_color": _q_image_jpeg_color,  # new r5 gate: YCbCr 4:2:0 colour JPEG decode — interleaved MCUs, two-table luma/chroma selection, fixed-point RGB transform (VERDICT r4 item 4; link_adamic_adar rotates to tail: r4 driver-green, nodesim.py unchanged since, node_similarity_topk keeps the shared neighbor-intersection path in window)
@@ -1973,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_resample": _q_mixture_resample,  # r3 green; hash-threshold column exprs, doc_pack_sequences + sample pytest cover the module
         "doc_bm25": _q_bm25,  # r3 green; rotated out r4 for dedup_keep_best — doc_tfidf_topk (same doc_tokens+idf join) in window
         "emb_quantize_int8": _q_quantize,  # r3 green; rotated out r4 for graph_degree_stats — pure column exprs, embedding path in window via ann_ivf_search
+        "graph_rich_club": _q_rich_club,  # r4 driver-green; rotated to tail r5s4 for doc_trigram_logprob — the degree-audit family stays in window via graph_degree_stats, graph_degree_gini and graph_powerlaw_alpha
         "doc_hash_split": _q_hash_split,  # r4 driver-green; rotated to tail r5s4 for graph_score_82 — the deterministic-hash assignment discipline stays in window via doc_sample_stratified and the dedup hash gates
         "doc_top_ngrams": _q_top_ngrams,  # r4 driver-green; rotated to tail r5s4 for graph_bowtie — gram counting stays in window via doc_bigram_logprob + doc_zipf_alpha, and the TakeOrderedAndProject top-k path via doc_tfidf-family siblings
         "image_jpeg_features": _q_image_jpeg_features,  # r4 driver-green; rotated to tail r5s4 for graph_onion_layers — image_jpeg_color (the superset colour path through the same codec) stays in window
@@ -2240,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_gram_matrix": pipeline_oracles.gram_matrix_sql(scale=1000),
         "emb_pca_project": pipeline_oracles.pca_planted_sql(),
         "doc_bigram_logprob": pipeline_oracles.bigram_logprob_sql(),
+        "doc_trigram_logprob": pipeline_oracles.trigram_logprob_sql(),
         "doc_sample_stratified": pipeline_oracles.stratified_take_sql(k=20),
         "events_user_features": pipeline_oracles.user_activity_sql(),
         "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(

@@ -1284,6 +1284,56 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM scored GROUP BY doc_id"""
 
 
+def trigram_logprob_sql(
+    l3: float = 0.6, l2: float = 0.3, l1: float = 0.1
+) -> str:
+    """Mean Jelinek-Mercer interpolated trigram log-prob per document —
+    twin of text.py:trigram_logprob.  Same fixed left-associated
+    interpolation expression, 6dp-first ln terms, integer-scaled sums."""
+    return f"""WITH {DOCS_CTE},
+g3 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                     THEN [array_to_string(toks[i + 1 : i + 3], ' ')
+                           FOR i IN range(len(toks) - 2)]
+                     ELSE [] END) AS gram
+  FROM docs),
+g2 AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+                     THEN [array_to_string(toks[i + 1 : i + 2], ' ')
+                           FOR i IN range(len(toks) - 1)]
+                     ELSE [] END) AS gram
+  FROM docs),
+g1 AS (SELECT unnest(toks) AS tok FROM docs),
+c3 AS (SELECT gram, count(*) AS c3 FROM g3 GROUP BY gram),
+h3 AS (
+  SELECT string_split(gram, ' ')[1] || ' ' || string_split(gram, ' ')[2] AS h,
+         CAST(sum(c3) AS BIGINT) AS ch3
+  FROM c3 GROUP BY 1),
+c2 AS (SELECT gram, count(*) AS c2 FROM g2 GROUP BY gram),
+h2 AS (
+  SELECT string_split(gram, ' ')[1] AS h, CAST(sum(c2) AS BIGINT) AS ch2
+  FROM c2 GROUP BY 1),
+c1 AS (SELECT tok, count(*) AS c1 FROM g1 GROUP BY tok),
+nt AS (SELECT count(*) AS n FROM g1),
+scored AS (
+  SELECT doc_id,
+         CAST(round(round(ln({l3!r} * (c3.c3 * 1.0 / h3.ch3)
+                             + {l2!r} * (c2.c2 * 1.0 / h2.ch2)
+                             + {l1!r} * (c1.c1 * 1.0 / nt.n)), 6)
+                    * 1000000) AS BIGINT) AS lp6
+  FROM g3
+  JOIN c3 ON c3.gram = g3.gram
+  JOIN h3 ON h3.h = string_split(g3.gram, ' ')[1] || ' ' || string_split(g3.gram, ' ')[2]
+  JOIN c2 ON c2.gram = string_split(g3.gram, ' ')[2] || ' ' || string_split(g3.gram, ' ')[3]
+  JOIN h2 ON h2.h = string_split(g3.gram, ' ')[2]
+  JOIN c1 ON c1.tok = string_split(g3.gram, ' ')[3]
+  CROSS JOIN nt)
+SELECT doc_id, count(*) AS n_trigrams,
+       round(CAST(SUM(lp6) AS BIGINT) / (count(*) * 1000000.0), 6) AS avg_logp
+FROM scored GROUP BY doc_id"""
+
+
 def stratified_take_sql(k: int, seed: int = 13) -> str:
     """Deterministic per-stratum fixed-size sample — twin of
     sample.py:stratified_take (same universal hash, hash-then-id order)."""

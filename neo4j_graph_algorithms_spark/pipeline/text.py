@@ -578,6 +578,91 @@ def top_ngrams(
     )
 
 
+def trigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """[id, n_trigrams, avg_logp] — mean log-probability of each document
+    under a Jelinek-Mercer interpolated trigram model trained on the corpus
+    itself: p(w3|w1w2) = l3*MLE3 + l2*MLE2 + l1*MLE1 (deleted interpolation
+    with fixed weights; Jelinek & Mercer 1980).  The order-3 member of the
+    unigram/bigram perplexity-filter family — interpolation makes every
+    term nonzero even where the raw trigram MLE would be the only mass, so
+    the score separates fluent text from ngram-salad far better than MLE3
+    alone, and the fixed lambdas keep it engine-replayable (no EM fit).
+
+    Per-order counts come from that order's own gram stream (the standard
+    deleted-interpolation convention): MLE3 = c3(w1w2w3)/c3h(w1w2),
+    MLE2 = c2(w2w3)/c2h(w2), MLE1 = c1(w3)/N.  Every lookup is total by
+    construction (the scored doc contributed its own grams to each model).
+    Documents with < 3 tokens are dropped.
+
+    Exactness contract (same as bigram_logprob): all three MLEs are exact
+    BIGINT ratios evaluated identically in any engine; the interpolation
+    l3*p3 + l2*p2 + l1*p1 is a fixed left-associated double expression;
+    each ln term is rounded to the 1e-6 grid FIRST, scaled to long, summed
+    exactly, divided once.
+
+    Plan shape at 10^12 rows: one trigram explode + three Zipf-bounded
+    model aggregations broadcast back (like tf_idf's df) + one scalar N —
+    then one (id) aggregation.  No joins between large frames.
+    """
+    l3, l2, l1 = lambdas
+    tri = docs.select(
+        F.col(id_col), F.explode(_all_grams(text_col, 3)).alias("g3")
+    )
+    parts = F.split(F.col("g3"), " ", 3)
+    c3 = tri.groupBy("g3").agg(F.count("*").alias("_c3"))
+    h3 = (
+        c3.groupBy(
+            F.concat_ws(
+                " ", F.split(F.col("g3"), " ", 3).getItem(0),
+                F.split(F.col("g3"), " ", 3).getItem(1),
+            ).alias("_h3")
+        ).agg(F.sum("_c3").alias("_ch3"))
+    )
+    bi = docs.select(F.explode(_all_grams(text_col, 2)).alias("g2"))
+    c2 = bi.groupBy("g2").agg(F.count("*").alias("_c2"))
+    h2 = c2.groupBy(
+        F.split(F.col("g2"), " ", 2).getItem(0).alias("_h2")
+    ).agg(F.sum("_c2").alias("_ch2"))
+    uni = docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count("*").alias("_c1"))
+    n_total = uni.agg(F.count("*").alias("_n"))
+    p3 = F.col("_c3").cast("double") / F.col("_ch3").cast("double")
+    p2 = F.col("_c2").cast("double") / F.col("_ch2").cast("double")
+    p1 = F.col("_c1").cast("double") / F.col("_n").cast("double")
+    logp6 = F.round(
+        F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1), 6
+    )
+    scaled = F.round(logp6 * F.lit(1e6)).cast("long")
+    return (
+        tri.join(F.broadcast(c3), on="g3")
+        .join(
+            F.broadcast(h3),
+            F.concat_ws(" ", parts.getItem(0), parts.getItem(1))
+            == F.col("_h3"),
+        )
+        .join(
+            F.broadcast(c2),
+            F.concat_ws(" ", parts.getItem(1), parts.getItem(2))
+            == F.col("g2"),
+        )
+        .join(F.broadcast(h2), parts.getItem(1) == F.col("_h2"))
+        .join(F.broadcast(c1), parts.getItem(2) == F.col("tok"))
+        .crossJoin(F.broadcast(n_total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(
+                F.sum(scaled) / (F.count("*") * F.lit(1e6)), 6
+            ).alias("avg_logp"),
+        )
+    )
+
+
 def bigram_logprob(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -246,3 +246,20 @@ def test_coreness_hindex_superstep_never_broadcasts_state(spark):
     assert plan is not None
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_score_superstep_never_broadcasts_state(spark):
+    from neo4j_graph_algorithms_spark.operators.kcore import s_core
+
+    res = s_core(spark, edge_df(spark, _PAIRS), s=2, max_iterations=2)
+    _assert_no_state_broadcast(res.first_plan)
+
+
+def test_bowtie_reach_superstep_never_broadcasts_state(spark, monkeypatch):
+    from neo4j_graph_algorithms_spark.operators.bowtie import reach_set
+
+    captured = _capture_result(monkeypatch)
+    edges = edge_df(spark, _PAIRS).select("src", "dst")
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    reach_set(spark, edges, seeds)
+    _assert_no_state_broadcast(captured["res"].first_plan)
