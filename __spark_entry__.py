@@ -1843,6 +1843,24 @@ def _q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document (pipeline/text.py:readability) —
+    vowel-run syllables, punctuation-run sentences (floored at 1 on this
+    punctuation-free synthetic corpus, documented)."""
+    from neo4j_graph_algorithms_spark.pipeline.text import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness index per user over the events table
+    (pipeline/events.py:burstiness) — exact BIGINT gap sums, the
+    bot-vs-human inter-arrival audit."""
+    from neo4j_graph_algorithms_spark.pipeline.events import burstiness
+
+    return burstiness(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 uncentered principal-component projection over the
     planted-spectrum table (pipeline/similarity.py:pca_project over
@@ -1882,6 +1900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bowtie": _q_bowtie,  # new r5 gate: Broder bow-tie census — SCC core + four delta-frontier reachability closures classifying every vertex (core/in/out/tube/tendrils/disconnected); composes the gated scc operator into the canonical web-graph structure audit
         "graph_score_82": _q_score,
         "doc_trigram_logprob": _q_trigram_logprob,  # new r5 gate: Jelinek-Mercer interpolated trigram LM — the order-3 perplexity filter; fixed-lambda interpolation keeps it engine-replayable, same 6dp-first integer-sum contract as the bigram gate  # new r5 gate: s-core weighted peel (Eidsaa-Almaas) on the co-order graph — BIGINT strength sums, the weighted member of the kcore/ktruss/onion peel family
+        "doc_readability": _q_readability,  # new r5 gate: Flesch Reading Ease — the classic readability member of the quality-filter family; pure column exprs, integer counts + one fixed formula
+        "events_burstiness": _q_burstiness,  # new r5 gate: Goh-Barabasi burstiness index — inter-arrival regularity audit over the events table, exact BIGINT gap sums (the behavioral twin of the bot-user sessionize cap)
         "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
@@ -1894,8 +1914,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates whose code path has an in-window sibling (VERDICT r3 item 3)
         "graph_triad_motifs": _q_triad_census,  # new r5 gate: directed complete-triad census — the feed-forward-vs-cycle motif audit (Milo et al.) extending graph_reciprocity from dyads to triads; direction bits joined onto the SAME degree-ordered triangle stream triangle_doulion_est drives in window (degree_centrality rotates to tail: r4 driver-green, degrees.py unchanged in r5; graph_degree_stats + graph_degree_gini + graph_powerlaw_alpha keep the degree-audit path in window)
         "graph_coreness_hindex": _q_coreness_hindex,  # new r5 gate: full coreness via h-index iteration — the one-superstep-loop scale path (no per-degeneracy-level sweep); ktruss_4 keeps the peel loop in window (doc_subword_count rotates to tail: r4 driver-green, subword path unchanged in r5; doc_top_ngrams/doc_zipf_alpha/doc_length_stats keep text.py in window)
-        "graph_matching": _q_matching,  # new r4 gate: greedy maximal matching, hash-priority rounds == unrolled SQL (dedup_embedding_cosine rotates to tail: r3 driver-green, SRP-LSH chain unchanged since; dedup_keep_best + dedup_minhash_groups keep dedup.py in window)
-        "graph_coloring": _q_coloring,  # new r4 gate: Jones-Plassmann greedy coloring, the conflict-free-scheduling primitive completing the mis/matching symmetry-breaking trio (dedup_minhash_groups rotates to tail: r3 driver-green, minhash chain unchanged since; dedup_keep_best keeps dedup.py in window)
         "graph_coreness_csr": _q_coreness_csr,  # new r5 gate: Tier B h-index coreness — cogrouped pandas histogram kernels (per-bucket (gatherer,val,cnt) pre-counts), same oracle as graph_coreness_hindex, bit-identical integer contract (graph_coarsen rotates to tail: r4 driver-green, coarsen.py unchanged in r5; graph_matching — its drain input — plus graph_mis/graph_coloring keep the shrinking-frontier symmetry-breaking shape in window)
         "doc_winnowing": _q_winnowing,  # new r5 gate: MOSS winnowing fingerprints — the code-corpus partial-overlap index (any shared >=7-token run shares a fingerprint); rightmost-min tie-break realized as ONE integer window-min via (hash,pos) packing (events_sessionize rotates to tail: r4 driver-green, sessionize lag/cumsum path unchanged in r5 — the r5 cap change lives in curate.py, driven in window by curate_stage_counts; funnel/retention/user_features/asof_join keep events.py in window)
         "dedup_keep_best": _q_keep_best,  # new r4 gate: keep-one-per-cluster canonical selection (doc_bm25 rotates to tail; doc_tfidf_topk covers the doc_tokens+idf path)
@@ -1982,6 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_resample": _q_mixture_resample,  # r3 green; hash-threshold column exprs, doc_pack_sequences + sample pytest cover the module
         "doc_bm25": _q_bm25,  # r3 green; rotated out r4 for dedup_keep_best — doc_tfidf_topk (same doc_tokens+idf join) in window
         "emb_quantize_int8": _q_quantize,  # r3 green; rotated out r4 for graph_degree_stats — pure column exprs, embedding path in window via ann_ivf_search
+        "graph_matching": _q_matching,  # r4 driver-green; rotated to tail r5s4 for doc_readability — matching.py unchanged in r5; the Luby-round hash-priority discipline is plan-pinned and property-tested (test_matching.py)
+        "graph_coloring": _q_coloring,  # r4 driver-green; rotated to tail r5s4 for events_burstiness — coloring.py unchanged in r5, plan-pinned (test_superstep_plans); the peel-family gates keep the shrinking-frontier superstep shape in window
         "graph_rich_club": _q_rich_club,  # r4 driver-green; rotated to tail r5s4 for doc_trigram_logprob — the degree-audit family stays in window via graph_degree_stats, graph_degree_gini and graph_powerlaw_alpha
         "doc_hash_split": _q_hash_split,  # r4 driver-green; rotated to tail r5s4 for graph_score_82 — the deterministic-hash assignment discipline stays in window via doc_sample_stratified and the dedup hash gates
         "doc_top_ngrams": _q_top_ngrams,  # r4 driver-green; rotated to tail r5s4 for graph_bowtie — gram counting stays in window via doc_bigram_logprob + doc_zipf_alpha, and the TakeOrderedAndProject top-k path via doc_tfidf-family siblings
@@ -2251,6 +2271,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_pca_project": pipeline_oracles.pca_planted_sql(),
         "doc_bigram_logprob": pipeline_oracles.bigram_logprob_sql(),
         "doc_trigram_logprob": pipeline_oracles.trigram_logprob_sql(),
+        "doc_readability": pipeline_oracles.readability_sql(),
+        "events_burstiness": pipeline_oracles.burstiness_sql(),
         "doc_sample_stratified": pipeline_oracles.stratified_take_sql(k=20),
         "events_user_features": pipeline_oracles.user_activity_sql(),
         "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(

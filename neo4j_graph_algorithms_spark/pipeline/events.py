@@ -398,3 +398,55 @@ def asof_join(
         "matched_ts_us",
         (F.col("ts_us") - F.col("matched_ts_us")).alias("lag_us"),
     )
+
+
+def burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """[user_id, n_gaps, mean_gap_s, burstiness] — the Goh-Barabasi
+    burstiness index B = (sigma - mu)/(sigma + mu) of each user's
+    inter-event times ("Burstiness and memory in complex systems", EPL 81,
+    2008).  B -> -1 for clockwork regularity, 0 for Poisson arrivals,
+    -> +1 for extreme bursts — the behavioral twin of the repo's bot-user
+    sessionize cap (bots are near-periodic, humans bursty).
+
+    Exactness contract: gaps are second-truncated epoch integers under the
+    family's (ts, event_id) ordering (sessionize's convention), summed in
+    BIGINT (gap^2 sums stay < 2^63 for multi-year second-grained spans);
+    mu/sigma/B derive from those exact integers through a fixed expression
+    shape mirrored in the oracle, so every engine sees identical doubles.
+    sqrt is IEEE-correctly-rounded everywhere (unlike ln).  Users with
+    fewer than `min_gaps` gaps are dropped; all-zero gaps (sub-second
+    bursts only) yield NULL (0/0 has no burstiness).
+
+    Plan shape: one per-user lag window + one map-side-combined aggregate.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    ep = F.unix_timestamp(F.col(ts_col))
+    gaps = (
+        events.select(user_col, "event_id", ts_col, ep.alias("_ep"))
+        .withColumn("_gap", F.col("_ep") - F.lag("_ep").over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    agg = gaps.groupBy(user_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_gap").alias("_s1"),
+        F.sum(F.col("_gap") * F.col("_gap")).alias("_s2"),
+    ).filter(F.col("n_gaps") >= min_gaps)
+    n = F.col("n_gaps").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        user_col,
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.when(
+            (sd + mean) > 0, F.round((sd - mean) / (sd + mean), 6)
+        ).alias("burstiness"),
+    )

@@ -1334,6 +1334,52 @@ SELECT doc_id, count(*) AS n_trigrams,
 FROM scored GROUP BY doc_id"""
 
 
+def readability_sql() -> str:
+    """Flesch Reading Ease per document — twin of text.py:readability
+    (same vowel-run syllable heuristic, punctuation-run sentences floored
+    at 1, fixed left-associated formula)."""
+    return f"""WITH {DOCS_CTE},
+c AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+         list_sum(list_transform(toks,
+           t -> greatest(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))))) AS n_syllables
+  FROM docs WHERE len(toks) >= 1)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_sentences AS INTEGER) AS n_sentences,
+       CAST(n_syllables AS INTEGER) AS n_syllables,
+       round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                     - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch
+FROM c"""
+
+
+def burstiness_sql(min_gaps: int = 2) -> str:
+    """Goh-Barabasi burstiness per user — twin of events.py:burstiness
+    (second-truncated epoch gaps under (ts, event_id) order, exact BIGINT
+    sums, identical mu/sigma/B expression shape)."""
+    return f"""WITH e AS (
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events),
+g AS (
+  SELECT user_id,
+         ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM e),
+a AS (
+  SELECT user_id, count(*) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS s1,
+         CAST(sum(gap * gap) AS BIGINT) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+f AS (
+  SELECT user_id, n_gaps,
+         s1 * 1.0 / n_gaps AS mu,
+         sqrt(greatest((s2 * 1.0 - (s1 * 1.0) * (s1 * 1.0) / n_gaps) / n_gaps, 0.0)) AS sd
+  FROM a WHERE n_gaps >= {min_gaps})
+SELECT user_id, n_gaps, round(mu, 6) AS mean_gap_s,
+       CASE WHEN sd + mu > 0 THEN round((sd - mu) / (sd + mu), 6) END AS burstiness
+FROM f"""
+
+
 def stratified_take_sql(k: int, seed: int = 13) -> str:
     """Deterministic per-stratum fixed-size sample — twin of
     sample.py:stratified_take (same universal hash, hash-then-id order)."""

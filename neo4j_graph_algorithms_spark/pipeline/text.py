@@ -578,6 +578,55 @@ def top_ngrams(
     )
 
 
+def readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_words, n_sentences, n_syllables, flesch] — Flesch Reading
+    Ease (Flesch 1948): 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words).  The classic readability member of the
+    quality-filter family (quality_score's bands are length/charset;
+    this scores sentence and word complexity).
+
+    Heuristics, engine-replayable: syllables per word = count of vowel
+    RUNS [aeiouy]+ in the lowercased token, floored at 1; sentences =
+    count of terminal-punctuation runs [.!?]+, floored at 1 (corpora
+    without punctuation degrade to one sentence per document — documented,
+    not hidden).  All three counts are exact integers; the formula is one
+    fixed left-associated double expression mirrored in the oracle.
+    Documents with zero tokens are dropped.  Pure column expressions —
+    no explode, no joins.
+    """
+    toks = tokens_col(text_col)
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.lit(1), F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sents = F.greatest(
+        F.lit(1), F.regexp_count(F.col(text_col), F.lit(r"[.!?]+"))
+    )
+    out = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    ).filter(F.col("n_words") >= 1)
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    return out.withColumn(
+        "flesch",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w), 6
+        ),
+    )
+
+
 def trigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

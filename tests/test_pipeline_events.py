@@ -289,3 +289,55 @@ def test_asof_join_never_crosses_users(spark):
     ])
     rows = asof_join(ev, "purchase", "click").collect()
     assert len(rows) == 1 and rows[0].matched_event_id is None
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    from datetime import datetime, timedelta
+
+    from neo4j_graph_algorithms_spark.pipeline.events import burstiness
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: clockwork every 60 s -> sd 0, B = (0-60)/(0+60) = -1
+    for i in range(5):
+        rows.append((eid, t0 + timedelta(seconds=60 * i), 1, "view", 0.0, "{}"))
+        eid += 1
+    # user 2: gaps 1, 1, 598 -> bursty, B > 0
+    for s in (0, 1, 2, 600):
+        rows.append((eid, t0 + timedelta(seconds=s), 2, "view", 0.0, "{}"))
+        eid += 1
+    # user 3: a single event -> no gaps -> dropped
+    rows.append((eid, t0, 3, "view", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.user_id: r for r in burstiness(ev).collect()}
+    assert got[1].n_gaps == 4 and got[1].mean_gap_s == 60.0
+    assert got[1].burstiness == -1.0
+    assert got[2].n_gaps == 3 and got[2].burstiness > 0
+    assert 3 not in got
+    # replay user 2 exactly: gaps 1,1,598
+    import math
+
+    mu = 600 / 3
+    sd = math.sqrt((1 + 1 + 598 * 598 - 600 * 600 / 3) / 3)
+    assert got[2].burstiness == round((sd - mu) / (sd + mu), 6)
+
+
+def test_burstiness_subsecond_all_zero_gaps_null(spark):
+    from datetime import datetime, timedelta
+
+    from neo4j_graph_algorithms_spark.pipeline.events import burstiness
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(microseconds=100 * i), 7, "view", 0.0, "{}")
+        for i in range(4)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = burstiness(ev).collect()
+    assert len(got) == 1 and got[0].n_gaps == 3
+    assert got[0].mean_gap_s == 0.0 and got[0].burstiness is None

@@ -540,3 +540,107 @@ def test_winnowing_k1_window1_selects_every_token(spark):
     texts = {7: "u v w"}
     got = _winnow_spark(spark, texts, k=1, window=1)
     assert {p for p, _ in got[7]} == {0, 1, 2}
+
+
+def test_trigram_logprob_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from neo4j_graph_algorithms_spark.pipeline.text import trigram_logprob
+
+    texts = {1: "a b c a b c", 2: "a b c d", 3: "c b a c b", 4: "x y"}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    # sequential replay of the documented contract
+    toks = {i: t.split() for i, t in texts.items()}
+    g3 = {i: [" ".join(ts[j : j + 3]) for j in range(len(ts) - 2)] for i, ts in toks.items() if len(ts) >= 3}
+    g2 = [" ".join(ts[j : j + 2]) for ts in toks.values() for j in range(len(ts) - 1)]
+    g1 = [w for ts in toks.values() for w in ts]
+    c3 = Counter(g for gs in g3.values() for g in gs)
+    h3 = Counter()
+    for g, c in c3.items():
+        h3[" ".join(g.split()[:2])] += c
+    c2, c1 = Counter(g2), Counter(g1)
+    h2 = Counter()
+    for g, c in c2.items():
+        h2[g.split()[0]] += c
+    n = len(g1)
+    want = {}
+    for i, gs in g3.items():
+        lp6 = []
+        for g in gs:
+            w1, w2, w3 = g.split()
+            p = (
+                0.6 * (c3[g] / h3[f"{w1} {w2}"])
+                + 0.3 * (c2[f"{w2} {w3}"] / h2[w2])
+                + 0.1 * (c1[w3] / n)
+            )
+            lp6.append(round(round(math.log(p), 6) * 1e6))
+        want[i] = (len(gs), round(sum(lp6) / (len(gs) * 1e6), 6))
+    got = {r.doc_id: (r.n_trigrams, r.avg_logp) for r in trigram_logprob(docs).collect()}
+    assert set(got) == set(want)  # doc 4 (< 3 tokens) dropped
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+
+
+def test_trigram_logprob_separates_fluent_from_scrambled(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import trigram_logprob
+
+    fluent = "the quick brown fox jumps over the lazy dog " * 4
+    scrambled = "dog the fox lazy quick jumps brown over the " * 4
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, fluent), (3, fluent), (4, scrambled)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.avg_logp for r in trigram_logprob(docs).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[1] > got[4]  # repeated fluent trigrams dominate the model
+
+
+def test_trigram_logprob_partition_invariant(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import trigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, "u v w x y z u v w " * (i % 3 + 1)) for i in range(18)],
+        "doc_id long, text string",
+    )
+    a = sorted(trigram_logprob(docs.repartition(1)).collect())
+    b = sorted(trigram_logprob(docs.repartition(16)).collect())
+    assert a == b
+
+
+def test_readability_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),  # 6 words, 2 sentences, 6 syl
+            (2, "incomprehensibilities"),  # 1 word, 1 sentence, 8 vowel runs
+            (3, ""),  # no tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability(docs).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    assert r1.flesch == round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    r2 = got[2]
+    # i-o-e-e-i-i-i-ie: vowel runs of "incomprehensibilities"
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (1, 1, 8)
+    assert 3 not in got
+
+
+def test_readability_rewards_simple_text(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat. It was fun. We ran."),
+            (2, "Extraordinarily convoluted circumlocutions invariably obfuscate comprehensibility."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.flesch for r in readability(docs).collect()}
+    assert got[1] > got[2]
