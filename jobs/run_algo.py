@@ -11,7 +11,8 @@ resubmitted with `--resume` (north rule: runs resume mid-algorithm).
 Algorithms: pagerank, wcc, mscoloring, lpa, louvain, triangles,
 clustering_coefficients, scc, sssp, shortest_path, apsp_weighted,
 all_shortest_paths, delta_stepping, closeness, harmonic, betweenness, mst,
-kcore, coreness, ktruss, hits, eigenvector, katz, topo_levels,
+kcore, coreness, ktruss, score, onion, bowtie, who_to_follow, hits,
+eigenvector, katz, topo_levels,
 random_walks, node2vec_walks, fastrp, sllpa, degree, degree_stats,
 metapath (needs typed edges + labels tables).
 """
@@ -132,6 +133,36 @@ def main() -> None:
         from neo4j_graph_algorithms_spark.operators.ktruss import ktruss
 
         out = ktruss(spark, edges, k=int(cfg.get("k", 4)))
+    elif algo == "score":
+        from neo4j_graph_algorithms_spark.operators.kcore import s_core
+
+        out = s_core(spark, edges, s=int(cfg.get("s", 2)), **ck).state
+    elif algo == "onion":
+        from neo4j_graph_algorithms_spark.operators.onion import onion_decomposition
+
+        out = onion_decomposition(spark, edges)
+    elif algo == "bowtie":
+        from neo4j_graph_algorithms_spark.operators.bowtie import bowtie_decomposition
+
+        out = bowtie_decomposition(spark, edges)
+    elif algo == "who_to_follow":
+        from neo4j_graph_algorithms_spark.operators.wtf import who_to_follow
+
+        seeds_mod = int(cfg.get("seeds_mod", 400))
+        from pyspark.sql import functions as F
+
+        verts = (
+            edges.select(F.col("src").alias("vid"))
+            .unionByName(edges.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+        out = who_to_follow(
+            spark,
+            edges,
+            verts.filter(F.col("vid") % seeds_mod == 0),
+            circle_size=int(cfg.get("circle_size", 100)),
+            n_recs=int(cfg.get("n_recs", 50)),
+        )
     elif algo == "hits":
         from neo4j_graph_algorithms_spark.operators.hits import hits
 

@@ -124,6 +124,17 @@ PROCEDURES: dict[str, str] = {
     "algo.coreness.hindex": "neo4j_graph_algorithms_spark.operators.kcore.coreness_hindex",
     "algo.coreness.csr": "neo4j_graph_algorithms_spark.csr.coreness.coreness_hindex_csr",
     "algo.ktruss": "neo4j_graph_algorithms_spark.operators.ktruss.ktruss",
+    "algo.scoreWeightedCore": "neo4j_graph_algorithms_spark.operators.kcore.s_core",
+    "algo.onion": "neo4j_graph_algorithms_spark.operators.onion.onion_decomposition",
+    "algo.bowtie": "neo4j_graph_algorithms_spark.operators.bowtie.bowtie_decomposition",
+    "algo.whoToFollow": "neo4j_graph_algorithms_spark.operators.wtf.who_to_follow",
+    "algo.mis": "neo4j_graph_algorithms_spark.operators.mis.maximal_independent_set",
+    "algo.matching": "neo4j_graph_algorithms_spark.operators.matching.maximal_matching",
+    "algo.coloring": "neo4j_graph_algorithms_spark.operators.coloring.greedy_coloring",
+    "algo.coarsen": "neo4j_graph_algorithms_spark.operators.coarsen.coarsen_by_matching",
+    "algo.shortestPath.astar": "neo4j_graph_algorithms_spark.operators.astar.astar_path",
+    "algo.betweenness.edges": "neo4j_graph_algorithms_spark.operators.betweenness.edge_betweenness",
+    "algo.effectiveDiameter": "neo4j_graph_algorithms_spark.operators.hyperball.effective_diameter",
     "algo.eigenvector": "neo4j_graph_algorithms_spark.operators.eigenvector.eigenvector",
     "algo.katz": "neo4j_graph_algorithms_spark.operators.katz.katz",
     "algo.degree": "neo4j_graph_algorithms_spark.operators.degrees.degree_centrality",
