@@ -1861,6 +1861,24 @@ def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burstiness(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc token Shannon entropy (pipeline/text.py:token_entropy) —
+    the gibberish/boilerplate filter between the band scores and the LM
+    log-prob gates."""
+    from neo4j_graph_algorithms_spark.pipeline.text import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
+def _q_two_hop_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-/2-hop neighborhood sizes on the line-seq graph
+    (operators/degrees.py:two_hop_ball_sizes) — the exact validation twin
+    of the hyperball_est_r2 sketch gate."""
+    from neo4j_graph_algorithms_spark.operators.degrees import two_hop_ball_sizes
+
+    return two_hop_ball_sizes(lineseq_edges(spark, sf_dir))
+
+
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 uncentered principal-component projection over the
     planted-spectrum table (pipeline/similarity.py:pca_project over
@@ -1902,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_trigram_logprob": _q_trigram_logprob,  # new r5 gate: Jelinek-Mercer interpolated trigram LM — the order-3 perplexity filter; fixed-lambda interpolation keeps it engine-replayable, same 6dp-first integer-sum contract as the bigram gate  # new r5 gate: s-core weighted peel (Eidsaa-Almaas) on the co-order graph — BIGINT strength sums, the weighted member of the kcore/ktruss/onion peel family
         "doc_readability": _q_readability,  # new r5 gate: Flesch Reading Ease — the classic readability member of the quality-filter family; pure column exprs, integer counts + one fixed formula
         "events_burstiness": _q_burstiness,  # new r5 gate: Goh-Barabasi burstiness index — inter-arrival regularity audit over the events table, exact BIGINT gap sums (the behavioral twin of the bot-user sessionize cap)
+        "doc_token_entropy": _q_token_entropy,  # new r5 gate: within-doc Shannon entropy — the gibberish filter; 6dp-first integer-sum contract like the LM gates
+        "graph_two_hop_ball": _q_two_hop_ball,  # new r5 gate: exact 1-/2-hop neighborhood sizes — the exact twin validating the HyperBall radius-2 sketch (wedge closure, distinct, count)
         "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
@@ -1916,12 +1936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness_hindex": _q_coreness_hindex,  # new r5 gate: full coreness via h-index iteration — the one-superstep-loop scale path (no per-degeneracy-level sweep); ktruss_4 keeps the peel loop in window (doc_subword_count rotates to tail: r4 driver-green, subword path unchanged in r5; doc_top_ngrams/doc_zipf_alpha/doc_length_stats keep text.py in window)
         "graph_coreness_csr": _q_coreness_csr,  # new r5 gate: Tier B h-index coreness — cogrouped pandas histogram kernels (per-bucket (gatherer,val,cnt) pre-counts), same oracle as graph_coreness_hindex, bit-identical integer contract (graph_coarsen rotates to tail: r4 driver-green, coarsen.py unchanged in r5; graph_matching — its drain input — plus graph_mis/graph_coloring keep the shrinking-frontier symmetry-breaking shape in window)
         "doc_winnowing": _q_winnowing,  # new r5 gate: MOSS winnowing fingerprints — the code-corpus partial-overlap index (any shared >=7-token run shares a fingerprint); rightmost-min tie-break realized as ONE integer window-min via (hash,pos) packing (events_sessionize rotates to tail: r4 driver-green, sessionize lag/cumsum path unchanged in r5 — the r5 cap change lives in curate.py, driven in window by curate_stage_counts; funnel/retention/user_features/asof_join keep events.py in window)
-        "dedup_keep_best": _q_keep_best,  # new r4 gate: keep-one-per-cluster canonical selection (doc_bm25 rotates to tail; doc_tfidf_topk covers the doc_tokens+idf path)
         "emb_gram_matrix": _q_gram_matrix,  # new r4 gate: exact integer-scaled Gram matrix, the distributed-PCA pass (graph_walk_skipgrams rotates to tail: r3 green, and the r4 walk-loop change stays driver-covered in window by graph_node2vec_walks)
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
         "edge_betweenness_sampled": _q_edge_betweenness,  # new r5 gate: Girvan-Newman edge betweenness — per-edge shortest-path mass from the same sigma-BFS + delta sweep as the vertex gates, materialized per edge before the fold; pair-sum oracle (node_similarity_topk rotates to tail: r4 driver-green, nodesim.py unchanged in r5; the wedge-join candidate plan stays pytest-pinned)
         "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
-        "doc_chunk_overlap": _q_chunk_overlap,  # new r4 gate: sliding-window chunking, the RAG shard step (doc_decontaminate rotates to tail: r3 green, unchanged since, and doc_repetition_ratio keeps the n-gram quality path in window)
         "graph_effective_diameter": _q_effective_diameter,  # new r4 gate: HyperANF effective diameter (pagerank_personalized rotates to tail; weighted/warm/articlerank cover the pagerank superstep in window)
         "image_jpeg_color": _q_image_jpeg_color,  # new r5 gate: YCbCr 4:2:0 colour JPEG decode — interleaved MCUs, two-table luma/chroma selection, fixed-point RGB transform (VERDICT r4 item 4; link_adamic_adar rotates to tail: r4 driver-green, nodesim.py unchanged since, node_similarity_topk keeps the shared neighbor-intersection path in window)
         "dedup_spans": _q_span_dedup,  # new r5 gate: exact duplicated-span removal (Lee et al. ExactSubstr) — the span-level member completing the dedup family; pure integer/string relational plan (doc_collocations rotates to tail: r4 driver-green, text.py collocation path unchanged since; doc_top_ngrams + doc_bigram_logprob keep the n-gram aggregation paths in window)
@@ -2000,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_resample": _q_mixture_resample,  # r3 green; hash-threshold column exprs, doc_pack_sequences + sample pytest cover the module
         "doc_bm25": _q_bm25,  # r3 green; rotated out r4 for dedup_keep_best — doc_tfidf_topk (same doc_tokens+idf join) in window
         "emb_quantize_int8": _q_quantize,  # r3 green; rotated out r4 for graph_degree_stats — pure column exprs, embedding path in window via ann_ivf_search
+        "doc_chunk_overlap": _q_chunk_overlap,  # r4 driver-green; rotated to tail r5s4 for doc_token_entropy — chunking is pure sequence-slice column exprs, pytest-pinned, with doc_pack_sequences exercising the adjacent packing path
+        "dedup_keep_best": _q_keep_best,  # r4 driver-green; rotated to tail r5s4 for graph_two_hop_ball — the dict-mode dedup rank path stays in window via dedup_containment + dedup_minhash-family siblings and the keep-best plan pin (test_superstep_plans)
         "graph_matching": _q_matching,  # r4 driver-green; rotated to tail r5s4 for doc_readability — matching.py unchanged in r5; the Luby-round hash-priority discipline is plan-pinned and property-tested (test_matching.py)
         "graph_coloring": _q_coloring,  # r4 driver-green; rotated to tail r5s4 for events_burstiness — coloring.py unchanged in r5, plan-pinned (test_superstep_plans); the peel-family gates keep the shrinking-frontier superstep shape in window
         "graph_rich_club": _q_rich_club,  # r4 driver-green; rotated to tail r5s4 for doc_trigram_logprob — the degree-audit family stays in window via graph_degree_stats, graph_degree_gini and graph_powerlaw_alpha
@@ -2273,6 +2293,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_trigram_logprob": pipeline_oracles.trigram_logprob_sql(),
         "doc_readability": pipeline_oracles.readability_sql(),
         "events_burstiness": pipeline_oracles.burstiness_sql(),
+        "doc_token_entropy": pipeline_oracles.token_entropy_sql(),
+        "graph_two_hop_ball": oracles.two_hop_ball_sql(),
         "doc_sample_stratified": pipeline_oracles.stratified_take_sql(k=20),
         "events_user_features": pipeline_oracles.user_activity_sql(),
         "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(

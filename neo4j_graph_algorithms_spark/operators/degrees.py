@@ -400,3 +400,50 @@ def graph_reciprocity(
             6,
         ).alias("reciprocity_q6"),
     )
+
+
+def two_hop_ball_sizes(
+    edges: EdgeFrame | DataFrame,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """[vid, n1, n2] — exact 1-hop degree and exact |ball_2(v)| - 1 (the
+    number of DISTINCT vertices within undirected distance <= 2, self
+    excluded) on the simple undirected graph.
+
+    The exact validation twin of the HyperBall radius-2 estimate
+    (operators/hyperball.py / gate `hyperball_est_r2`): HyperBall trades
+    exactness for O(|V| log log |V|) registers; this materializes the real
+    wedge closure — O(sum deg^2) pairs — which is exactly what you run at
+    audit scale to measure the sketch's error, and why both live in the
+    catalogue.  `max_degree` (mirrored in any oracle, per the repo's
+    cap-parity rule) drops wedge CENTERS above the cap, the nodesim hub
+    guard, default off.
+
+    Plan: one self-join of the src-partitioned adjacency on the wedge
+    center + one distinct + one count — map-side combined, no windows.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    und = ef.canonical().df.select(SRC, DST)
+    adj = und.unionByName(
+        und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    mid_adj = adj
+    if max_degree is not None:
+        ok = (
+            adj.groupBy(SRC)
+            .agg(F.count("*").alias("_d"))
+            .filter(F.col("_d") <= max_degree)
+            .select(SRC)
+        )
+        mid_adj = adj.join(ok.hint("shuffle_hash"), on=SRC, how="left_semi")
+    two = mid_adj.withColumnRenamed(SRC, "_mid").withColumnRenamed(DST, "_far")
+    ball = (
+        adj.join(two, adj[DST] == two["_mid"])
+        .select(SRC, F.col("_far").alias(DST))
+        .unionByName(adj.select(SRC, DST))
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+    n1 = adj.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("n1"))
+    n2 = ball.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("n2"))
+    return n1.join(n2, on=VID, how="left").fillna(0, subset=["n2"])

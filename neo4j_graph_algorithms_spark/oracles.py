@@ -1721,6 +1721,24 @@ oa{i} AS MATERIALIZED (
     )
 
 
+def two_hop_ball_sql() -> str:
+    """Exact 1-/2-hop neighborhood sizes on the undirected line-seq graph —
+    twin of operators/degrees.py:two_hop_ball_sizes (no hub cap at the
+    gate SF, matching the Spark default)."""
+    return f"""WITH {NBR_CTES},
+ball AS (
+  SELECT DISTINCT vid, u FROM (
+    SELECT a.vid, b.nbr AS u
+    FROM nbrs a JOIN nbrs b ON b.vid = a.nbr
+    WHERE b.nbr <> a.vid
+    UNION ALL
+    SELECT vid, nbr AS u FROM nbrs)),
+n1 AS (SELECT vid, count(*) AS n1 FROM nbrs GROUP BY vid),
+n2 AS (SELECT vid, count(*) AS n2 FROM ball GROUP BY vid)
+SELECT n1.vid, n1.n1, coalesce(n2.n2, 0) AS n2
+FROM n1 LEFT JOIN n2 ON n2.vid = n1.vid"""
+
+
 def sage_aggregate_sql() -> str:
     """Twin of pipeline/sage.py:sage_aggregate over the undirected line-seq
     graph and the embeddings table: two-layer GraphSAGE mean-aggregator in

@@ -1354,6 +1354,26 @@ SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
 FROM c"""
 
 
+def token_entropy_sql() -> str:
+    """Within-doc token Shannon entropy — twin of text.py:token_entropy
+    (6dp-first terms, integer-scaled exact sums)."""
+    return f"""WITH {DOCS_CTE},
+t AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+per AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct
+  FROM per GROUP BY doc_id),
+s AS (
+  SELECT per.doc_id, tot.n_tokens, tot.n_distinct,
+         CAST(round(round(-((per.c * 1.0 / tot.n_tokens)
+                           * ln(per.c * 1.0 / tot.n_tokens)), 6)
+                    * 1000000) AS BIGINT) AS e6
+  FROM per JOIN tot USING (doc_id))
+SELECT doc_id, n_tokens, n_distinct,
+       round(CAST(sum(e6) AS BIGINT) / 1000000.0, 6) AS entropy
+FROM s GROUP BY doc_id, n_tokens, n_distinct"""
+
+
 def burstiness_sql(min_gaps: int = 2) -> str:
     """Goh-Barabasi burstiness per user — twin of events.py:burstiness
     (second-truncated epoch gaps under (ts, event_id) order, exact BIGINT

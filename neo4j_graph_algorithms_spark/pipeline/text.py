@@ -578,6 +578,39 @@ def top_ngrams(
     )
 
 
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, n_tokens, n_distinct, entropy] — Shannon entropy (nats) of each
+    document's within-doc token distribution: H = -sum_t p_t ln p_t with
+    p_t = count_t / n_tokens.  The classic gibberish/boilerplate filter
+    (near-zero entropy = one token repeated; ln(n_distinct) = all distinct)
+    sitting between quality_score's bands and the LM log-prob gates.
+
+    Exactness contract: each term -(c/n)ln(c/n) is an identical double in
+    every engine (exact BIGINT ratio through ln), rounded to the 1e-6 grid
+    FIRST, scaled to long, summed exactly — the family's shard-order-free
+    rule.  Zero-token documents are dropped.
+
+    Plan shape: one token explode, one (id, token) count, one (id)
+    aggregation — all map-side combined, no joins.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    per = toks.groupBy(id_col, "tok").agg(F.count("*").alias("_c"))
+    totals = per.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("_c").cast("double") / F.col("n_tokens").cast("double")
+    term6 = F.round(-(p * F.log(p)), 6)
+    scaled = F.round(term6 * F.lit(1e6)).cast("long")
+    return (
+        per.join(totals, on=id_col)
+        .groupBy(id_col, "n_tokens", "n_distinct")
+        .agg(F.round(F.sum(scaled) / F.lit(1e6), 6).alias("entropy"))
+        .select(id_col, "n_tokens", "n_distinct", "entropy")
+    )
+
+
 def readability(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -222,3 +222,56 @@ def test_graph_reciprocity_extremes(spark):
     assert graph_reciprocity(spark, edge_df(spark, dag)).collect()[0][
         "reciprocity_q6"
     ] == 0.0
+
+
+def test_two_hop_ball_path_graph(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import two_hop_ball_sizes
+
+    # path 0-1-2-3-4: ball2 sizes 2,3,4,3,2
+    got = {
+        r.vid: (r.n1, r.n2)
+        for r in two_hop_ball_sizes(
+            edge_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+        ).collect()
+    }
+    assert got == {0: (1, 2), 1: (2, 3), 2: (2, 4), 3: (2, 3), 4: (1, 2)}
+
+
+def test_two_hop_ball_matches_python_bfs(spark):
+    import random
+    from collections import defaultdict
+
+    from neo4j_graph_algorithms_spark.operators.degrees import two_hop_ball_sizes
+
+    rng = random.Random(31)
+    pairs = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(60)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in adj:
+        ball = set(adj[v])
+        for u in adj[v]:
+            ball |= adj[u]
+        ball.discard(v)
+        want[v] = (len(adj[v]), len(ball))
+    got = {
+        r.vid: (r.n1, r.n2)
+        for r in two_hop_ball_sizes(edge_df(spark, pairs)).collect()
+    }
+    assert got == want
+
+
+def test_two_hop_ball_hub_cap_drops_wedges_through_hubs(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import two_hop_ball_sizes
+
+    # star center 0 with leaves 1..4: capping centers at degree 2 removes
+    # all wedges THROUGH 0, so each leaf sees only the center (n2 = 1)
+    pairs = [(0, i) for i in range(1, 5)]
+    got = {
+        r.vid: (r.n1, r.n2)
+        for r in two_hop_ball_sizes(edge_df(spark, pairs), max_degree=2).collect()
+    }
+    assert got[1] == (1, 1) and got[0] == (4, 4)

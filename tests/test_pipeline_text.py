@@ -644,3 +644,33 @@ def test_readability_rewards_simple_text(spark):
     )
     got = {r.doc_id: r.flesch for r in readability(docs).collect()}
     assert got[1] > got[2]
+
+
+def test_token_entropy_hand_values(spark):
+    import math
+
+    from neo4j_graph_algorithms_spark.pipeline.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert (got[1].n_tokens, got[1].n_distinct, got[1].entropy) == (4, 1, 0.0)
+    # uniform over 4 -> ln 4; terms rounded to 6dp first
+    t = round(-(0.25 * math.log(0.25)), 6)
+    assert got[2].entropy == round(4 * round(t * 1e6) / 1e6, 6)
+    t2 = round(-(0.5 * math.log(0.5)), 6)
+    assert got[3].entropy == round(2 * round(t2 * 1e6) / 1e6, 6)
+    assert 4 not in got  # empty doc dropped
+
+
+def test_token_entropy_orders_repetitive_below_diverse(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam ham"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.entropy for r in token_entropy(docs).collect()}
+    assert got[1] < got[2]
