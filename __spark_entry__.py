@@ -1879,6 +1879,15 @@ def _q_two_hop_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop_ball_sizes(lineseq_edges(spark, sf_dir))
 
 
+def _q_sage_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier B SAGE aggregation (csr/sage.py) — cogrouped pandas array-sum
+    kernels, bit-identical to the Tier A gate over the SAME oracle."""
+    from neo4j_graph_algorithms_spark.csr.sage import sage_aggregate_csr
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sage_aggregate_csr(spark, lineseq_edges(spark, sf_dir), embs)
+
+
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 uncentered principal-component projection over the
     planted-spectrum table (pipeline/similarity.py:pca_project over
@@ -1922,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": _q_burstiness,  # new r5 gate: Goh-Barabasi burstiness index — inter-arrival regularity audit over the events table, exact BIGINT gap sums (the behavioral twin of the bot-user sessionize cap)
         "doc_token_entropy": _q_token_entropy,  # new r5 gate: within-doc Shannon entropy — the gibberish filter; 6dp-first integer-sum contract like the LM gates
         "graph_two_hop_ball": _q_two_hop_ball,  # new r5 gate: exact 1-/2-hop neighborhood sizes — the exact twin validating the HyperBall radius-2 sketch (wedge closure, distinct, count)
+        "graph_sage_csr": _q_sage_csr,  # new r5 gate: Tier B twin of graph_sage_agg — bucketed cogrouped pandas array-sum kernels, same oracle, bit-identical output (the Tier B discipline extended to the feature-aggregation family)
         "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
@@ -1936,7 +1946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness_hindex": _q_coreness_hindex,  # new r5 gate: full coreness via h-index iteration — the one-superstep-loop scale path (no per-degeneracy-level sweep); ktruss_4 keeps the peel loop in window (doc_subword_count rotates to tail: r4 driver-green, subword path unchanged in r5; doc_top_ngrams/doc_zipf_alpha/doc_length_stats keep text.py in window)
         "graph_coreness_csr": _q_coreness_csr,  # new r5 gate: Tier B h-index coreness — cogrouped pandas histogram kernels (per-bucket (gatherer,val,cnt) pre-counts), same oracle as graph_coreness_hindex, bit-identical integer contract (graph_coarsen rotates to tail: r4 driver-green, coarsen.py unchanged in r5; graph_matching — its drain input — plus graph_mis/graph_coloring keep the shrinking-frontier symmetry-breaking shape in window)
         "doc_winnowing": _q_winnowing,  # new r5 gate: MOSS winnowing fingerprints — the code-corpus partial-overlap index (any shared >=7-token run shares a fingerprint); rightmost-min tie-break realized as ONE integer window-min via (hash,pos) packing (events_sessionize rotates to tail: r4 driver-green, sessionize lag/cumsum path unchanged in r5 — the r5 cap change lives in curate.py, driven in window by curate_stage_counts; funnel/retention/user_features/asof_join keep events.py in window)
-        "emb_gram_matrix": _q_gram_matrix,  # new r4 gate: exact integer-scaled Gram matrix, the distributed-PCA pass (graph_walk_skipgrams rotates to tail: r3 green, and the r4 walk-loop change stays driver-covered in window by graph_node2vec_walks)
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
         "edge_betweenness_sampled": _q_edge_betweenness,  # new r5 gate: Girvan-Newman edge betweenness — per-edge shortest-path mass from the same sigma-BFS + delta sweep as the vertex gates, materialized per edge before the fold; pair-sum oracle (node_similarity_topk rotates to tail: r4 driver-green, nodesim.py unchanged in r5; the wedge-join candidate plan stays pytest-pinned)
         "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
@@ -2020,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _q_quantize,  # r3 green; rotated out r4 for graph_degree_stats — pure column exprs, embedding path in window via ann_ivf_search
         "doc_chunk_overlap": _q_chunk_overlap,  # r4 driver-green; rotated to tail r5s4 for doc_token_entropy — chunking is pure sequence-slice column exprs, pytest-pinned, with doc_pack_sequences exercising the adjacent packing path
         "dedup_keep_best": _q_keep_best,  # r4 driver-green; rotated to tail r5s4 for graph_two_hop_ball — the dict-mode dedup rank path stays in window via dedup_containment + dedup_minhash-family siblings and the keep-best plan pin (test_superstep_plans)
+        "emb_gram_matrix": _q_gram_matrix,  # r4 driver-green; rotated to tail r5s4 for graph_sage_csr — the mapInPandas int64 Gram pass is composed and driven in window by emb_pca_project
         "graph_matching": _q_matching,  # r4 driver-green; rotated to tail r5s4 for doc_readability — matching.py unchanged in r5; the Luby-round hash-priority discipline is plan-pinned and property-tested (test_matching.py)
         "graph_coloring": _q_coloring,  # r4 driver-green; rotated to tail r5s4 for events_burstiness — coloring.py unchanged in r5, plan-pinned (test_superstep_plans); the peel-family gates keep the shrinking-frontier superstep shape in window
         "graph_rich_club": _q_rich_club,  # r4 driver-green; rotated to tail r5s4 for doc_trigram_logprob — the degree-audit family stays in window via graph_degree_stats, graph_degree_gini and graph_powerlaw_alpha
@@ -2259,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_30": oracles.kcore_sql(k=30, rounds=12),
         "graph_onion_layers": oracles.onion_sql(rounds=48),
         "graph_sage_agg": oracles.sage_aggregate_sql(),
+        "graph_sage_csr": oracles.sage_aggregate_sql(),
         "graph_who_to_follow": oracles.wtf_sql(
             source_mod=400, circle_size=100, n_recs=50
         ),

@@ -125,6 +125,10 @@ PROCEDURES: dict[str, str] = {
     "algo.coreness.csr": "neo4j_graph_algorithms_spark.csr.coreness.coreness_hindex_csr",
     "algo.ktruss": "neo4j_graph_algorithms_spark.operators.ktruss.ktruss",
     "algo.scoreWeightedCore": "neo4j_graph_algorithms_spark.operators.kcore.s_core",
+    "algo.sageAggregate": "neo4j_graph_algorithms_spark.pipeline.sage.sage_aggregate",
+    "algo.sageAggregate.csr": "neo4j_graph_algorithms_spark.csr.sage.sage_aggregate_csr",
+    "algo.twoHopBall": "neo4j_graph_algorithms_spark.operators.degrees.two_hop_ball_sizes",
+    "algo.onion.spectrum": "neo4j_graph_algorithms_spark.operators.onion.onion_spectrum",
     "algo.onion": "neo4j_graph_algorithms_spark.operators.onion.onion_decomposition",
     "algo.bowtie": "neo4j_graph_algorithms_spark.operators.bowtie.bowtie_decomposition",
     "algo.whoToFollow": "neo4j_graph_algorithms_spark.operators.wtf.who_to_follow",
