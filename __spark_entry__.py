@@ -1355,6 +1355,27 @@ def _q_streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming heavy-hitters gate: stage the events table as 4
+    parquet files, drain with availableNow (maxFilesPerTrigger=1 -> 4
+    micro-batches updating shared per-user state) through the per-user
+    count aggregation, and return the final top-50 table — count and the
+    integer-scaled sum are commutative/associative, so the drain equals
+    the batch top-k row-for-row (heavy_hitters_sql oracle)."""
+    import shutil
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.streaming.topk import run_heavy_hitters
+
+    base = tempfile.mkdtemp(prefix="linkgraph-stream-topk-")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.repartition(4).write.parquet(f"{base}/in")
+        return run_heavy_hitters(spark, f"{base}/in", k=50)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming exact-dedup gate: stage the documents table as
     4 parquet files, drain with availableNow (maxFilesPerTrigger=1 → 4
@@ -1932,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_entropy": _q_token_entropy,  # new r5 gate: within-doc Shannon entropy — the gibberish filter; 6dp-first integer-sum contract like the LM gates
         "graph_two_hop_ball": _q_two_hop_ball,  # new r5 gate: exact 1-/2-hop neighborhood sizes — the exact twin validating the HyperBall radius-2 sketch (wedge closure, distinct, count)
         "graph_sage_csr": _q_sage_csr,  # new r5 gate: Tier B twin of graph_sage_agg — bucketed cogrouped pandas array-sum kernels, same oracle, bit-identical output (the Tier B discipline extended to the feature-aggregation family)
+        "streaming_heavy_hitters": _q_streaming_heavy_hitters,  # new r5 gate: streaming per-user heavy hitters — commutative counts drained across 4 micro-batches == batch top-k; the sixth member of the streaming drain-equality family
         "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
@@ -1949,7 +1971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": _q_degree_distribution,  # new r4 gate: exact degree-distribution skew audit (emb_quantize_int8 rotates to tail; ann_ivf_search + dedup_embedding_cosine cover the embedding path)
         "edge_betweenness_sampled": _q_edge_betweenness,  # new r5 gate: Girvan-Newman edge betweenness — per-edge shortest-path mass from the same sigma-BFS + delta sweep as the vertex gates, materialized per edge before the fold; pair-sum oracle (node_similarity_topk rotates to tail: r4 driver-green, nodesim.py unchanged in r5; the wedge-join candidate plan stays pytest-pinned)
         "doc_bpe_merges": _q_bpe_merges,  # new r4 gate: BPE tokenizer induction (kcore_30 rotates to tail; ktruss_4 keeps the peel-loop shape covered in window)
-        "graph_effective_diameter": _q_effective_diameter,  # new r4 gate: HyperANF effective diameter (pagerank_personalized rotates to tail; weighted/warm/articlerank cover the pagerank superstep in window)
         "image_jpeg_color": _q_image_jpeg_color,  # new r5 gate: YCbCr 4:2:0 colour JPEG decode — interleaved MCUs, two-table luma/chroma selection, fixed-point RGB transform (VERDICT r4 item 4; link_adamic_adar rotates to tail: r4 driver-green, nodesim.py unchanged since, node_similarity_topk keeps the shared neighbor-intersection path in window)
         "dedup_spans": _q_span_dedup,  # new r5 gate: exact duplicated-span removal (Lee et al. ExactSubstr) — the span-level member completing the dedup family; pure integer/string relational plan (doc_collocations rotates to tail: r4 driver-green, text.py collocation path unchanged since; doc_top_ngrams + doc_bigram_logprob keep the n-gram aggregation paths in window)
         "emb_pca_project": _q_pca_project,  # r5 upgrade IN WINDOW: rows-only → VALUE-gated via the planted-spectrum table (closed-form eigendecomposition; oracle = pca_planted_sql literal ground truth; hyperball_harmonic rotates to tail: r4 driver-green, hyperball.py unchanged since, graph_effective_diameter keeps the HLL superstep chain in window)
@@ -2029,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_int8": _q_quantize,  # r3 green; rotated out r4 for graph_degree_stats — pure column exprs, embedding path in window via ann_ivf_search
         "doc_chunk_overlap": _q_chunk_overlap,  # r4 driver-green; rotated to tail r5s4 for doc_token_entropy — chunking is pure sequence-slice column exprs, pytest-pinned, with doc_pack_sequences exercising the adjacent packing path
         "dedup_keep_best": _q_keep_best,  # r4 driver-green; rotated to tail r5s4 for graph_two_hop_ball — the dict-mode dedup rank path stays in window via dedup_containment + dedup_minhash-family siblings and the keep-best plan pin (test_superstep_plans)
+        "graph_effective_diameter": _q_effective_diameter,  # r4 driver-green; rotated to tail r5s4 for streaming_heavy_hitters — hyperball.py unchanged in r5 and graph_two_hop_ball carries the exact neighborhood-size audit in window
         "emb_gram_matrix": _q_gram_matrix,  # r4 driver-green; rotated to tail r5s4 for graph_sage_csr — the mapInPandas int64 Gram pass is composed and driven in window by emb_pca_project
         "graph_matching": _q_matching,  # r4 driver-green; rotated to tail r5s4 for doc_readability — matching.py unchanged in r5; the Luby-round hash-priority discipline is plan-pinned and property-tested (test_matching.py)
         "graph_coloring": _q_coloring,  # r4 driver-green; rotated to tail r5s4 for events_burstiness — coloring.py unchanged in r5, plan-pinned (test_superstep_plans); the peel-family gates keep the shrinking-frontier superstep shape in window
@@ -2304,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_trigram_logprob": pipeline_oracles.trigram_logprob_sql(),
         "doc_readability": pipeline_oracles.readability_sql(),
         "events_burstiness": pipeline_oracles.burstiness_sql(),
+        "streaming_heavy_hitters": pipeline_oracles.heavy_hitters_sql(k=50),
         "doc_token_entropy": pipeline_oracles.token_entropy_sql(),
         "graph_two_hop_ball": oracles.two_hop_ball_sql(),
         "doc_sample_stratified": pipeline_oracles.stratified_take_sql(k=20),

@@ -816,6 +816,20 @@ SELECT (ep // {win_s}) * {win_s} AS window_start, event_type,
 FROM e GROUP BY 1, 2"""
 
 
+def heavy_hitters_sql(k: int = 50) -> str:
+    """Top-k users by event count — twin of streaming/topk.py (drained
+    stream == this batch aggregate; same integer-scaled value sum as the
+    windowed-aggregate oracle)."""
+    return f"""WITH c AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+  FROM events GROUP BY user_id),
+t AS (SELECT * FROM c ORDER BY n_events DESC, user_id LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS INT) AS rank,
+       user_id, n_events, v6 / 1000000.0 AS total_value
+FROM t"""
+
+
 def mixture_resample_sql(
     weights: dict[str, float],
     seed: int = 42,
