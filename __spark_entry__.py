@@ -1909,6 +1909,15 @@ def _q_sage_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sage_aggregate_csr(spark, lineseq_edges(spark, sf_dir), embs)
 
 
+def _q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn(k) average-nearest-neighbor-degree curve on the line-seq graph
+    (operators/degrees.py:avg_neighbor_degree) — the per-scale profile
+    behind the degree_assortativity coefficient."""
+    from neo4j_graph_algorithms_spark.operators.degrees import avg_neighbor_degree
+
+    return avg_neighbor_degree(lineseq_edges(spark, sf_dir))
+
+
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 uncentered principal-component projection over the
     planted-spectrum table (pipeline/similarity.py:pca_project over
@@ -1954,12 +1963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_two_hop_ball": _q_two_hop_ball,  # new r5 gate: exact 1-/2-hop neighborhood sizes — the exact twin validating the HyperBall radius-2 sketch (wedge closure, distinct, count)
         "graph_sage_csr": _q_sage_csr,  # new r5 gate: Tier B twin of graph_sage_agg — bucketed cogrouped pandas array-sum kernels, same oracle, bit-identical output (the Tier B discipline extended to the feature-aggregation family)
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,  # new r5 gate: streaming per-user heavy hitters — commutative counts drained across 4 micro-batches == batch top-k; the sixth member of the streaming drain-equality family
+        "graph_knn_curve": _q_avg_neighbor_degree,  # new r5 gate: Pastor-Satorras knn(k) curve — the per-degree-class assortativity profile; raw BIGINT numerators with one shared class denominator
         "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
         "curate_stage_counts": _q_curate,
         "triangle_doulion_est": _q_triangle_doulion,  # new r5 gate: DOULION sampled triangle estimate — the deterministic-coin scale path for the headline triangle metric (p=1/2 cuts the closure-join shuffle ~4x at 10^12 edges); also puts the Tier A triangle stream back in window (audio_features rotates to tail: r4 driver-green, WAV path unchanged in r5; image_jpeg_features/image_jpeg_color/video_features keep the real-codec multimodal paths in window)
-        "video_features": _q_video_features,  # new r4 gate: real AVI/MJPG container + sampled-frame JPEG decode (multimodal_features rotates to tail: the fake-codec plumbing twin of the real png/jpeg/audio gates in window)
         "ann_ivf_recall": _q_ann_recall,  # new r4 gate: recall@5 eval of the IVF probe vs the exact top-k — the ANN deployment's quality harness (image_png_features rotates to tail: r3 driver-green, png.py unchanged since; jpeg/video/audio codec gates keep the modality paths in window)
         # r4 rotation: the last 3 never-driver-run gates (green in the
         # committed local sweeps since r2/r3) take the slots of 3 r3-green
@@ -2051,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_overlap": _q_chunk_overlap,  # r4 driver-green; rotated to tail r5s4 for doc_token_entropy — chunking is pure sequence-slice column exprs, pytest-pinned, with doc_pack_sequences exercising the adjacent packing path
         "dedup_keep_best": _q_keep_best,  # r4 driver-green; rotated to tail r5s4 for graph_two_hop_ball — the dict-mode dedup rank path stays in window via dedup_containment + dedup_minhash-family siblings and the keep-best plan pin (test_superstep_plans)
         "graph_effective_diameter": _q_effective_diameter,  # r4 driver-green; rotated to tail r5s4 for streaming_heavy_hitters — hyperball.py unchanged in r5 and graph_two_hop_ball carries the exact neighborhood-size audit in window
+        "video_features": _q_video_features,  # r4 driver-green; rotated to tail r5s4 for graph_knn_curve — avi.py unchanged in r5, and image_jpeg_color drives the shared baseline-JPEG decode in window (each AVI frame is one)
         "emb_gram_matrix": _q_gram_matrix,  # r4 driver-green; rotated to tail r5s4 for graph_sage_csr — the mapInPandas int64 Gram pass is composed and driven in window by emb_pca_project
         "graph_matching": _q_matching,  # r4 driver-green; rotated to tail r5s4 for doc_readability — matching.py unchanged in r5; the Luby-round hash-priority discipline is plan-pinned and property-tested (test_matching.py)
         "graph_coloring": _q_coloring,  # r4 driver-green; rotated to tail r5s4 for events_burstiness — coloring.py unchanged in r5, plan-pinned (test_superstep_plans); the peel-family gates keep the shrinking-frontier superstep shape in window
@@ -2329,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_heavy_hitters": pipeline_oracles.heavy_hitters_sql(k=50),
         "doc_token_entropy": pipeline_oracles.token_entropy_sql(),
         "graph_two_hop_ball": oracles.two_hop_ball_sql(),
+        "graph_knn_curve": oracles.avg_neighbor_degree_sql(),
         "doc_sample_stratified": pipeline_oracles.stratified_take_sql(k=20),
         "events_user_features": pipeline_oracles.user_activity_sql(),
         "events_windowed_agg": pipeline_oracles.windowed_event_aggregate_sql(

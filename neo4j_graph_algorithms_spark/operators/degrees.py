@@ -447,3 +447,56 @@ def two_hop_ball_sizes(
     n1 = adj.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("n1"))
     n2 = ball.groupBy(F.col(SRC).alias(VID)).agg(F.count("*").alias("n2"))
     return n1.join(n2, on=VID, how="left").fillna(0, subset=["n2"])
+
+
+def avg_neighbor_degree(edges: EdgeFrame | DataFrame) -> DataFrame:
+    """[deg, n_vertices, sum_nbr_deg_sum, knn] — the average-nearest-
+    neighbor-degree curve knn(k) (Pastor-Satorras, Vazquez & Vespignani,
+    "Dynamical and correlation properties of the Internet", PRL 87, 2001):
+    for each degree class k, the mean over degree-k vertices of their mean
+    neighbor degree.  Rising curve = assortative, falling = disassortative
+    — the per-scale profile behind the single assortativity coefficient
+    (degree_assortativity), and the audit that locates WHICH degree band
+    drives hub-mixing in a link graph.
+
+    Exactness: knn(k) = sum_v s_v / (k * n_k) where s_v = integer sum of
+    neighbor degrees.  Per-vertex means s_v/k share the class denominator
+    k, so one BIGINT numerator per class suffices; the gate carries the
+    raw integers (sum_nbr_deg_sum, n_vertices) plus the derived double.
+
+    Plan: one degree agg + one (src)-keyed join of the adjacency against
+    the degree table + two map-side-combined aggs; histogram-sized output.
+    """
+    ef = edges if isinstance(edges, EdgeFrame) else EdgeFrame(edges)
+    und = ef.canonical().df.select(SRC, DST)
+    adj = und.unionByName(
+        und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    deg = adj.groupBy(SRC).agg(F.count("*").alias("_deg"))
+    nbr_deg = (
+        adj.join(
+            deg.select(F.col(SRC).alias(DST), F.col("_deg").alias("_nd")).hint(
+                "shuffle_hash"
+            ),
+            on=DST,
+        )
+        .groupBy(SRC)
+        .agg(F.sum("_nd").alias("_s"))
+    )
+    per_vertex = deg.join(nbr_deg.hint("shuffle_hash"), on=SRC)
+    return (
+        per_vertex.groupBy(F.col("_deg").alias("deg"))
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.sum("_s").alias("sum_nbr_deg_sum"),
+        )
+        .select(
+            "deg",
+            "n_vertices",
+            "sum_nbr_deg_sum",
+            (
+                F.col("sum_nbr_deg_sum").cast("double")
+                / (F.col("deg") * F.col("n_vertices")).cast("double")
+            ).alias("knn"),
+        )
+    )

@@ -1721,6 +1721,22 @@ oa{i} AS MATERIALIZED (
     )
 
 
+def avg_neighbor_degree_sql() -> str:
+    """knn(k) curve on the undirected line-seq graph — twin of
+    operators/degrees.py:avg_neighbor_degree (raw BIGINT numerators, one
+    shared class denominator k*n_k)."""
+    return f"""WITH {NBR_CTES},
+deg AS (SELECT vid, count(*) AS deg FROM nbrs GROUP BY vid),
+s AS (
+  SELECT n.vid, sum(d2.deg) AS s
+  FROM nbrs n JOIN deg d2 ON d2.vid = n.nbr GROUP BY n.vid)
+SELECT d.deg, count(*) AS n_vertices,
+       CAST(sum(s.s) AS BIGINT) AS sum_nbr_deg_sum,
+       sum(s.s) * 1.0 / (d.deg * count(*)) AS knn
+FROM deg d JOIN s ON s.vid = d.vid
+GROUP BY d.deg"""
+
+
 def two_hop_ball_sql() -> str:
     """Exact 1-/2-hop neighborhood sizes on the undirected line-seq graph —
     twin of operators/degrees.py:two_hop_ball_sizes (no hub cap at the

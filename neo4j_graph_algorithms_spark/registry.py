@@ -128,6 +128,7 @@ PROCEDURES: dict[str, str] = {
     "algo.sageAggregate": "neo4j_graph_algorithms_spark.pipeline.sage.sage_aggregate",
     "algo.sageAggregate.csr": "neo4j_graph_algorithms_spark.csr.sage.sage_aggregate_csr",
     "algo.twoHopBall": "neo4j_graph_algorithms_spark.operators.degrees.two_hop_ball_sizes",
+    "algo.degree.knnCurve": "neo4j_graph_algorithms_spark.operators.degrees.avg_neighbor_degree",
     "algo.onion.spectrum": "neo4j_graph_algorithms_spark.operators.onion.onion_spectrum",
     "algo.onion": "neo4j_graph_algorithms_spark.operators.onion.onion_decomposition",
     "algo.bowtie": "neo4j_graph_algorithms_spark.operators.bowtie.bowtie_decomposition",

@@ -275,3 +275,45 @@ def test_two_hop_ball_hub_cap_drops_wedges_through_hubs(spark):
         for r in two_hop_ball_sizes(edge_df(spark, pairs), max_degree=2).collect()
     }
     assert got[1] == (1, 1) and got[0] == (4, 4)
+
+
+def test_avg_neighbor_degree_star(spark):
+    from neo4j_graph_algorithms_spark.operators.degrees import avg_neighbor_degree
+
+    # star 0-{1,2,3}: leaves have deg 1, their one neighbor has deg 3 ->
+    # knn(1) = 3; center deg 3, neighbors all deg 1 -> knn(3) = 1
+    got = {
+        r.deg: (r.n_vertices, r.sum_nbr_deg_sum, r.knn)
+        for r in avg_neighbor_degree(
+            edge_df(spark, [(0, 1), (0, 2), (0, 3)])
+        ).collect()
+    }
+    assert got == {1: (3, 9, 3.0), 3: (1, 3, 1.0)}
+
+
+def test_avg_neighbor_degree_matches_python(spark):
+    import random
+    from collections import defaultdict
+
+    from neo4j_graph_algorithms_spark.operators.degrees import avg_neighbor_degree
+
+    rng = random.Random(53)
+    pairs = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(50)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    per_class = defaultdict(lambda: [0, 0])
+    for v, ns in adj.items():
+        k = len(ns)
+        per_class[k][0] += 1
+        per_class[k][1] += sum(len(adj[u]) for u in ns)
+    want = {
+        k: (n, s, s / (k * n)) for k, (n, s) in per_class.items()
+    }
+    got = {
+        r.deg: (r.n_vertices, r.sum_nbr_deg_sum, r.knn)
+        for r in avg_neighbor_degree(edge_df(spark, pairs)).collect()
+    }
+    assert got == want
