@@ -1918,6 +1918,15 @@ def _q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avg_neighbor_degree(lineseq_edges(spark, sf_dir))
 
 
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type event-value percentiles (pipeline/events.py:
+    value_percentiles) — the deterministic outlier-threshold audit where
+    approx_percentile is partitioning-dependent."""
+    from neo4j_graph_algorithms_spark.pipeline.events import value_percentiles
+
+    return value_percentiles(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 uncentered principal-component projection over the
     planted-spectrum table (pipeline/similarity.py:pca_project over
@@ -1964,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sage_csr": _q_sage_csr,  # new r5 gate: Tier B twin of graph_sage_agg — bucketed cogrouped pandas array-sum kernels, same oracle, bit-identical output (the Tier B discipline extended to the feature-aggregation family)
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,  # new r5 gate: streaming per-user heavy hitters — commutative counts drained across 4 micro-batches == batch top-k; the sixth member of the streaming drain-equality family
         "graph_knn_curve": _q_avg_neighbor_degree,  # new r5 gate: Pastor-Satorras knn(k) curve — the per-degree-class assortativity profile; raw BIGINT numerators with one shared class denominator
+        "events_value_percentiles": _q_value_percentiles,  # new r5 gate: exact per-type value percentiles on the integer grid — deterministic where approx_percentile is not; reuses the degree_distribution pure-BIGINT percentile comparison
         "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
@@ -1998,7 +2008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_retention,  # new r4 gate: daily cohort retention (sssp_csr_from_0 rotates to tail: r3 green, csr/paths.py unchanged since; lpa/triangle/fastrp/closeness CSR kernels stay in window)
         "louvain_communities": _q_louvain,  # r5 upgrade IN WINDOW: rows-only → VALUE-gated via integer_gains mode (exact 2m²-scaled gains; oracle = louvain_int_sql unrolled 4 sub-steps; events_transitions rotates to tail: r4 driver-green, events.py unchanged in r5, sessionize/windowed/funnel/retention/user_features keep events.py in window)
         "streaming_windowed_events": _q_streaming_windowed_events,  # new r4 gate: watermarked streaming window drain == batch aggregate (hyperball_est_r2 rotates to tail; hyperball_harmonic, same HLL chain at radius 4, stays in window)
-        "pagerank_weighted": _q_pagerank_weighted,
         "graph_node2vec_walks": _q_node2vec_walks,
         # --- distinct core paths --------------------------------------------
         "streaming_incremental_pagerank": _q_streaming_incremental_pagerank,  # new r5 gate: the north-star loop end-to-end — 3 streamed commit waves, warm-restart refresh after each, final published scores == unrolled 3-phase oracle (incremental.py's first driver row; pagerank_warm_restart rotates to tail: r4 driver-green, and this gate drives the same warm-restart machinery plus the streaming merge in window)
@@ -2061,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_keep_best,  # r4 driver-green; rotated to tail r5s4 for graph_two_hop_ball — the dict-mode dedup rank path stays in window via dedup_containment + dedup_minhash-family siblings and the keep-best plan pin (test_superstep_plans)
         "graph_effective_diameter": _q_effective_diameter,  # r4 driver-green; rotated to tail r5s4 for streaming_heavy_hitters — hyperball.py unchanged in r5 and graph_two_hop_ball carries the exact neighborhood-size audit in window
         "video_features": _q_video_features,  # r4 driver-green; rotated to tail r5s4 for graph_knn_curve — avi.py unchanged in r5, and image_jpeg_color drives the shared baseline-JPEG decode in window (each AVI frame is one)
+        "pagerank_weighted": _q_pagerank_weighted,  # r4 driver-green; rotated to tail r5s4 for events_value_percentiles — streaming_incremental_pagerank (warm-restart loop) and graph_who_to_follow (personalized delta-push) keep the pagerank superstep in window; the weighted build join is pytest-pinned
         "emb_gram_matrix": _q_gram_matrix,  # r4 driver-green; rotated to tail r5s4 for graph_sage_csr — the mapInPandas int64 Gram pass is composed and driven in window by emb_pca_project
         "graph_matching": _q_matching,  # r4 driver-green; rotated to tail r5s4 for doc_readability — matching.py unchanged in r5; the Luby-round hash-priority discipline is plan-pinned and property-tested (test_matching.py)
         "graph_coloring": _q_coloring,  # r4 driver-green; rotated to tail r5s4 for events_burstiness — coloring.py unchanged in r5, plan-pinned (test_superstep_plans); the peel-family gates keep the shrinking-frontier superstep shape in window
@@ -2337,6 +2347,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_readability": pipeline_oracles.readability_sql(),
         "events_burstiness": pipeline_oracles.burstiness_sql(),
         "streaming_heavy_hitters": pipeline_oracles.heavy_hitters_sql(k=50),
+        "events_value_percentiles": pipeline_oracles.value_percentiles_sql(),
         "doc_token_entropy": pipeline_oracles.token_entropy_sql(),
         "graph_two_hop_ball": oracles.two_hop_ball_sql(),
         "graph_knn_curve": oracles.avg_neighbor_degree_sql(),

@@ -450,3 +450,54 @@ def burstiness(
             (sd + mean) > 0, F.round((sd - mean) / (sd + mean), 6)
         ).alias("burstiness"),
     )
+
+
+def value_percentiles(
+    events: DataFrame,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """[event_type, n, p50_value, p90_value, p99_value] — EXACT discrete
+    per-type value percentiles: p(q) = min value whose cumulative count
+    >= ceil(n*q/100), computed on the integer-scaled value histogram
+    (round(value*1e6), the family grid).  The outlier-threshold audit
+    behind event-value capping; exact where approx_percentile is
+    nondeterministic across partitionings.
+
+    Engine-exactness mirrors degree_distribution: the percentile pick is
+    the pure-BIGINT comparison 100*cum >= n*q (no float division), the
+    cumulative window runs over the per-type value HISTOGRAM (bounded by
+    value cardinality, not |events|), and outputs descale by one exact
+    /1e6 division.
+    """
+    v6 = F.round(F.col(value_col) * F.lit(1e6)).cast("long")
+    hist = events.groupBy(F.col(type_col), v6.alias("_v6")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("_v6")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy(type_col).agg(F.sum("cnt").alias("n"))
+    joined = cum.join(tot.hint("shuffle_hash"), on=type_col)
+    aggs = [
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * q, F.col("_v6"))
+        ).alias(f"_p{q}")
+        for q in percentiles
+    ]
+    return (
+        joined.groupBy(type_col, "n")
+        .agg(*aggs)
+        .select(
+            type_col,
+            "n",
+            *[
+                (F.col(f"_p{q}") / F.lit(1e6)).alias(f"p{q}_value")
+                for q in percentiles
+            ],
+        )
+    )

@@ -816,6 +816,29 @@ SELECT (ep // {win_s}) * {win_s} AS window_start, event_type,
 FROM e GROUP BY 1, 2"""
 
 
+def value_percentiles_sql(percentiles: tuple[int, ...] = (50, 90, 99)) -> str:
+    """Exact per-type value percentiles — twin of
+    events.py:value_percentiles (integer-grid histogram, pure-BIGINT
+    cumulative comparison)."""
+    picks = ",\n       ".join(
+        f"min(CASE WHEN cum * 100 >= n * {q} THEN v6 END) / 1000000.0 AS p{q}_value"
+        for q in percentiles
+    )
+    return f"""WITH h AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v6,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, v6, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v6
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM h)
+SELECT event_type, n,
+       {picks}
+FROM c GROUP BY event_type, n"""
+
+
 def heavy_hitters_sql(k: int = 50) -> str:
     """Top-k users by event count — twin of streaming/topk.py (drained
     stream == this batch aggregate; same integer-scaled value sum as the

@@ -341,3 +341,45 @@ def test_burstiness_subsecond_all_zero_gaps_null(spark):
     got = burstiness(ev).collect()
     assert len(got) == 1 and got[0].n_gaps == 3
     assert got[0].mean_gap_s == 0.0 and got[0].burstiness is None
+
+
+def test_value_percentiles_hand_values(spark):
+    from datetime import datetime
+
+    from neo4j_graph_algorithms_spark.pipeline.events import value_percentiles
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "view", float(v), "{}")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])
+    ] + [(10, t0, 1, "click", 7.5, "{}")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.event_type: r for r in value_percentiles(ev).collect()}
+    v = got["view"]
+    # n=5: p50 -> ceil(2.5)=3rd value = 3.0; p90 -> ceil(4.5)=5th = 100.0
+    assert (v.n, v.p50_value, v.p90_value, v.p99_value) == (5, 3.0, 100.0, 100.0)
+    c = got["click"]
+    assert (c.n, c.p50_value, c.p99_value) == (1, 7.5, 7.5)
+
+
+def test_value_percentiles_partition_invariant(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    from neo4j_graph_algorithms_spark.pipeline.events import value_percentiles
+
+    rng = random.Random(61)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=i), rng.randrange(5),
+         rng.choice(["a", "b"]), round(rng.uniform(0, 50), 2), "{}")
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    a = sorted(map(tuple, value_percentiles(ev.repartition(1)).collect()))
+    b = sorted(map(tuple, value_percentiles(ev.repartition(16)).collect()))
+    assert a == b
