@@ -1927,6 +1927,15 @@ def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_percentiles(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition audit (pipeline/text.py:source_mix) — per
+    (source, lang) doc/char/token totals, the observed-mixture input to
+    mixture resampling."""
+    from neo4j_graph_algorithms_spark.pipeline.text import source_mix
+
+    return source_mix(_docs(spark, sf_dir))
+
+
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 uncentered principal-component projection over the
     planted-spectrum table (pipeline/similarity.py:pca_project over
@@ -1974,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,  # new r5 gate: streaming per-user heavy hitters — commutative counts drained across 4 micro-batches == batch top-k; the sixth member of the streaming drain-equality family
         "graph_knn_curve": _q_avg_neighbor_degree,  # new r5 gate: Pastor-Satorras knn(k) curve — the per-degree-class assortativity profile; raw BIGINT numerators with one shared class denominator
         "events_value_percentiles": _q_value_percentiles,  # new r5 gate: exact per-type value percentiles on the integer grid — deterministic where approx_percentile is not; reuses the degree_distribution pure-BIGINT percentile comparison
+        "doc_source_mix": _q_source_mix,  # new r5 gate: per-(source, lang) corpus composition — the observed-mixture table doc_mixture_resample weights against; trivially exact integers
         "graph_edge_embeddedness": _q_edge_embeddedness,  # new r5 gate: per-edge common-neighbor count + neighborhood overlap — the tie-strength/local-bridge audit, edge-level member of the triangle family over the same degree-ordered stream as triangle_doulion_est/graph_triad_motifs (ann_ivf_search rotates to tail: r2+ driver-green, IVF probe path unchanged in r5 and driven in window by ann_ivf_recall over the same build/search chain)
         "salsa_10iter": _q_salsa,  # new r5 gate: SALSA stochastic hub/authority chain — degree-normalized HITS twin whose fixpoint is the analytic indeg/|E| distribution (hits_10iter rotates to tail: r4 driver-green, hits.py unchanged in r5; salsa keeps the normalized hub/authority superstep in window)
         "graph_reciprocity": _q_reciprocity,  # new r5 gate: directed-edge reciprocity, the direction-structure audit — pure integer counts + one ratio (doc_token_dictionary rotates to tail: r4 driver-green, text.py/functions/rank.py dense-rank path unchanged in r5 and driven in window by the dict-mode dedup gates, e.g. dedup_keep_best)
@@ -2001,7 +2011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_powerlaw_alpha": _q_degree_powerlaw,  # new r5 gate: CSN discrete-MLE power-law exponent, the scale-free audit behind every hub cap — 1e-6-grid integer log sums (community_sllpa_overlap rotates to tail: r4 driver-green, sllpa.py unchanged in r5; community_conductance + louvain_communities keep community quality in window)
         "doc_sample_stratified": _q_stratified_take,  # new r4 gate: deterministic per-stratum eval draw (doc_pack_sequences rotates to tail: r3 green, pack.py + functions/rank.py unchanged since; the distributed prefix-sum path they share stays pytest-pinned)
         "doc_zipf_alpha": _q_zipf_alpha,  # new r5 gate: Zipf-tail MLE over token frequencies — the corpus-health audit, same CSN 1e-6-grid contract as graph_powerlaw_alpha (doc_bpe_subwords rotates to tail: r4 driver-green, and r5's bpe.py change batched INDUCTION only — doc_bpe_merges keeps that changed path in window; the segmentation greedy-replace contract is unchanged since r4)
-        "doc_length_stats": _q_length_stats,  # new r4 gate: token-length histogram percentiles, the packing-budget audit (graph_khop_sample rotates to tail; random/node2vec/skipgram walks keep the hash-deterministic sampling path covered in window)
         "dedup_containment": _q_containment,  # new r5 gate: ordered-pair n-gram containment (Broder) — the asymmetric subset-duplicate score completing the dedup family's symmetric members; one integer division, threshold on the rounded value (graph_mis rotates to tail: r4 driver-green, mis.py unchanged in r5; graph_matching + graph_coloring keep the hash-priority shrinking-frontier shape in window)
         "graph_degree_gini": _q_degree_gini,  # new r5 gate: degree-Gini skew audit, division-free closed-form rank sum on the histogram (events_windowed_agg rotates to tail: r4 driver-green, events.py unchanged since, and streaming_windowed_events — the SAME windowed_event_aggregate_sql oracle through the streaming drain — stays in window with sessionize/funnel/retention/user_features)
         "events_funnel": _q_funnel,  # new r4 gate: ordered conversion funnel (streaming_cocommit_edges rotates to tail: r3 green, streaming/ingest.py unchanged since; streaming_windowed_events keeps a Structured-Streaming drain gate in window)
@@ -2071,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_effective_diameter": _q_effective_diameter,  # r4 driver-green; rotated to tail r5s4 for streaming_heavy_hitters — hyperball.py unchanged in r5 and graph_two_hop_ball carries the exact neighborhood-size audit in window
         "video_features": _q_video_features,  # r4 driver-green; rotated to tail r5s4 for graph_knn_curve — avi.py unchanged in r5, and image_jpeg_color drives the shared baseline-JPEG decode in window (each AVI frame is one)
         "pagerank_weighted": _q_pagerank_weighted,  # r4 driver-green; rotated to tail r5s4 for events_value_percentiles — streaming_incremental_pagerank (warm-restart loop) and graph_who_to_follow (personalized delta-push) keep the pagerank superstep in window; the weighted build join is pytest-pinned
+        "doc_length_stats": _q_length_stats,  # r4 driver-green; rotated to tail r5s4 for doc_source_mix — pure column exprs, and the doc-statistics family is broadly in window (readability, token_entropy, zipf, trigram LM)
         "emb_gram_matrix": _q_gram_matrix,  # r4 driver-green; rotated to tail r5s4 for graph_sage_csr — the mapInPandas int64 Gram pass is composed and driven in window by emb_pca_project
         "graph_matching": _q_matching,  # r4 driver-green; rotated to tail r5s4 for doc_readability — matching.py unchanged in r5; the Luby-round hash-priority discipline is plan-pinned and property-tested (test_matching.py)
         "graph_coloring": _q_coloring,  # r4 driver-green; rotated to tail r5s4 for events_burstiness — coloring.py unchanged in r5, plan-pinned (test_superstep_plans); the peel-family gates keep the shrinking-frontier superstep shape in window
@@ -2348,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "events_burstiness": pipeline_oracles.burstiness_sql(),
         "streaming_heavy_hitters": pipeline_oracles.heavy_hitters_sql(k=50),
         "events_value_percentiles": pipeline_oracles.value_percentiles_sql(),
+        "doc_source_mix": pipeline_oracles.source_mix_sql(),
         "doc_token_entropy": pipeline_oracles.token_entropy_sql(),
         "graph_two_hop_ball": oracles.two_hop_ball_sql(),
         "graph_knn_curve": oracles.avg_neighbor_degree_sql(),

@@ -816,6 +816,16 @@ SELECT (ep // {win_s}) * {win_s} AS window_start, event_type,
 FROM e GROUP BY 1, 2"""
 
 
+def source_mix_sql() -> str:
+    """Corpus composition audit — twin of text.py:source_mix."""
+    return f"""WITH {DOCS_CTE}
+SELECT d2.source, d2.lang, count(*) AS n_docs,
+       CAST(sum(length(docs.text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(docs.toks)) AS BIGINT) AS total_tokens
+FROM docs JOIN documents d2 USING (doc_id)
+GROUP BY d2.source, d2.lang"""
+
+
 def value_percentiles_sql(percentiles: tuple[int, ...] = (50, 90, 99)) -> str:
     """Exact per-type value percentiles — twin of
     events.py:value_percentiles (integer-grid histogram, pure-BIGINT

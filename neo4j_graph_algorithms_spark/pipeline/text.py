@@ -578,6 +578,24 @@ def top_ngrams(
     )
 
 
+def source_mix(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """[source, lang, n_docs, total_chars, total_tokens] — the corpus
+    composition audit: what every curation run measures FIRST, and the
+    observed-mixture input to `pipeline/sample.py` mixture resampling
+    (target weights are chosen against exactly this table).  Pure integer
+    aggregation — one map-side-combined groupBy, trivially exact.
+    """
+    return docs.groupBy(source_col, lang_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.size(tokens_col("text"))).alias("total_tokens"),
+    )
+
+
 def token_entropy(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

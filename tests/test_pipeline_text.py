@@ -674,3 +674,26 @@ def test_token_entropy_orders_repetitive_below_diverse(spark):
     )
     got = {r.doc_id: r.entropy for r in token_entropy(docs).collect()}
     assert got[1] < got[2]
+
+
+def test_source_mix_hand_values(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import source_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "web", 5),
+            (2, "dd ee", "en", "web", 5),
+            (3, "x", "fr", "web", 1),
+            (4, "y z", "en", "code", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.source, r.lang): (r.n_docs, r.total_chars, r.total_tokens)
+        for r in source_mix(docs).collect()
+    }
+    assert got == {
+        ("web", "en"): (2, 10, 5),
+        ("web", "fr"): (1, 1, 1),
+        ("code", "en"): (1, 3, 2),
+    }
